@@ -1,0 +1,184 @@
+"""CLIP BPE tokenizer — from-scratch Python implementation.
+
+Replaces ``transformers.CLIPTokenizer`` (reference finetune_sd.py:331-334;
+padded to model_max_length=77 at utils.py:148-154).  Standard CLIP BPE:
+lowercase, whitespace-clean, regex pre-tokenize, byte-level unicode mapping,
+BPE merges with an end-of-word ``</w>`` marker, surrounded by
+``<|startoftext|>`` / ``<|endoftext|>``; pads to max length with the EOT id
+(CLIP convention).
+
+Vocab files (``vocab.json`` + ``merges.txt``, the openai/clip-vit-large-patch14
+format) are loaded from a checkpoint directory when available.  With zero
+network egress in this environment there is also a deterministic hash-bucket
+fallback so the full stack runs end-to-end without downloaded files; it is NOT
+token-compatible with real CLIP (tests cover both modes).
+"""
+from __future__ import annotations
+
+import functools
+import json
+import os
+import re
+from typing import Dict, List, Optional, Sequence, Tuple
+
+
+@functools.lru_cache()
+def _bytes_to_unicode() -> Dict[int, str]:
+    """GPT-2/CLIP byte→unicode visible-char mapping."""
+    bs = (list(range(ord("!"), ord("~") + 1))
+          + list(range(ord("\xa1"), ord("\xac") + 1))
+          + list(range(ord("\xae"), ord("\xff") + 1)))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
+
+
+def _get_pairs(word: Tuple[str, ...]) -> set:
+    return {(word[i], word[i + 1]) for i in range(len(word) - 1)}
+
+
+_PAT = re.compile(
+    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"""
+    if False else
+    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+""",
+    re.IGNORECASE,
+)
+
+
+def _whitespace_clean(text: str) -> str:
+    return re.sub(r"\s+", " ", text).strip()
+
+
+class CLIPTokenizer:
+    """CLIP byte-pair tokenizer with max-length padding.
+
+    encode(text, max_length) mirrors the reference's
+    ``tokenizer(prompt, padding="max_length", truncation=True,
+    max_length=77).input_ids`` (utils.py:148-154).
+    """
+
+    BOT = "<|startoftext|>"
+    EOT = "<|endoftext|>"
+
+    def __init__(self, vocab: Optional[Dict[str, int]] = None,
+                 merges: Optional[List[Tuple[str, str]]] = None,
+                 vocab_size: int = 49408):
+        self.byte_encoder = _bytes_to_unicode()
+        self.vocab_size = vocab_size
+        if vocab is not None:
+            self.encoder = vocab
+            self.bpe_ranks = {m: i for i, m in enumerate(merges or [])}
+            self.hash_mode = False
+        else:
+            # deterministic fallback: words hash into fixed buckets
+            self.encoder = {self.BOT: vocab_size - 2, self.EOT: vocab_size - 1}
+            self.bpe_ranks = {}
+            self.hash_mode = True
+        self.bot_id = self.encoder[self.BOT]
+        self.eot_id = self.encoder[self.EOT]
+        self.decoder = {v: k for k, v in self.encoder.items()}
+        self.cache: Dict[str, str] = {}
+
+    # -- loading ------------------------------------------------------------
+
+    @classmethod
+    def from_pretrained(cls, path: str) -> "CLIPTokenizer":
+        """Load vocab.json + merges.txt from a tokenizer directory."""
+        with open(os.path.join(path, "vocab.json")) as f:
+            vocab = json.load(f)
+        merges: List[Tuple[str, str]] = []
+        with open(os.path.join(path, "merges.txt")) as f:
+            for line in f.read().split("\n"):
+                if line.startswith("#") or not line.strip():
+                    continue
+                a, _, b = line.partition(" ")
+                merges.append((a, b.strip()))
+        return cls(vocab=vocab, merges=merges, vocab_size=len(vocab))
+
+    @classmethod
+    def fallback(cls, vocab_size: int = 49408) -> "CLIPTokenizer":
+        return cls(vocab=None, vocab_size=vocab_size)
+
+    # -- BPE ----------------------------------------------------------------
+
+    def _bpe(self, token: str) -> str:
+        if token in self.cache:
+            return self.cache[token]
+        word = tuple(token[:-1]) + (token[-1] + "</w>",)
+        pairs = _get_pairs(word)
+        if not pairs:
+            return token + "</w>"
+        while True:
+            bigram = min(pairs, key=lambda p: self.bpe_ranks.get(p, float("inf")))
+            if bigram not in self.bpe_ranks:
+                break
+            first, second = bigram
+            new_word: List[str] = []
+            i = 0
+            while i < len(word):
+                try:
+                    j = word.index(first, i)
+                except ValueError:
+                    new_word.extend(word[i:])
+                    break
+                new_word.extend(word[i:j])
+                i = j
+                if i < len(word) - 1 and word[i] == first and word[i + 1] == second:
+                    new_word.append(first + second)
+                    i += 2
+                else:
+                    new_word.append(word[i])
+                    i += 1
+            word = tuple(new_word)
+            if len(word) == 1:
+                break
+            pairs = _get_pairs(word)
+        out = " ".join(word)
+        self.cache[token] = out
+        return out
+
+    def _token_ids(self, text: str) -> List[int]:
+        text = _whitespace_clean(text).lower()
+        ids: List[int] = []
+        for tok in _PAT.findall(text):
+            tok_bytes = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
+            if self.hash_mode:
+                for piece in self._bpe(tok_bytes).split(" "):
+                    # stable bucket, avoiding the two special ids
+                    ids.append(hash_bucket(piece, self.vocab_size - 2))
+            else:
+                for piece in self._bpe(tok_bytes).split(" "):
+                    ids.append(self.encoder.get(piece, self.eot_id))
+        return ids
+
+    # -- public API ---------------------------------------------------------
+
+    def encode(self, text: str, max_length: int = 77) -> List[int]:
+        ids = [self.bot_id] + self._token_ids(text)[: max_length - 2] + [self.eot_id]
+        ids += [self.eot_id] * (max_length - len(ids))
+        return ids
+
+    def batch_encode(self, texts: Sequence[str], max_length: int = 77):
+        return [self.encode(t, max_length) for t in texts]
+
+    def decode(self, ids: Sequence[int]) -> str:
+        if self.hash_mode:
+            return ""  # hash buckets are not invertible
+        byte_decoder = {v: k for k, v in self.byte_encoder.items()}
+        text = "".join(self.decoder.get(int(i), "") for i in ids
+                       if int(i) not in (self.bot_id, self.eot_id))
+        raw = bytearray(byte_decoder[c] for c in text if c in byte_decoder)
+        return raw.decode("utf-8", errors="replace").replace("</w>", " ").strip()
+
+
+def hash_bucket(piece: str, buckets: int) -> int:
+    """FNV-1a — stable across processes (unlike Python's randomized hash())."""
+    h = 0x811C9DC5
+    for ch in piece.encode("utf-8"):
+        h = ((h ^ ch) * 0x01000193) & 0xFFFFFFFF
+    return h % buckets

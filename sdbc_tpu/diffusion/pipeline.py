@@ -1,0 +1,191 @@
+"""Single jit-compiled classifier-free-guidance sampling graph.
+
+Replaces ``StableDiffusionPipeline.__call__`` (reference call sites
+inference.py:342-351 and finetune_sd.py:264-271): tokenize → CLIP encode
+(cond + uncond) → N-step scheduler loop with 2×-batched UNet for guidance →
+VAE decode → images.  The whole denoise+decode path is ONE ``lax.fori_loop``
+inside ONE jit, so XLA fuses scheduler math into the UNet graph and the host
+is never touched between steps.
+
+Fixed-seed parity: latents are injectable (the reference's fixed-latent
+protocol, inference.py:263-274) — pass ``latents`` drawn from
+utils.prng.torch_compat_randn for bit-comparable runs.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sdbc_tpu.models import clip as clip_mod
+from sdbc_tpu.models import unet as unet_mod
+from sdbc_tpu.models import vae as vae_mod
+from sdbc_tpu.diffusion import schedulers as sched_mod
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    clip: clip_mod.CLIPTextConfig
+    unet: unet_mod.UNetConfig
+    vae: vae_mod.VAEConfig
+    schedule: sched_mod.ScheduleConfig
+    scheduler: str = "ddim"  # "ddim" | "pndm" | "ddpm"
+
+    @property
+    def vae_scale(self) -> int:
+        """Spatial down-factor of the VAE (8 for SD-1.x)."""
+        return 2 ** (len(self.vae.block_out_channels) - 1)
+
+    @staticmethod
+    def sd15(scheduler: str = "ddim") -> "PipelineConfig":
+        return PipelineConfig(clip_mod.CLIPTextConfig.sd15(),
+                              unet_mod.UNetConfig.sd15(),
+                              vae_mod.VAEConfig.sd15(),
+                              sched_mod.ScheduleConfig.sd15(), scheduler)
+
+    @staticmethod
+    def tiny(scheduler: str = "ddim") -> "PipelineConfig":
+        return PipelineConfig(clip_mod.CLIPTextConfig.tiny(),
+                              unet_mod.UNetConfig.tiny(),
+                              vae_mod.VAEConfig.tiny(),
+                              sched_mod.ScheduleConfig.sd15(), scheduler)
+
+
+def encode_text(params, ids, cfg: PipelineConfig, compute_dtype=jnp.bfloat16):
+    return clip_mod.apply(params["text_encoder"], ids, cfg.clip,
+                          compute_dtype=compute_dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "num_inference_steps", "compute_dtype", "decode"))
+def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
+           *, cfg: PipelineConfig, num_inference_steps: int = 50,
+           compute_dtype=jnp.bfloat16, decode: bool = True):
+    """Run the full CFG sampling graph.
+
+    params: {"text_encoder", "unet", "vae"} param trees (fp32 masters; cast here)
+    cond_ids/uncond_ids: (B, ctx) int32 token ids
+    latents: (B, h/8, w/8, 4) initial noise (inject for fixed-seed parity)
+    key: PRNG key (used by the DDPM ancestral sampler only)
+    Returns (B, H, W, 3) float images in [0, 1] (or raw latents if decode=False).
+    """
+    sched = sched_mod.make_schedule(cfg.schedule)
+    dt = compute_dtype
+
+    ctx_c = encode_text(params, cond_ids, cfg, dt)
+    ctx_u = encode_text(params, uncond_ids, cfg, dt)
+    context = jnp.concatenate([ctx_u, ctx_c], axis=0)  # (2B, ctx, hid)
+    uparams = params["unet"]
+    lat = latents.astype(dt)
+    gs = jnp.asarray(guidance_scale, jnp.float32)
+
+    def eps_fn(lat, t):
+        lat2 = jnp.concatenate([lat, lat], axis=0)
+        tb = jnp.full((lat2.shape[0],), t, jnp.int32)
+        eps = unet_mod.apply(uparams, lat2, tb, context, cfg.unet)
+        eps_u, eps_c = jnp.split(eps.astype(jnp.float32), 2, axis=0)
+        return eps_u + gs * (eps_c - eps_u)
+
+    if cfg.scheduler == "ddim":
+        ts = sched_mod.ddim_timesteps(cfg.schedule, num_inference_steps)
+        ratio = cfg.schedule.num_train_timesteps // num_inference_steps
+
+        def body(i, lat):
+            t = ts[i]
+            eps = eps_fn(lat, t)
+            return sched_mod.ddim_step(sched, eps, t, t - ratio, lat)
+
+        lat = jax.lax.fori_loop(0, num_inference_steps, body, lat)
+
+    elif cfg.scheduler == "pndm":
+        ts = sched_mod.pndm_timesteps(cfg.schedule, num_inference_steps)
+
+        def body(i, carry):
+            state, lat = carry
+            t = ts[i]
+            eps = eps_fn(lat, t)
+            state, lat = sched_mod.pndm_step(
+                sched, cfg.schedule, state, eps, t, lat, num_inference_steps)
+            return state, lat
+
+        state0 = sched_mod.pndm_init_state(lat.shape, lat.dtype)
+        _, lat = jax.lax.fori_loop(0, ts.shape[0], body, (state0, lat))
+
+    elif cfg.scheduler == "ddpm":
+        ratio = cfg.schedule.num_train_timesteps // num_inference_steps
+        ts = (jnp.arange(num_inference_steps) * ratio)[::-1].astype(jnp.int32)
+
+        def body(i, carry):
+            lat, k = carry
+            k, sub = jax.random.split(k)
+            t = ts[i]
+            eps = eps_fn(lat, t)
+            return sched_mod.ddpm_step(sched, eps, t, lat, sub,
+                                       clip_sample=False), k
+
+        lat, _ = jax.lax.fori_loop(0, num_inference_steps, body, (lat, key))
+    else:
+        raise ValueError(f"unknown scheduler {cfg.scheduler}")
+
+    if not decode:
+        return lat
+    img = vae_mod.decode(params["vae"], lat.astype(dt) / cfg.vae.scaling_factor,
+                         cfg.vae)
+    return jnp.clip(img.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
+
+
+class SDPipeline:
+    """Thin host-side wrapper: tokenization + batching around `sample`.
+
+    The diffusers-pipeline-shaped object the task layer uses
+    (visualize_prompts / get_fid_images / enter_prompt).
+    """
+
+    def __init__(self, params, cfg: PipelineConfig, tokenizer,
+                 compute_dtype=jnp.bfloat16):
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.compute_dtype = compute_dtype
+
+    def tokenize(self, prompts: Sequence[str]) -> np.ndarray:
+        return np.asarray(self.tokenizer.batch_encode(prompts, self.cfg.clip.ctx),
+                          np.int32)
+
+    def __call__(self, prompts, *, height: int = 512, width: int = 512,
+                 num_inference_steps: int = 50, guidance_scale: float = 7.5,
+                 latents: Optional[np.ndarray] = None, seed: int = 42,
+                 decode: bool = True):
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        b = len(prompts)
+        cond = jnp.asarray(self.tokenize(prompts))
+        uncond = jnp.asarray(self.tokenize([""] * b))
+        if latents is None:
+            key = jax.random.key(seed)
+            f = self.cfg.vae_scale
+            latents = jax.random.normal(
+                key, (b, height // f, width // f, self.cfg.unet.in_channels),
+                jnp.float32)
+        else:
+            latents = jnp.asarray(latents)
+            if latents.ndim == 3:
+                latents = latents[None]
+            # accept torch-layout NCHW fixed latents from the parity protocol
+            if latents.shape[-1] != 4 and latents.shape[1] == 4:
+                latents = jnp.transpose(latents, (0, 2, 3, 1))
+        imgs = sample(self.params, cond, uncond, latents, jax.random.key(seed),
+                      guidance_scale, cfg=self.cfg,
+                      num_inference_steps=num_inference_steps,
+                      compute_dtype=self.compute_dtype, decode=decode)
+        return np.asarray(imgs)
+
+    def numpy_to_pil(self, imgs: np.ndarray):
+        from PIL import Image
+
+        return [Image.fromarray(np.uint8(np.round(i * 255.0))) for i in imgs]

@@ -1,0 +1,209 @@
+"""DDPM / DDIM / PNDM schedulers as pure-JAX functions.
+
+Replaces the diffusers schedulers the reference drives (SURVEY.md E3):
+  - DDPMScheduler for training noise injection (finetune_sd.py:335-336,473)
+  - DDIMScheduler for inference with clip_sample=False, set_alpha_to_one=False
+    (inference.py:386-387)
+  - PNDMScheduler with skip_prk_steps=True as the checkpoint-load fallback
+    (utils.py:222-224)
+
+All share the SD-1.x beta schedule: scaled_linear (sqrt-space linear) from
+0.00085 to 0.012 over 1000 train steps.  Everything is stateless and
+fixed-shape so `step` calls can live inside a single jitted
+``lax.fori_loop`` sampling graph (PNDM carries a small fixed-size ets buffer).
+All schedule math is fp32.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class ScheduleConfig:
+    num_train_timesteps: int = 1000
+    beta_start: float = 0.00085
+    beta_end: float = 0.012
+    beta_schedule: str = "scaled_linear"
+    # DDIM flags pinned by the reference (inference.py:386-387)
+    clip_sample: bool = False
+    set_alpha_to_one: bool = False
+    steps_offset: int = 1  # SD-1.x pipelines use steps_offset=1
+
+    @staticmethod
+    def sd15() -> "ScheduleConfig":
+        return ScheduleConfig()
+
+
+class Schedule(NamedTuple):
+    betas: jax.Array            # (T,)
+    alphas_cumprod: jax.Array   # (T,)
+    final_alpha_cumprod: jax.Array  # scalar; alpha_0 or 1.0 per set_alpha_to_one
+
+
+def make_schedule(cfg: ScheduleConfig) -> Schedule:
+    t = cfg.num_train_timesteps
+    if cfg.beta_schedule == "scaled_linear":
+        betas = jnp.linspace(cfg.beta_start ** 0.5, cfg.beta_end ** 0.5, t,
+                             dtype=jnp.float64 if jax.config.x64_enabled else jnp.float32) ** 2
+    elif cfg.beta_schedule == "linear":
+        betas = jnp.linspace(cfg.beta_start, cfg.beta_end, t, dtype=jnp.float32)
+    else:
+        raise ValueError(cfg.beta_schedule)
+    betas = betas.astype(jnp.float32)
+    alphas_cumprod = jnp.cumprod(1.0 - betas)
+    final = jnp.asarray(1.0, jnp.float32) if cfg.set_alpha_to_one else alphas_cumprod[0]
+    return Schedule(betas, alphas_cumprod, final)
+
+
+# ---------------------------------------------------------------------------
+# DDPM (training: q(x_t | x_0); also ancestral sampling step)
+
+
+def ddpm_add_noise(sched: Schedule, x0, noise, timesteps):
+    """Forward process sample x_t = sqrt(ā_t) x0 + sqrt(1-ā_t) ε.
+
+    Mirrors DDPMScheduler.add_noise at the reference's finetune_sd.py:473.
+    timesteps: (B,) int in [0, T).
+    """
+    a = sched.alphas_cumprod[timesteps].astype(jnp.float32)
+    shape = (-1,) + (1,) * (x0.ndim - 1)
+    sqrt_a = jnp.sqrt(a).reshape(shape)
+    sqrt_1ma = jnp.sqrt(1.0 - a).reshape(shape)
+    return (sqrt_a * x0.astype(jnp.float32)
+            + sqrt_1ma * noise.astype(jnp.float32)).astype(x0.dtype)
+
+
+def ddpm_step(sched: Schedule, eps, t, x_t, key, clip_sample: bool = True):
+    """One ancestral DDPM sampling step t → t-1 (epsilon parameterisation)."""
+    a_t = sched.alphas_cumprod[t]
+    a_prev = jnp.where(t > 0, sched.alphas_cumprod[jnp.maximum(t - 1, 0)], 1.0)
+    beta_t = sched.betas[t]
+    xf, ef = x_t.astype(jnp.float32), eps.astype(jnp.float32)
+
+    x0 = (xf - jnp.sqrt(1.0 - a_t) * ef) / jnp.sqrt(a_t)
+    if clip_sample:
+        x0 = jnp.clip(x0, -1.0, 1.0)
+    # posterior mean coefficients (DDPM eq. 7)
+    coef_x0 = jnp.sqrt(a_prev) * beta_t / (1.0 - a_t)
+    coef_xt = jnp.sqrt(1.0 - beta_t) * (1.0 - a_prev) / (1.0 - a_t)
+    mean = coef_x0 * x0 + coef_xt * xf
+    var = jnp.clip(beta_t * (1.0 - a_prev) / (1.0 - a_t), 1e-20, None)
+    noise = jax.random.normal(key, x_t.shape, jnp.float32)
+    sample = mean + jnp.where(t > 0, jnp.sqrt(var), 0.0) * noise
+    return sample.astype(x_t.dtype)
+
+
+# ---------------------------------------------------------------------------
+# DDIM
+
+
+def ddim_timesteps(cfg: ScheduleConfig, num_inference_steps: int) -> jnp.ndarray:
+    """Descending timestep sequence, diffusers DDIM leading-space semantics."""
+    ratio = cfg.num_train_timesteps // num_inference_steps
+    ts = (jnp.arange(num_inference_steps) * ratio).round().astype(jnp.int32)
+    ts = ts + cfg.steps_offset
+    return ts[::-1]
+
+
+def ddim_step(sched: Schedule, eps, t, t_prev, x_t, eta: float = 0.0):
+    """Deterministic DDIM step (eta=0, the reference's inference setting).
+
+    t_prev < 0 selects final_alpha_cumprod (set_alpha_to_one=False semantics:
+    ā_{-1} = ā_0 rather than 1).
+    """
+    a_t = sched.alphas_cumprod[t]
+    a_prev = jnp.where(t_prev >= 0,
+                       sched.alphas_cumprod[jnp.maximum(t_prev, 0)],
+                       sched.final_alpha_cumprod)
+    xf, ef = x_t.astype(jnp.float32), eps.astype(jnp.float32)
+    x0 = (xf - jnp.sqrt(1.0 - a_t) * ef) / jnp.sqrt(a_t)
+    # clip_sample=False per reference → no clipping here
+    dir_xt = jnp.sqrt(1.0 - a_prev) * ef
+    return (jnp.sqrt(a_prev) * x0 + dir_xt).astype(x_t.dtype)
+
+
+# ---------------------------------------------------------------------------
+# PNDM (skip_prk_steps=True → PLMS: linear multistep on the epsilon history)
+
+
+class PNDMState(NamedTuple):
+    ets: jax.Array      # (4, *latent_shape) ring buffer of past eps
+    count: jax.Array    # () int32 — number of eps seen so far
+    cur_sample: jax.Array  # latent carried between the first two half-steps
+
+
+def pndm_timesteps(cfg: ScheduleConfig, num_inference_steps: int) -> jnp.ndarray:
+    """PLMS timestep sequence with skip_prk_steps=True.
+
+    diffusers PNDM (skip_prk_steps): plms_timesteps = [t_N, t_{N-1}, t_{N-1}]
+    then the rest — the second step re-runs t_{N-1} as part of the Heun-style
+    warmup.  Sequence length is num_inference_steps + 1.
+    """
+    ratio = cfg.num_train_timesteps // num_inference_steps
+    base = (jnp.arange(num_inference_steps) * ratio).astype(jnp.int32) + cfg.steps_offset
+    # descending: base[::-1] = [t_max, ..., t_0]
+    desc = base[::-1]
+    return jnp.concatenate([desc[:1], desc[1:2], desc[1:]])
+
+
+def pndm_init_state(latent_shape, dtype=jnp.float32) -> PNDMState:
+    return PNDMState(
+        ets=jnp.zeros((4,) + tuple(latent_shape), jnp.float32),
+        count=jnp.asarray(0, jnp.int32),
+        cur_sample=jnp.zeros(latent_shape, dtype),
+    )
+
+
+def pndm_step(sched: Schedule, cfg: ScheduleConfig, state: PNDMState, eps, t,
+              x_t, num_inference_steps: int):
+    """One PLMS step.  Returns (new_state, x_prev).
+
+    Implements diffusers PNDMScheduler.step_plms (skip_prk_steps=True) with a
+    fixed-size ets ring buffer so it can run inside lax.fori_loop.
+    """
+    ratio = cfg.num_train_timesteps // num_inference_steps
+    eps = eps.astype(jnp.float32)
+    xf = x_t.astype(jnp.float32)
+    count = state.count
+
+    t_prev = t - ratio
+    # first call uses t -> t - ratio; second call uses t + ratio -> t with the
+    # held cur_sample (diffusers step_plms lines: counter==1 branch)
+    is_second = count == 1
+    t_eff = jnp.where(is_second, t + ratio, t)
+    t_prev = jnp.where(is_second, t, t_prev)
+
+    # update eps history (not on the second call, which averages instead)
+    new_ets = jnp.where(is_second, state.ets,
+                        jnp.roll(state.ets, 1, axis=0).at[0].set(eps))
+    e1, e2, e3, e4 = new_ets[0], new_ets[1], new_ets[2], new_ets[3]
+
+    eps_prime = jnp.select(
+        [count == 0, count == 1, count == 2, count == 3],
+        [eps,
+         (eps + e1) / 2.0,
+         (3.0 * e1 - e2) / 2.0,
+         (23.0 * e1 - 16.0 * e2 + 5.0 * e3) / 12.0],
+        (55.0 * e1 - 59.0 * e2 + 37.0 * e3 - 9.0 * e4) / 24.0,
+    )
+
+    sample = jnp.where(is_second, state.cur_sample.astype(jnp.float32), xf)
+    new_cur = jnp.where(count == 0, xf, state.cur_sample.astype(jnp.float32))
+
+    a_t = sched.alphas_cumprod[t_eff]
+    a_prev = jnp.where(t_prev >= 0,
+                       sched.alphas_cumprod[jnp.maximum(t_prev, 0)],
+                       sched.final_alpha_cumprod)
+    # diffusers _get_prev_sample closed form
+    denom = (a_t * jnp.sqrt(1.0 - a_prev)
+             + jnp.sqrt(a_t * a_prev * (1.0 - a_t)))
+    x_prev = (jnp.sqrt(a_prev / a_t) * sample
+              - (a_prev - a_t) * eps_prime / denom)
+
+    new_state = PNDMState(ets=new_ets, count=count + 1,
+                          cur_sample=new_cur.astype(x_t.dtype))
+    return new_state, x_prev.astype(x_t.dtype)

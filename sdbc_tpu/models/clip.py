@@ -1,0 +1,107 @@
+"""CLIP ViT-L/14 text encoder — the fine-tune target of the reference.
+
+The reference loads ``transformers.CLIPTextModel`` (CompVis/stable-diffusion-v1-4
+subfolder "text_encoder", /root/reference/finetune_sd.py:322-324) and uses
+``text_encoder(input_ids)[0]`` — the last hidden state — as UNet conditioning
+(finetune_sd.py:477).  This is a from-scratch functional JAX implementation:
+12 pre-LN transformer layers, quick-GELU MLPs, causal self-attention over 77
+tokens, final LayerNorm.  Layers are stacked and scanned (one compiled layer
+body instead of 12) which keeps trace/compile time flat.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from sdbc_tpu.ops import nn
+from sdbc_tpu.ops.attention import attention
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPTextConfig:
+    vocab_size: int = 49408
+    hidden: int = 768
+    layers: int = 12
+    heads: int = 12
+    mlp: int = 3072
+    ctx: int = 77
+    eps: float = 1e-5
+
+    @staticmethod
+    def sd15() -> "CLIPTextConfig":
+        return CLIPTextConfig()
+
+    @staticmethod
+    def tiny() -> "CLIPTextConfig":
+        return CLIPTextConfig(vocab_size=1000, hidden=32, layers=2, heads=4,
+                              mlp=64, ctx=16)
+
+
+def _init_layer(key, cfg: CLIPTextConfig):
+    ks = jax.random.split(key, 6)
+    h = cfg.hidden
+    return {
+        "ln1": nn.init_layer_norm(h),
+        "attn": {
+            "q": nn.init_linear(ks[0], h, h),
+            "k": nn.init_linear(ks[1], h, h),
+            "v": nn.init_linear(ks[2], h, h),
+            "o": nn.init_linear(ks[3], h, h),
+        },
+        "ln2": nn.init_layer_norm(h),
+        "mlp": {
+            "fc1": nn.init_linear(ks[4], h, cfg.mlp),
+            "fc2": nn.init_linear(ks[5], cfg.mlp, h),
+        },
+    }
+
+
+def init(key, cfg: CLIPTextConfig):
+    kt, kp, kl = jax.random.split(key, 3)
+    layer_keys = jax.random.split(kl, cfg.layers)
+    layers = [_init_layer(k, cfg) for k in layer_keys]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    return {
+        "token_embedding": nn.init_embedding(kt, cfg.vocab_size, cfg.hidden),
+        "position_embedding": nn.init_embedding(kp, cfg.ctx, cfg.hidden),
+        "layers": stacked,
+        "final_ln": nn.init_layer_norm(cfg.hidden),
+    }
+
+
+def _layer_apply(p, x, cfg: CLIPTextConfig):
+    b, s, h = x.shape
+    hd = h // cfg.heads
+
+    def split_heads(t):
+        return t.reshape(b, s, cfg.heads, hd).transpose(0, 2, 1, 3)
+
+    res = x
+    y = nn.layer_norm(p["ln1"], x, eps=cfg.eps)
+    q = split_heads(nn.linear(p["attn"]["q"], y))
+    k = split_heads(nn.linear(p["attn"]["k"], y))
+    v = split_heads(nn.linear(p["attn"]["v"], y))
+    a = attention(q, k, v, causal=True, impl="xla")  # 77 tokens: XLA fused path
+    a = a.transpose(0, 2, 1, 3).reshape(b, s, h)
+    x = res + nn.linear(p["attn"]["o"], a)
+
+    res = x
+    y = nn.layer_norm(p["ln2"], x, eps=cfg.eps)
+    y = nn.quick_gelu(nn.linear(p["mlp"]["fc1"], y))
+    x = res + nn.linear(p["mlp"]["fc2"], y)
+    return x
+
+
+def apply(params, input_ids, cfg: CLIPTextConfig, compute_dtype=jnp.float32):
+    """input_ids: (B, ctx) int32 → last hidden state (B, ctx, hidden)."""
+    x = nn.embedding(params["token_embedding"], input_ids)
+    pos = params["position_embedding"]["table"][: input_ids.shape[1]]
+    x = (x + pos[None]).astype(compute_dtype)
+
+    def body(x, layer_params):
+        return _layer_apply(layer_params, x, cfg), None
+
+    x, _ = jax.lax.scan(body, x, params["layers"])
+    return nn.layer_norm(params["final_ln"], x, eps=cfg.eps)

@@ -1,0 +1,264 @@
+"""UNet2DCondition — SD-1.x denoiser, from scratch in functional JAX (NHWC).
+
+Replaces ``diffusers.UNet2DConditionModel`` (reference finetune_sd.py:328-330;
+hot call ``unet(noisy_latents, t, encoder_hidden_states).sample`` at :480-481).
+
+SD-1.x architecture: conv_in(4→320); sinusoidal time embedding 320→MLP→1280;
+down path CrossAttnDownBlock(320) / CrossAttnDownBlock(640) /
+CrossAttnDownBlock(1280) / DownBlock(1280), two ResBlocks each + spatial
+transformer (8-head self-attn + cross-attn on 768-d CLIP states + GEGLU FF)
+after every ResBlock in cross blocks; mid ResBlock/transformer/ResBlock; up
+path mirrored with three ResBlocks per block consuming skip connections;
+GroupNorm(32)+SiLU head conv to 4 channels.
+
+TPU notes: everything is NHWC; the spatial attention goes through
+ops.attention (Pallas flash kernel on TPU); gradient checkpointing
+(reference finetune_sd.py:388-389) is `jax.checkpoint` around each ResBlock /
+transformer via ``remat=True``.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sdbc_tpu.ops import nn
+from sdbc_tpu.ops.attention import attention
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    in_channels: int = 4
+    out_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
+    layers_per_block: int = 2
+    cross_attention_dim: int = 768
+    attention_heads: int = 8
+    norm_groups: int = 32
+    # which blocks carry cross-attention transformers (SD-1.x: all but deepest)
+    cross_attn_blocks: Tuple[bool, ...] = (True, True, True, False)
+
+    @property
+    def time_embed_dim(self) -> int:
+        return self.block_out_channels[0] * 4
+
+    @staticmethod
+    def sd15() -> "UNetConfig":
+        return UNetConfig()
+
+    @staticmethod
+    def tiny() -> "UNetConfig":
+        return UNetConfig(block_out_channels=(32, 64), layers_per_block=1,
+                          cross_attention_dim=32, attention_heads=4,
+                          norm_groups=8, cross_attn_blocks=(True, False))
+
+
+# ---------------------------------------------------------------------------
+# blocks
+
+
+def _init_resnet(key, cin, cout, temb_dim):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    p = {
+        "norm1": nn.init_group_norm(cin),
+        "conv1": nn.init_conv(k1, cin, cout, 3),
+        "temb": nn.init_linear(k2, temb_dim, cout),
+        "norm2": nn.init_group_norm(cout),
+        "conv2": nn.init_conv(k3, cout, cout, 3),
+    }
+    if cin != cout:
+        p["shortcut"] = nn.init_conv(k4, cin, cout, 1)
+    return p
+
+
+def _resnet(p, x, temb, groups):
+    h = nn.group_norm(p["norm1"], x, groups, act="silu")
+    h = nn.conv2d(p["conv1"], h)
+    h = h + nn.linear(p["temb"], jax.nn.silu(temb))[:, None, None, :]
+    h = nn.group_norm(p["norm2"], h, groups, act="silu")
+    h = nn.conv2d(p["conv2"], h)
+    if "shortcut" in p:
+        x = nn.conv2d(p["shortcut"], x)
+    return x + h
+
+
+def _init_mha(key, dim, kv_dim, heads):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
+        "q": nn.init_linear(k1, dim, dim, use_bias=False),
+        "k": nn.init_linear(k2, kv_dim, dim, use_bias=False),
+        "v": nn.init_linear(k3, kv_dim, dim, use_bias=False),
+        "o": nn.init_linear(k4, dim, dim),
+    }
+
+
+def _mha(p, x, ctx, heads):
+    b, s, dim = x.shape
+    hd = dim // heads
+
+    def split(t):
+        return t.reshape(b, -1, heads, hd).transpose(0, 2, 1, 3)
+
+    q = split(nn.linear(p["q"], x))
+    k = split(nn.linear(p["k"], ctx))
+    v = split(nn.linear(p["v"], ctx))
+    a = attention(q, k, v).transpose(0, 2, 1, 3).reshape(b, s, dim)
+    return nn.linear(p["o"], a)
+
+
+def _init_transformer(key, dim, ctx_dim, heads):
+    ks = jax.random.split(key, 6)
+    return {
+        "norm": nn.init_group_norm(dim),
+        "proj_in": nn.init_conv(ks[0], dim, dim, 1),
+        "ln1": nn.init_layer_norm(dim),
+        "attn1": _init_mha(ks[1], dim, dim, heads),
+        "ln2": nn.init_layer_norm(dim),
+        "attn2": _init_mha(ks[2], dim, ctx_dim, heads),
+        "ln3": nn.init_layer_norm(dim),
+        "geglu": nn.init_linear(ks[3], dim, 8 * dim),
+        "ff_out": nn.init_linear(ks[4], 4 * dim, dim),
+        "proj_out": nn.init_conv(ks[5], dim, dim, 1),
+    }
+
+
+def _transformer(p, x, ctx, heads, groups):
+    """Spatial transformer: self-attn → cross-attn(CLIP ctx) → GEGLU FF."""
+    n, h, w, c = x.shape
+    res_spatial = x
+    y = nn.group_norm(p["norm"], x, groups, eps=1e-6)
+    y = nn.conv2d(p["proj_in"], y).reshape(n, h * w, c)
+
+    yn = nn.layer_norm(p["ln1"], y)
+    y = y + _mha(p["attn1"], yn, yn, heads)
+    y = y + _mha(p["attn2"], nn.layer_norm(p["ln2"], y), ctx, heads)
+    z = nn.linear(p["geglu"], nn.layer_norm(p["ln3"], y))
+    val, gate = jnp.split(z, 2, axis=-1)
+    y = y + nn.linear(p["ff_out"], val * jax.nn.gelu(gate))
+
+    y = nn.conv2d(p["proj_out"], y.reshape(n, h, w, c))
+    return y + res_spatial
+
+
+# ---------------------------------------------------------------------------
+# init
+
+
+def init(key, cfg: UNetConfig):
+    keys = iter(jax.random.split(key, 512))
+    ch = cfg.block_out_channels
+    ted = cfg.time_embed_dim
+    p = {
+        "conv_in": nn.init_conv(next(keys), cfg.in_channels, ch[0], 3),
+        "time_mlp": {
+            "fc1": nn.init_linear(next(keys), ch[0], ted),
+            "fc2": nn.init_linear(next(keys), ted, ted),
+        },
+    }
+
+    skip_ch = [ch[0]]
+    down = []
+    cin = ch[0]
+    for i, cout in enumerate(ch):
+        blk = {"resnets": [], "attns": []}
+        for j in range(cfg.layers_per_block):
+            blk["resnets"].append(_init_resnet(next(keys), cin if j == 0 else cout,
+                                               cout, ted))
+            if cfg.cross_attn_blocks[i]:
+                blk["attns"].append(_init_transformer(
+                    next(keys), cout, cfg.cross_attention_dim, cfg.attention_heads))
+            skip_ch.append(cout)
+        if i < len(ch) - 1:
+            blk["downsample"] = nn.init_conv(next(keys), cout, cout, 3)
+            skip_ch.append(cout)
+        down.append(blk)
+        cin = cout
+    p["down"] = down
+
+    p["mid"] = {
+        "resnet1": _init_resnet(next(keys), ch[-1], ch[-1], ted),
+        "attn": _init_transformer(next(keys), ch[-1], cfg.cross_attention_dim,
+                                  cfg.attention_heads),
+        "resnet2": _init_resnet(next(keys), ch[-1], ch[-1], ted),
+    }
+
+    up = []
+    rev = list(reversed(ch))
+    rev_cross = list(reversed(cfg.cross_attn_blocks))
+    prev = ch[-1]
+    for i, cout in enumerate(rev):
+        blk = {"resnets": [], "attns": []}
+        for j in range(cfg.layers_per_block + 1):
+            skip = skip_ch.pop()
+            blk["resnets"].append(_init_resnet(next(keys), prev + skip, cout, ted))
+            if rev_cross[i]:
+                blk["attns"].append(_init_transformer(
+                    next(keys), cout, cfg.cross_attention_dim, cfg.attention_heads))
+            prev = cout
+        if i < len(rev) - 1:
+            blk["upsample"] = nn.init_conv(next(keys), cout, cout, 3)
+        up.append(blk)
+    p["up"] = up
+
+    p["norm_out"] = nn.init_group_norm(ch[0])
+    p["conv_out"] = nn.init_conv(next(keys), ch[0], cfg.out_channels, 3)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# apply
+
+
+def apply(params, latents, timesteps, encoder_hidden_states, cfg: UNetConfig,
+          *, remat: bool = False):
+    """latents (N,h,w,4), timesteps (N,), CLIP states (N,77,768) → eps (N,h,w,4).
+
+    remat=True rematerialises every ResBlock/transformer in the backward pass
+    (the reference's enable_gradient_checkpointing, finetune_sd.py:388-389).
+    """
+    g = cfg.norm_groups
+    heads = cfg.attention_heads
+    ctx = encoder_hidden_states
+
+    res_fn = _resnet
+    attn_fn = _transformer
+    if remat:
+        res_fn = jax.checkpoint(_resnet, static_argnums=(3,))
+        attn_fn = jax.checkpoint(_transformer, static_argnums=(3, 4))
+
+    temb = nn.timestep_embedding(timesteps, cfg.block_out_channels[0],
+                                 dtype=latents.dtype)
+    temb = nn.linear(params["time_mlp"]["fc2"],
+                     jax.nn.silu(nn.linear(params["time_mlp"]["fc1"], temb)))
+
+    h = nn.conv2d(params["conv_in"], latents)
+    skips = [h]
+    for blk in params["down"]:
+        for j, r in enumerate(blk["resnets"]):
+            h = res_fn(r, h, temb, g)
+            if blk["attns"]:
+                h = attn_fn(blk["attns"][j], h, ctx, heads, g)
+            skips.append(h)
+        if "downsample" in blk:
+            h = nn.conv2d(blk["downsample"], h, stride=2, padding=1)
+            skips.append(h)
+
+    h = res_fn(params["mid"]["resnet1"], h, temb, g)
+    h = attn_fn(params["mid"]["attn"], h, ctx, heads, g)
+    h = res_fn(params["mid"]["resnet2"], h, temb, g)
+
+    for blk in params["up"]:
+        for j, r in enumerate(blk["resnets"]):
+            h = jnp.concatenate([h, skips.pop()], axis=-1)
+            h = res_fn(r, h, temb, g)
+            if blk["attns"]:
+                h = attn_fn(blk["attns"][j], h, ctx, heads, g)
+        if "upsample" in blk:
+            h = nn.upsample_nearest_2x(h)
+            h = nn.conv2d(blk["upsample"], h)
+
+    h = nn.group_norm(params["norm_out"], h, g, act="silu")
+    return nn.conv2d(params["conv_out"], h)

@@ -1,0 +1,61 @@
+"""Multi-head attention with a Pallas flash kernel on TPU and an XLA fallback.
+
+Replaces the diffusers/torch CUDA attention inside UNet2DConditionModel and the
+CLIP text encoder (SURVEY.md §2.2 E1/E5).  Shapes are (B, H, S, D).
+
+impl:
+  "auto"  — Pallas flash kernel on TPU for self-attention-sized problems,
+            XLA einsum otherwise (CPU tests, tiny shapes, masked CLIP attn)
+  "xla"   — reference jnp implementation (also the custom-vjp recompute path)
+  "flash" — force the Pallas kernel (pads head_dim/seq internally)
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover - device query failure
+        return False
+
+
+def xla_attention(q, k, v, *, causal: bool = False, scale: Optional[float] = None):
+    """Reference attention: softmax(q k^T / sqrt(d)) v, fp32 softmax."""
+    *_, sq, d = q.shape
+    sk = k.shape[-2]
+    scale = scale if scale is not None else d ** -0.5
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if causal:
+        mask = jnp.tril(jnp.ones((sq, sk), dtype=bool))
+        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(q.dtype), v,
+                      preferred_element_type=q.dtype)
+
+
+def attention(q, k, v, *, causal: bool = False, scale: Optional[float] = None,
+              impl: str = "auto"):
+    """Dispatching attention entry point used by all models."""
+    if impl == "xla":
+        return xla_attention(q, k, v, causal=causal, scale=scale)
+    if impl == "flash" or (impl == "auto" and _flash_eligible(q, k)):
+        from sdbc_tpu.ops.flash_attention import flash_attention
+        return flash_attention(q, k, v, causal=causal, scale=scale)
+    return xla_attention(q, k, v, causal=causal, scale=scale)
+
+
+def _flash_eligible(q, k) -> bool:
+    if not _on_tpu():
+        return False
+    sq, d = q.shape[-2], q.shape[-1]
+    sk = k.shape[-2]
+    # Flash pays off for the UNet's spatial self/cross attention (256..4096 q
+    # tokens); for CLIP's 77-token causal attention XLA's fused path is fine.
+    return sq >= 128 and d <= 256

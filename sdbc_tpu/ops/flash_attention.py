@@ -1,0 +1,136 @@
+"""Pallas TPU flash attention (forward) for the SD UNet's spatial attention.
+
+Online-softmax tiling: each grid program owns one (batch*head, q-block) tile,
+streams K/V in `block_kv` chunks that stay VMEM-resident per head (the UNet's
+worst case is Sk=4096, D=160 → ~2.6 MB for K+V in bf16, well under the ~16 MB
+VMEM budget), and accumulates in fp32.  Head dim and kv length are zero-padded
+to lane/tile boundaries; padded kv positions are masked to -inf so the math is
+exact.
+
+Backward: custom_vjp that recomputes attention through the XLA einsum path
+(correct, memory-heavy); a Pallas flash backward replaces it in kernels v2.
+
+Replaces torch CUDA attention used via diffusers UNet (SURVEY.md E1).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int,
+                block_kv: int, kv_pad: int):
+    q = q_ref[0].astype(jnp.float32)           # (bq, D)
+    num_kv = kv_pad // block_kv
+    bq, d = q.shape
+
+    def body(j, carry):
+        m, l, acc = carry
+        k = k_ref[0, pl.ds(j * block_kv, block_kv), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(j * block_kv, block_kv), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # (bq, block_kv)
+        if kv_pad != kv_len:  # mask zero-padded kv positions
+            col = j * block_kv + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, block_kv), 1)
+            s = jnp.where(col < kv_len, s, _NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        return m_new, l, acc
+
+    m0 = jnp.full((bq, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+    _, l, acc = jax.lax.fori_loop(0, num_kv, body, (m0, l0, acc0))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_kv"))
+def _flash_fwd(q, k, v, scale: float, block_q: int = 256, block_kv: int = 512):
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    d_pad = _round_up(d, 128)
+    sq_pad = _round_up(sq, block_q)
+    kv_pad = _round_up(sk, min(block_kv, _round_up(sk, 128)))
+    block_kv = min(block_kv, kv_pad)
+    kv_pad = _round_up(kv_pad, block_kv)
+
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, sq_pad - sq), (0, d_pad - d)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, kv_pad - sk), (0, d_pad - d)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, kv_pad - sk), (0, d_pad - d)))
+    qp = qp.reshape(b * h, sq_pad, d_pad)
+    kp = kp.reshape(b * h, kv_pad, d_pad)
+    vp = vp.reshape(b * h, kv_pad, d_pad)
+
+    grid = (b * h, sq_pad // block_q)
+    interpret = jax.default_backend() != "tpu"  # CPU tests run the same kernel
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, kv_len=sk,
+                          block_kv=block_kv, kv_pad=kv_pad),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d_pad), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kv_pad, d_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kv_pad, d_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d_pad), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq_pad, d_pad), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * sq_pad * kv_pad * d_pad,
+            bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
+            transcendentals=b * h * sq_pad * kv_pad,
+        ),
+    )(qp, kp, vp)
+    return out.reshape(b, h, sq_pad, d_pad)[:, :, :sq, :d]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash(q, k, v, causal: bool, scale: float):
+    return _flash_fwd(q, k, v, scale)
+
+
+def _flash_fwd_rule(q, k, v, causal, scale):
+    return _flash_fwd(q, k, v, scale), (q, k, v)
+
+
+def _flash_bwd_rule(causal, scale, res, g):
+    from sdbc_tpu.ops.attention import xla_attention
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: xla_attention(q_, k_, v_, causal=causal, scale=scale),
+        q, k, v)
+    return vjp(g)
+
+
+_flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+
+def flash_attention(q, k, v, *, causal: bool = False, scale: Optional[float] = None):
+    if causal:
+        # CLIP's 77-token causal attention goes through XLA (attention.py);
+        # the kernel currently targets the UNet's non-causal spatial attention.
+        from sdbc_tpu.ops.attention import xla_attention
+        return xla_attention(q, k, v, causal=True, scale=scale)
+    scale = float(scale if scale is not None else q.shape[-1] ** -0.5)
+    return _flash(q, k, v, False, scale)
