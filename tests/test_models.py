@@ -1,0 +1,78 @@
+"""Model-level tests: shapes, determinism, masking, remat equivalence."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sdbc_tpu.models import clip, unet, vae
+
+
+def test_clip_shapes_and_determinism(tiny_cfg, tiny_params):
+    cfg = tiny_cfg.clip
+    ids = jnp.ones((2, cfg.ctx), jnp.int32)
+    h1 = clip.apply(tiny_params["text_encoder"], ids, cfg)
+    h2 = clip.apply(tiny_params["text_encoder"], ids, cfg)
+    assert h1.shape == (2, cfg.ctx, cfg.hidden)
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+
+
+def test_clip_causality(tiny_cfg, tiny_params):
+    """Changing a later token must not change earlier positions' hidden states."""
+    cfg = tiny_cfg.clip
+    ids = jnp.ones((1, cfg.ctx), jnp.int32)
+    ids2 = ids.at[0, -1].set(5)
+    h1 = clip.apply(tiny_params["text_encoder"], ids, cfg)
+    h2 = clip.apply(tiny_params["text_encoder"], ids2, cfg)
+    np.testing.assert_allclose(np.asarray(h1[:, :-1]), np.asarray(h2[:, :-1]),
+                               atol=1e-5)
+    assert not np.allclose(np.asarray(h1[:, -1]), np.asarray(h2[:, -1]))
+
+
+def test_vae_roundtrip_shapes(tiny_cfg, tiny_params):
+    cfg = tiny_cfg.vae
+    f = tiny_cfg.vae_scale
+    x = jax.random.normal(jax.random.key(0), (1, 32, 32, 3))
+    mean, logvar = vae.encode_moments(tiny_params["vae"], x, cfg)
+    assert mean.shape == (1, 32 // f, 32 // f, cfg.latent_channels)
+    z = vae.sample(mean, logvar, jax.random.key(1))
+    y = vae.decode(tiny_params["vae"], z, cfg)
+    assert y.shape == x.shape
+
+
+def test_vae_sample_reparam(tiny_cfg, tiny_params):
+    """With logvar → -inf the posterior collapses to its mean."""
+    mean = jnp.ones((1, 4, 4, 2))
+    logvar = jnp.full((1, 4, 4, 2), -60.0)
+    z = vae.sample(mean, jnp.clip(logvar, -30, 20), jax.random.key(2))
+    np.testing.assert_allclose(np.asarray(z), 1.0, atol=1e-6)
+
+
+def test_unet_shapes_and_timestep_sensitivity(tiny_cfg, tiny_params):
+    cfg = tiny_cfg.unet
+    lat = jax.random.normal(jax.random.key(3), (2, 8, 8, cfg.in_channels))
+    ctx = jax.random.normal(jax.random.key(4), (2, 16, cfg.cross_attention_dim))
+    e1 = unet.apply(tiny_params["unet"], lat, jnp.array([10, 10]), ctx, cfg)
+    e2 = unet.apply(tiny_params["unet"], lat, jnp.array([900, 900]), ctx, cfg)
+    assert e1.shape == lat.shape
+    assert not np.allclose(np.asarray(e1), np.asarray(e2))
+
+
+def test_unet_context_sensitivity(tiny_cfg, tiny_params):
+    """Cross-attention must react to conditioning changes."""
+    cfg = tiny_cfg.unet
+    lat = jax.random.normal(jax.random.key(5), (1, 8, 8, cfg.in_channels))
+    ctx1 = jax.random.normal(jax.random.key(6), (1, 16, cfg.cross_attention_dim))
+    ctx2 = ctx1 + 1.0
+    t = jnp.array([500])
+    e1 = unet.apply(tiny_params["unet"], lat, t, ctx1, cfg)
+    e2 = unet.apply(tiny_params["unet"], lat, t, ctx2, cfg)
+    assert not np.allclose(np.asarray(e1), np.asarray(e2))
+
+
+def test_unet_remat_equivalence(tiny_cfg, tiny_params):
+    cfg = tiny_cfg.unet
+    lat = jax.random.normal(jax.random.key(7), (1, 8, 8, cfg.in_channels))
+    ctx = jax.random.normal(jax.random.key(8), (1, 16, cfg.cross_attention_dim))
+    t = jnp.array([123])
+    e1 = unet.apply(tiny_params["unet"], lat, t, ctx, cfg, remat=False)
+    e2 = unet.apply(tiny_params["unet"], lat, t, ctx, cfg, remat=True)
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), atol=1e-5)

@@ -1,0 +1,104 @@
+"""Unit tests for NN primitives and the Pallas flash-attention kernel."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sdbc_tpu.ops import nn
+from sdbc_tpu.ops.attention import xla_attention
+from sdbc_tpu.ops.flash_attention import flash_attention
+
+
+def test_group_norm_matches_manual():
+    key = jax.random.key(1)
+    x = jax.random.normal(key, (2, 4, 4, 8))
+    p = nn.init_group_norm(8)
+    y = nn.group_norm(p, x, num_groups=2)
+    # manual: per (sample, group) statistics over spatial+channels-in-group
+    xg = np.asarray(x).reshape(2, 16, 2, 4)
+    mean = xg.mean(axis=(1, 3), keepdims=True)
+    var = xg.var(axis=(1, 3), keepdims=True)
+    ref = ((xg - mean) / np.sqrt(var + 1e-6)).reshape(2, 4, 4, 8)
+    np.testing.assert_allclose(np.asarray(y), ref, atol=1e-5)
+
+
+def test_group_norm_fused_silu():
+    x = jax.random.normal(jax.random.key(2), (1, 4, 4, 8))
+    p = nn.init_group_norm(8)
+    base = nn.group_norm(p, x, 2)
+    fused = nn.group_norm(p, x, 2, act="silu")
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(jax.nn.silu(base)),
+                               atol=1e-6)
+
+
+def test_layer_norm_zero_mean_unit_var():
+    x = jax.random.normal(jax.random.key(3), (2, 5, 16)) * 3 + 1
+    y = nn.layer_norm(nn.init_layer_norm(16), x)
+    np.testing.assert_allclose(np.asarray(y.mean(-1)), 0.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(y.var(-1)), 1.0, atol=1e-4)
+
+
+def test_conv2d_same_shape_and_stride():
+    p = nn.init_conv(jax.random.key(4), 3, 8, 3)
+    x = jnp.ones((1, 8, 8, 3))
+    assert nn.conv2d(p, x).shape == (1, 8, 8, 8)
+    assert nn.conv2d(p, x, stride=2, padding=1).shape == (1, 4, 4, 8)
+
+
+def test_timestep_embedding_shape_and_range():
+    emb = nn.timestep_embedding(jnp.array([0, 10, 999]), 32)
+    assert emb.shape == (3, 32)
+    assert np.all(np.abs(np.asarray(emb)) <= 1.0 + 1e-6)
+    # t=0 → sin part 0, cos part 1 ([cos|sin] order for SD)
+    np.testing.assert_allclose(np.asarray(emb[0, :16]), 1.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(emb[0, 16:]), 0.0, atol=1e-6)
+
+
+def test_upsample_and_pool():
+    x = jnp.arange(16.0).reshape(1, 2, 2, 4)
+    up = nn.upsample_nearest_2x(x)
+    assert up.shape == (1, 4, 4, 4)
+    np.testing.assert_allclose(np.asarray(up[0, 0, 0]), np.asarray(x[0, 0, 0]))
+    down = nn.avg_pool_2x(up)
+    np.testing.assert_allclose(np.asarray(down), np.asarray(x), atol=1e-6)
+
+
+def test_causal_mask_blocks_future():
+    q = jax.random.normal(jax.random.key(5), (1, 2, 8, 16))
+    k = jax.random.normal(jax.random.key(6), (1, 2, 8, 16))
+    v = jax.random.normal(jax.random.key(7), (1, 2, 8, 16))
+    out = xla_attention(q, k, v, causal=True)
+    # perturb the last key/value: outputs at positions < 7 must not change
+    k2 = k.at[:, :, -1].add(100.0)
+    v2 = v.at[:, :, -1].add(100.0)
+    out2 = xla_attention(q, k2, v2, causal=True)
+    np.testing.assert_allclose(np.asarray(out[:, :, :7]),
+                               np.asarray(out2[:, :, :7]), atol=1e-6)
+    assert not np.allclose(np.asarray(out[:, :, 7]), np.asarray(out2[:, :, 7]))
+
+
+def test_flash_attention_matches_xla_interpret():
+    # small shapes; on CPU the kernel runs in interpreter mode
+    q = jax.random.normal(jax.random.key(8), (1, 2, 128, 16), jnp.float32)
+    k = jax.random.normal(jax.random.key(9), (1, 2, 77, 16), jnp.float32)
+    v = jax.random.normal(jax.random.key(10), (1, 2, 77, 16), jnp.float32)
+    ref = xla_attention(q, k, v)
+    out = flash_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_attention_grads_match_xla():
+    q = jax.random.normal(jax.random.key(11), (1, 1, 128, 8), jnp.float32)
+    k = jax.random.normal(jax.random.key(12), (1, 1, 128, 8), jnp.float32)
+    v = jax.random.normal(jax.random.key(13), (1, 1, 128, 8), jnp.float32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(xla_attention(q, k, v) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

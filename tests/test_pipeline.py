@@ -1,0 +1,61 @@
+"""End-to-end sampling pipeline tests (tiny configs, few steps)."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sdbc_tpu.data.tokenizer import CLIPTokenizer
+from sdbc_tpu.diffusion.pipeline import SDPipeline
+from sdbc_tpu.utils.prng import per_sample_fixed_latents
+
+
+@pytest.fixture(scope="module")
+def pipe(tiny_cfg, tiny_params):
+    tok = CLIPTokenizer.fallback(tiny_cfg.clip.vocab_size)
+    return SDPipeline(tiny_params, tiny_cfg, tok, compute_dtype=jnp.float32)
+
+
+def test_generate_range_and_shape(pipe):
+    imgs = pipe(["a book cover"], height=32, width=32, num_inference_steps=3)
+    assert imgs.shape == (1, 32, 32, 3)
+    assert imgs.min() >= 0.0 and imgs.max() <= 1.0
+
+
+def test_fixed_latents_deterministic(pipe):
+    lat = per_sample_fixed_latents(1, (4, 8, 8), seed=42)
+    a = pipe(["x"], num_inference_steps=3, latents=lat)
+    b = pipe(["x"], num_inference_steps=3, latents=lat)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_guidance_scale_matters(pipe):
+    lat = per_sample_fixed_latents(1, (4, 8, 8), seed=1)
+    a = pipe(["a red cover"], num_inference_steps=3, latents=lat,
+             guidance_scale=1.0)
+    b = pipe(["a red cover"], num_inference_steps=3, latents=lat,
+             guidance_scale=7.5)
+    assert not np.allclose(a, b)
+
+
+def test_prompt_matters(pipe):
+    lat = per_sample_fixed_latents(1, (4, 8, 8), seed=2)
+    a = pipe(["a red cover"], num_inference_steps=3, latents=lat)
+    b = pipe(["a blue spaceship"], num_inference_steps=3, latents=lat)
+    assert not np.allclose(a, b)
+
+
+@pytest.mark.parametrize("scheduler", ["pndm", "ddpm"])
+def test_other_schedulers_run(tiny_cfg, tiny_params, scheduler):
+    cfg = dataclasses.replace(tiny_cfg, scheduler=scheduler)
+    tok = CLIPTokenizer.fallback(cfg.clip.vocab_size)
+    p = SDPipeline(tiny_params, cfg, tok, compute_dtype=jnp.float32)
+    imgs = p(["y"], height=32, width=32, num_inference_steps=3)
+    assert imgs.shape == (1, 32, 32, 3)
+    assert np.all(np.isfinite(imgs))
+
+
+def test_batch_generation(pipe):
+    imgs = pipe(["a", "b"], height=32, width=32, num_inference_steps=2)
+    assert imgs.shape == (2, 32, 32, 3)

@@ -1,0 +1,101 @@
+"""Scheduler numerics: beta schedule, add_noise, DDIM/PNDM/DDPM step identities."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sdbc_tpu.diffusion import schedulers as S
+
+CFG = S.ScheduleConfig.sd15()
+SCHED = S.make_schedule(CFG)
+
+
+def test_beta_schedule_endpoints():
+    betas = np.asarray(SCHED.betas)
+    assert betas.shape == (1000,)
+    np.testing.assert_allclose(betas[0], 0.00085, rtol=1e-5)
+    np.testing.assert_allclose(betas[-1], 0.012, rtol=1e-5)
+    # scaled_linear: sqrt(beta) is linear
+    sq = np.sqrt(betas)
+    np.testing.assert_allclose(np.diff(sq), np.diff(sq)[0], rtol=1e-3)
+    ac = np.asarray(SCHED.alphas_cumprod)
+    assert np.all(np.diff(ac) < 0) and 0 < ac[-1] < ac[0] < 1
+
+
+def test_final_alpha_cumprod_flag():
+    assert np.isclose(float(SCHED.final_alpha_cumprod),
+                      float(SCHED.alphas_cumprod[0]))  # set_alpha_to_one=False
+    s2 = S.make_schedule(S.ScheduleConfig(set_alpha_to_one=True))
+    assert float(s2.final_alpha_cumprod) == 1.0
+
+
+def test_add_noise_limits():
+    x0 = jnp.ones((2, 4, 4, 1))
+    noise = jnp.full((2, 4, 4, 1), 2.0)
+    near0 = S.ddpm_add_noise(SCHED, x0, noise, jnp.array([0, 0]))
+    a0 = float(SCHED.alphas_cumprod[0])
+    np.testing.assert_allclose(np.asarray(near0),
+                               np.sqrt(a0) * 1 + np.sqrt(1 - a0) * 2, rtol=1e-5)
+    nearT = S.ddpm_add_noise(SCHED, x0, noise, jnp.array([999, 999]))
+    aT = float(SCHED.alphas_cumprod[999])
+    np.testing.assert_allclose(np.asarray(nearT),
+                               np.sqrt(aT) * 1 + np.sqrt(1 - aT) * 2, rtol=1e-4)
+
+
+def test_ddim_step_recovers_x0_with_true_eps():
+    """If eps is the exact noise, repeated DDIM inversion preserves pred-x0."""
+    key = jax.random.key(0)
+    x0 = jax.random.normal(key, (1, 4, 4, 2))
+    noise = jax.random.normal(jax.random.key(1), (1, 4, 4, 2))
+    t = jnp.asarray(801)
+    x_t = S.ddpm_add_noise(SCHED, x0, noise, t[None])[0][None]
+    # step to t_prev: result must equal closed-form q-sample at t_prev with same noise
+    t_prev = jnp.asarray(781)
+    x_prev = S.ddim_step(SCHED, noise, t, t_prev, x_t)
+    expect = S.ddpm_add_noise(SCHED, x0, noise, t_prev[None])
+    np.testing.assert_allclose(np.asarray(x_prev), np.asarray(expect), atol=1e-4)
+
+
+def test_ddim_timesteps_sequence():
+    ts = np.asarray(S.ddim_timesteps(CFG, 50))
+    assert ts.shape == (50,)
+    assert ts[0] == 981 and ts[-1] == 1  # 1000/50=20 ratio, +1 offset, descending
+    assert np.all(np.diff(ts) == -20)
+
+
+def test_ddpm_step_no_noise_at_t0():
+    eps = jnp.zeros((1, 2, 2, 1))
+    x = jnp.ones((1, 2, 2, 1))
+    out1 = S.ddpm_step(SCHED, eps, jnp.asarray(0), x, jax.random.key(0))
+    out2 = S.ddpm_step(SCHED, eps, jnp.asarray(0), x, jax.random.key(9))
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
+
+
+def test_pndm_timesteps_and_warmup():
+    ts = np.asarray(S.pndm_timesteps(CFG, 50))
+    assert ts.shape == (51,)
+    assert ts[0] == 981 and ts[1] == ts[2] == 961  # doubled second step
+    state = S.pndm_init_state((1, 2, 2, 1))
+    assert int(state.count) == 0
+
+
+def test_pndm_first_step_matches_ddim():
+    """With an empty eps history, PLMS's first step is the DDIM-style update."""
+    x0 = jax.random.normal(jax.random.key(2), (1, 4, 4, 2))
+    noise = jax.random.normal(jax.random.key(3), (1, 4, 4, 2))
+    t = jnp.asarray(981)
+    x_t = S.ddpm_add_noise(SCHED, x0, noise, t[None])
+    state = S.pndm_init_state(x_t.shape)
+    _, x_prev = S.pndm_step(SCHED, CFG, state, noise, t, x_t, 50)
+    ref = S.ddim_step(SCHED, noise, t, t - 20, x_t)
+    np.testing.assert_allclose(np.asarray(x_prev), np.asarray(ref), atol=1e-4)
+
+
+def test_pndm_multistep_runs_finite():
+    x = jax.random.normal(jax.random.key(4), (1, 4, 4, 2))
+    state = S.pndm_init_state(x.shape)
+    ts = S.pndm_timesteps(CFG, 10)
+    for i in range(int(ts.shape[0])):
+        eps = x * 0.1
+        state, x = S.pndm_step(SCHED, CFG, state, eps, ts[i], x, 10)
+    assert np.all(np.isfinite(np.asarray(x)))
+    assert int(state.count) == int(ts.shape[0])
