@@ -1,0 +1,96 @@
+"""Headline benchmark: SD-1.5 512x512 50-step sampling throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured against the BASELINE.json north-star target of
+2 images/sec/chip (the reference publishes no numbers, SURVEY.md §6, so the
+target is the baseline).
+
+Random-init weights (zero-egress image: no pretrained checkpoints available);
+throughput is weight-value-independent.
+"""
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    on_tpu = jax.default_backend() == "tpu"
+    from sdbc_tpu.diffusion.pipeline import PipelineConfig, sample
+    from sdbc_tpu.models import clip, unet, vae
+    from sdbc_tpu.utils.dtypes import cast_floating
+
+    if on_tpu:
+        cfg = PipelineConfig.sd15("ddim")
+        batch, hw, steps = 4, 512, 50
+        dt = jnp.bfloat16
+    else:  # CPU smoke mode for local runs
+        cfg = PipelineConfig.tiny("ddim")
+        batch, hw, steps = 1, 32, 3
+        dt = jnp.float32
+
+    key = jax.random.key(0)
+    print(f"[bench] init params ({'sd15' if on_tpu else 'tiny'})...",
+          file=sys.stderr, flush=True)
+
+    # one jitted program for the whole init: eager per-layer init would pay
+    # thousands of host→device dispatch roundtrips over the axon tunnel
+    @jax.jit
+    def build_params(key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        params = {
+            "text_encoder": clip.init(k1, cfg.clip),
+            "unet": unet.init(k2, cfg.unet),
+            "vae": vae.init(k3, cfg.vae),
+        }
+        return cast_floating(params, jnp.bfloat16) if on_tpu else params
+
+    params = jax.block_until_ready(build_params(key))
+
+    f = cfg.vae_scale
+    cond = jnp.ones((batch, cfg.clip.ctx), jnp.int32)
+    uncond = jnp.zeros((batch, cfg.clip.ctx), jnp.int32)
+    latents = jax.random.normal(key, (batch, hw // f, hw // f,
+                                      cfg.unet.in_channels), jnp.float32)
+
+    def run():
+        return sample(params, cond, uncond, latents, key, 7.5, cfg=cfg,
+                      num_inference_steps=steps, compute_dtype=dt)
+
+    def run_sync():
+        # force a device→host readback: block_until_ready alone is not a
+        # reliable completion barrier over the axon tunnel
+        return np.asarray(jax.block_until_ready(run())[0, 0, 0, 0])
+
+    print("[bench] compiling + warmup...", file=sys.stderr, flush=True)
+    t0 = time.perf_counter()
+    run_sync()
+    t_compile = time.perf_counter() - t0
+    print(f"[bench] warmup done in {t_compile:.1f}s", file=sys.stderr, flush=True)
+
+    reps = 3
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run_sync()
+        times.append(time.perf_counter() - t0)
+    dt_run = min(times)
+    print(f"[bench] per-call times: {[round(t, 3) for t in times]}",
+          file=sys.stderr, flush=True)
+    ips = batch / dt_run
+
+    target = 2.0  # images/sec/chip north star (BASELINE.json)
+    print(json.dumps({
+        "metric": f"images/sec/chip @ {hw}x{hw}, {steps}-step DDIM, CFG, "
+                  f"batch {batch} ({'sd15' if on_tpu else 'tiny-cpu-smoke'})",
+        "value": round(ips, 4),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / target, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

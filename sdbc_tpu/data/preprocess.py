@@ -1,0 +1,81 @@
+"""Goodreads dataset preprocessing — the reference notebook as a CLI stage.
+
+Implements Data_preprocessing.ipynb (SURVEY.md C15, cells 3-17) as functions:
+  1. drop rows whose cover JPEG is unreadable
+  2. keep [book_authors, book_desc, book_title], drop NaN rows
+  3. non-English filter: keep-ratio of [ascii-ish chars] / len ≥ threshold
+     (0.97 in the notebook) — dropped rows exported for inspection
+  4. split the LAST n_test rows as df_test.csv, rest df_train.csv
+  5. re-verify image readability of both splits
+"""
+from __future__ import annotations
+
+import os
+import re
+from typing import List, Tuple
+
+KEEP_COLUMNS = ["book_authors", "book_desc", "book_title"]
+# characters considered "English-ish" (letters, digits, common punctuation)
+_EN_CHARS = re.compile(r"[A-Za-z0-9\s\.,;:'\"!\?\-\(\)&/]")
+
+
+def english_keep_ratio(text: str) -> float:
+    """Fraction of characters in the basic-English class (notebook cell 12)."""
+    if not isinstance(text, str) or not text:
+        return 0.0
+    return len(_EN_CHARS.findall(text)) / len(text)
+
+
+def readable_indices(df, image_dir: str, verbose: bool = False) -> List:
+    """Indices whose <index>.jpg decodes cleanly (notebook cells 3, 17)."""
+    from PIL import Image
+
+    good = []
+    for i, idx in enumerate(df.index):
+        path = os.path.join(image_dir, f"{idx}.jpg")
+        try:
+            with Image.open(path) as im:
+                im.convert("RGB")
+            good.append(idx)
+        except Exception:
+            pass
+        if verbose and (i + 1) % 1000 == 0:
+            print(f"\rimage check {i + 1}/{len(df)}", end="", flush=True)
+    if verbose:
+        print()
+    return good
+
+
+def preprocess(data_root: str, source_csv: str = "book_data.csv",
+               n_test: int = 5000, english_threshold: float = 0.97,
+               verbose: bool = True) -> Tuple[str, str]:
+    """Run the full pipeline; writes df_train.csv / df_test.csv in data_root."""
+    import pandas as pd
+
+    df = pd.read_csv(os.path.join(data_root, source_csv), index_col=0)
+    image_dir = os.path.join(data_root, "images", "images")
+
+    good = readable_indices(df, image_dir, verbose)
+    df = df.loc[good]
+    if verbose:
+        print(f"readable images: {len(df)}")
+
+    df = df[[c for c in KEEP_COLUMNS if c in df.columns]].dropna()
+
+    ratios = df["book_desc"].map(english_keep_ratio)
+    dropped = df[ratios < english_threshold]
+    df = df[ratios >= english_threshold]
+    dropped.to_csv(os.path.join(data_root, "dropped_non_English.csv"))
+    if verbose:
+        print(f"english-filtered: kept {len(df)}, dropped {len(dropped)}")
+
+    n_test = min(n_test, max(len(df) - 1, 0))
+    df_test = df.iloc[len(df) - n_test:]
+    df_train = df.iloc[: len(df) - n_test]
+    train_path = os.path.join(data_root, "df_train.csv")
+    test_path = os.path.join(data_root, "df_test.csv")
+    df_train.to_csv(train_path)
+    df_test.to_csv(test_path)
+    if verbose:
+        print(f"split: {len(df_train)} train / {len(df_test)} test")
+    return train_path, test_path

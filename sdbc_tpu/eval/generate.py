@@ -1,0 +1,65 @@
+"""FID image generation — batched, resume-aware cover sampling over df_test.
+
+Replaces ``get_fid_images`` (reference inference.py:153-187, SURVEY.md C12):
+iterate test-set rows, build one random training-template prompt per row from
+(author, title), generate 512² covers at 50 steps / cfg 7.5, save as
+``<row-id>.jpg``; resume by counting files already in save_dir
+(inference.py:158-162).  Unlike the reference, per-batch exceptions are logged
+rather than silently swallowed (inference.py:180-182).
+"""
+from __future__ import annotations
+
+import os
+import random
+import traceback
+from typing import Optional
+
+import numpy as np
+
+from sdbc_tpu.data import templates
+
+
+def get_fid_images(pipeline, save_dir: str, df_test, *, num_imgs: int = 4000,
+                   batch_size: int = 4, img_size: int = 512,
+                   inference_steps: int = 50, guidance_scale: float = 7.5,
+                   seed: int = 42, verbose: bool = True) -> int:
+    """Generate up to num_imgs covers; returns the number generated this call."""
+    os.makedirs(save_dir, exist_ok=True)
+    already = len(os.listdir(save_dir))
+    if verbose and already:
+        print(f"resuming: {already} images already in {save_dir}")
+    rng = random.Random(seed + already)
+
+    rows = list(df_test.index)[: num_imgs]
+    todo = [idx for idx in rows
+            if not os.path.exists(os.path.join(save_dir, f"{idx}.jpg"))]
+    generated = 0
+    from PIL import Image
+
+    for start in range(0, len(todo), batch_size):
+        batch_ids = todo[start:start + batch_size]
+        prompts = []
+        for idx in batch_ids:
+            row = df_test.loc[idx]
+            prompts.append(templates.format_training_prompt(
+                str(row.get("book_authors", "")),
+                str(row.get("book_title", "")), rng=rng))
+        try:
+            imgs = pipeline(prompts, height=img_size, width=img_size,
+                            num_inference_steps=inference_steps,
+                            guidance_scale=guidance_scale,
+                            seed=seed + start)
+            for idx, img in zip(batch_ids, imgs):
+                arr = np.uint8(np.round(np.clip(img, 0, 1) * 255.0))
+                Image.fromarray(arr).save(
+                    os.path.join(save_dir, f"{idx}.jpg"))
+                generated += 1
+        except Exception:
+            print(f"batch {batch_ids} failed:")
+            traceback.print_exc()
+        if verbose:
+            print(f"\rFID images {already + generated}/{num_imgs}",
+                  end="", flush=True)
+    if verbose:
+        print()
+    return generated

@@ -1,0 +1,104 @@
+"""Prompt-grid visualisation — the de-facto regression test of the reference.
+
+Replaces ``visualize_prompts`` (reference inference.py:194-383 and the
+train-side twin finetune_sd.py:161-295, SURVEY.md C4/C5): render every test
+template × samples_per_prompt with FIXED latents (seeded once, one latent per
+sample — inference.py:263-274), batched generation, and save a labelled grid
+PNG named by its flag configuration.  Fixed seed + same checkpoint ⇒
+pixel-identical grids (SURVEY.md §4 "golden-eyeball evaluation").
+"""
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from sdbc_tpu.data import templates
+from sdbc_tpu.utils.prng import per_sample_fixed_latents
+
+
+def visualize_prompts(pipeline, *, summarize: bool = False,
+                      include_desc: bool = False,
+                      summarizer=None,
+                      descriptions: Optional[List[str]] = None,
+                      max_length: int = 15,
+                      samples_per_prompt: int = 2,
+                      img_size: int = 512,
+                      inference_steps: int = 50,
+                      guidance_scale: float = 7.5,
+                      batch_generate: bool = True,
+                      batch_size: int = 4,
+                      save_dir: Optional[str] = None,
+                      seed: int = 42,
+                      test_templates: Optional[List[str]] = None):
+    """Generate the qualitative-eval grid; returns (images, prompts).
+
+    summarize=True formats summary placeholders with a summarizer over the
+    provided descriptions (the reference's DistilBART path,
+    inference.py:292-318); otherwise the fixed test templates are used as-is.
+    """
+    if summarize and not include_desc:
+        raise ValueError("summarize requires include_desc "
+                         "(reference assertion, inference.py:248-250)")
+    prompts_base = list(test_templates or templates.TEST_TEMPLATES)
+
+    if summarize:
+        if summarizer is None or not descriptions:
+            raise ValueError("summarize=True needs a summarizer and descriptions")
+        placeholders = templates.padded_placeholders(len(prompts_base))
+        summaries = [summarizer(d, max_length=max_length) for d in
+                     descriptions[: len(prompts_base)]]
+        while len(summaries) < len(prompts_base):
+            summaries.append(summaries[-1])
+        prompts_base = [ph.format(summary=s)
+                        for ph, s in zip(placeholders, summaries)]
+
+    prompts = [p for p in prompts_base for _ in range(samples_per_prompt)]
+
+    f = pipeline.cfg.vae_scale
+    lat_shape = (pipeline.cfg.unet.in_channels, img_size // f, img_size // f)
+    latents = per_sample_fixed_latents(len(prompts), lat_shape, seed=seed)
+
+    images = []
+    step = batch_size if batch_generate else 1
+    for i in range(0, len(prompts), step):
+        chunk = prompts[i:i + step]
+        out = pipeline(chunk, height=img_size, width=img_size,
+                       num_inference_steps=inference_steps,
+                       guidance_scale=guidance_scale,
+                       latents=latents[i:i + len(chunk)])
+        images.append(out)
+    images = np.concatenate(images, axis=0)
+
+    if save_dir:
+        os.makedirs(save_dir, exist_ok=True)
+        path = os.path.join(
+            save_dir, f"summerize={summarize},include_desc={include_desc}.png")
+        save_grid(images, prompts, path,
+                  cols=samples_per_prompt, rows=len(prompts_base))
+        return images, prompts, path
+    return images, prompts, None
+
+
+def save_grid(images: np.ndarray, prompts: List[str], path: str,
+              rows: int, cols: int) -> None:
+    """Matplotlib grid with prompt titles (reference inference.py:282-375)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, axes = plt.subplots(rows, cols, figsize=(cols * 4, rows * 4))
+    axes = np.atleast_2d(np.asarray(axes)).reshape(rows, cols)
+    for r in range(rows):
+        for c in range(cols):
+            i = r * cols + c
+            ax = axes[r, c]
+            ax.axis("off")
+            if i < len(images):
+                ax.imshow(np.clip(images[i], 0, 1))
+                ax.set_title(prompts[i][:60], fontsize=7)
+    fig.tight_layout()
+    fig.savefig(path, dpi=100)
+    plt.close(fig)

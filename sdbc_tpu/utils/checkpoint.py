@@ -1,0 +1,137 @@
+"""Checkpoint save/load — orbax-backed, diffusers-shaped logical layout.
+
+Replaces the reference's ``pipeline.save_pretrained`` + ``optimizer.pt`` +
+wandb-artifact dance (finetune_sd.py:511-545, utils.py:181-256, SURVEY.md L0):
+a checkpoint directory holds one orbax PyTree per component
+
+    <dir>/unet/ <dir>/vae/ <dir>/text_encoder/   (params)
+    <dir>/opt_state/                              (optional optimizer state)
+    <dir>/config.json                             (model/schedule configs)
+    <dir>/metadata.json                           (step, best loss, hyperparams)
+
+so components can be saved/loaded independently (the reference's
+train-text-encoder-only runs re-use the frozen UNet), sharded arrays restore
+across different meshes, and the layout stays recognisable to diffusers users.
+Versioned runs live under ``runs/<run_id>/ckpt-<n>`` (wandb artifact-version
+equivalent, gated tracking lives in utils/tracking.py).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+from sdbc_tpu.diffusion.pipeline import PipelineConfig
+from sdbc_tpu.diffusion.schedulers import ScheduleConfig
+from sdbc_tpu.models.clip import CLIPTextConfig
+from sdbc_tpu.models.unet import UNetConfig
+from sdbc_tpu.models.vae import VAEConfig
+
+COMPONENTS = ("text_encoder", "unet", "vae")
+
+
+def _ckpt():
+    import orbax.checkpoint as ocp
+
+    return ocp.StandardCheckpointer()
+
+
+def save_pipeline(path: str, params: dict, cfg: PipelineConfig,
+                  opt_state: Any = None, metadata: Optional[dict] = None) -> None:
+    path = os.path.abspath(path)
+    os.makedirs(path, exist_ok=True)
+    ckptr = _ckpt()
+    for comp in COMPONENTS:
+        if comp in params:
+            ckptr.save(os.path.join(path, comp), params[comp], force=True)
+    if opt_state is not None:
+        ckptr.save(os.path.join(path, "opt_state"), opt_state, force=True)
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(config_to_json(cfg), f, indent=2)
+    with open(os.path.join(path, "metadata.json"), "w") as f:
+        json.dump(metadata or {}, f, indent=2, default=float)
+    ckptr.wait_until_finished()
+
+
+def load_pipeline(path: str, template_params: Optional[dict] = None,
+                  with_opt_state: bool = False):
+    """→ (params, cfg[, opt_state]).  template_params enables sharded/typed
+    restore onto an existing layout; without it arrays restore as saved."""
+    path = os.path.abspath(path)
+    with open(os.path.join(path, "config.json")) as f:
+        cfg = config_from_json(json.load(f))
+    ckptr = _ckpt()
+    params = {}
+    for comp in COMPONENTS:
+        cpath = os.path.join(path, comp)
+        if os.path.exists(cpath):
+            target = template_params.get(comp) if template_params else None
+            params[comp] = ckptr.restore(cpath, target) if target is not None \
+                else ckptr.restore(cpath)
+    if with_opt_state:
+        opath = os.path.join(path, "opt_state")
+        opt_state = ckptr.restore(opath) if os.path.exists(opath) else None
+        return params, cfg, opt_state
+    return params, cfg
+
+
+def load_metadata(path: str) -> dict:
+    mpath = os.path.join(path, "metadata.json")
+    if not os.path.exists(mpath):
+        return {}
+    with open(mpath) as f:
+        return json.load(f)
+
+
+# ---------------------------------------------------------------------------
+# config (de)serialisation
+
+
+def config_to_json(cfg: PipelineConfig) -> dict:
+    return {
+        "clip": dataclasses.asdict(cfg.clip),
+        "unet": dataclasses.asdict(cfg.unet),
+        "vae": dataclasses.asdict(cfg.vae),
+        "schedule": dataclasses.asdict(cfg.schedule),
+        "scheduler": cfg.scheduler,
+    }
+
+
+def config_from_json(d: dict) -> PipelineConfig:
+    def tup(x):
+        return tuple(x) if isinstance(x, list) else x
+
+    return PipelineConfig(
+        clip=CLIPTextConfig(**d["clip"]),
+        unet=UNetConfig(**{k: tup(v) for k, v in d["unet"].items()}),
+        vae=VAEConfig(**{k: tup(v) for k, v in d["vae"].items()}),
+        schedule=ScheduleConfig(**d["schedule"]),
+        scheduler=d.get("scheduler", "ddim"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# versioned runs (wandb-artifact-version equivalent)
+
+
+def run_dir(output_dir: str, run_id: str) -> str:
+    return os.path.join(output_dir, "runs", run_id)
+
+
+def latest_checkpoint(output_dir: str, run_id: str) -> Optional[str]:
+    base = run_dir(output_dir, run_id)
+    if not os.path.isdir(base):
+        return None
+    cands = [d for d in os.listdir(base) if d.startswith("ckpt-")]
+    if not cands:
+        return None
+    latest = max(cands, key=lambda d: int(d.split("-")[1]))
+    return os.path.join(base, latest)
+
+
+def new_checkpoint_path(output_dir: str, run_id: str, step: int) -> str:
+    return os.path.join(run_dir(output_dir, run_id), f"ckpt-{step}")

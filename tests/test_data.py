@@ -1,0 +1,76 @@
+"""Dataset, dataloader, and preprocessing tests on a synthetic Goodreads dir."""
+import os
+
+import numpy as np
+import pytest
+
+from sdbc_tpu.data.dataset import DatasetConfig, GoodreadsDataset, make_dataloader
+from sdbc_tpu.data.preprocess import english_keep_ratio, preprocess
+from sdbc_tpu.data.tokenizer import CLIPTokenizer
+from tests.data_fixtures import build_fake_dataset
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    return build_fake_dataset(str(tmp_path_factory.mktemp("ds")),
+                              with_source=True)
+
+
+@pytest.fixture(scope="module")
+def dataset(data_root):
+    cfg = DatasetConfig(data_root=data_root, img_size=32, max_length=16,
+                        legible_text_prob=0.5)
+    return GoodreadsDataset(cfg, CLIPTokenizer.fallback(1000))
+
+
+def test_item_shapes_and_range(dataset):
+    item = dataset[0]
+    assert item["pixel_values"].shape == (32, 32, 3)
+    assert item["pixel_values"].min() >= -1.0
+    assert item["pixel_values"].max() <= 1.0
+    assert item["input_ids"].shape == (16,)
+    assert "Author 0" in item["prompt"] and "Title 0" in item["prompt"]
+
+
+def test_size_cap(data_root):
+    cfg = DatasetConfig(data_root=data_root, img_size=32, size=3)
+    ds = GoodreadsDataset(cfg, CLIPTokenizer.fallback(1000))
+    assert len(ds) == 3
+
+
+def test_dataloader_batch_shapes(dataset):
+    loader = make_dataloader(dataset, micro_batch=2, grad_accum=2,
+                             num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 2  # 8 examples / (2*2)
+    b = batches[0]
+    assert b["pixel_values"].shape == (2, 2, 32, 32, 3)
+    assert b["input_ids"].shape == (2, 2, 16)
+
+
+def test_dataloader_epoch_shuffling(dataset):
+    b1 = next(iter(make_dataloader(dataset, 2, 1, seed=1)))
+    b2 = next(iter(make_dataloader(dataset, 2, 1, seed=2)))
+    assert not np.array_equal(b1["pixel_values"], b2["pixel_values"])
+
+
+def test_english_keep_ratio():
+    assert english_keep_ratio("A normal English sentence.") == 1.0
+    assert english_keep_ratio("Полностью русский текст") < 0.5
+    assert english_keep_ratio("") == 0.0
+
+
+def test_preprocess_pipeline(data_root):
+    train_csv, test_csv = preprocess(data_root, "book_data.csv", n_test=4,
+                                     verbose=False)
+    import pandas as pd
+
+    train = pd.read_csv(train_csv, index_col=0)
+    test = pd.read_csv(test_csv, index_col=0)
+    # russian row dropped by english filter; 13 rows → 12 kept → 8/4 split
+    assert len(test) == 4
+    assert len(train) == 8
+    assert set(train.columns) == {"book_authors", "book_desc", "book_title"}
+    dropped = pd.read_csv(os.path.join(data_root, "dropped_non_English.csv"),
+                          index_col=0)
+    assert len(dropped) == 1
