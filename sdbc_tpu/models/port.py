@@ -1,0 +1,457 @@
+"""Port diffusers/transformers SD-1.x checkpoints into sdbc_tpu param trees.
+
+The reference loads pretrained components straight from the diffusers layout
+(finetune_sd.py:322-336, utils.py:195-230).  This module converts that layout
+— ``unet/diffusion_pytorch_model.{safetensors,bin}``, ``vae/...``,
+``text_encoder/model.{safetensors}|pytorch_model.bin`` — into this
+framework's functional param trees so fixed-seed outputs can be compared
+against the CUDA reference with the *same* weights.
+
+Conventions:
+  - torch conv (O, I, H, W) → JAX HWIO (H, W, I, O)
+  - torch linear (O, I)     → (I, O)
+  - CLIP per-layer params are stacked along a leading axis (models/clip.py
+    scans over layers)
+Both safetensors and torch .bin sources are supported (torch is CPU-only in
+this image and used purely as a deserializer).
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# state-dict loading
+
+
+def load_state_dict(component_dir: str) -> Dict[str, np.ndarray]:
+    """Load a diffusers/transformers component dir into {name: np.ndarray}."""
+    cands = [f for f in sorted(os.listdir(component_dir))
+             if f.endswith((".safetensors", ".bin"))]
+    if not cands:
+        raise FileNotFoundError(f"no weight files in {component_dir}")
+    out: Dict[str, np.ndarray] = {}
+    for fname in cands:
+        path = os.path.join(component_dir, fname)
+        if fname.endswith(".safetensors"):
+            from safetensors.numpy import load_file
+
+            out.update(load_file(path))
+        else:
+            import torch
+
+            sd = torch.load(path, map_location="cpu", weights_only=True)
+            out.update({k: v.float().numpy() for k, v in sd.items()})
+    return out
+
+
+def _conv(sd, name):
+    w = np.transpose(sd[f"{name}.weight"], (2, 3, 1, 0)).astype(np.float32)
+    p = {"w": jnp.asarray(w)}
+    if f"{name}.bias" in sd:
+        p["b"] = jnp.asarray(sd[f"{name}.bias"].astype(np.float32))
+    return p
+
+
+def _linear(sd, name):
+    w = np.transpose(sd[f"{name}.weight"], (1, 0)).astype(np.float32)
+    p = {"w": jnp.asarray(w)}
+    if f"{name}.bias" in sd:
+        p["b"] = jnp.asarray(sd[f"{name}.bias"].astype(np.float32))
+    return p
+
+
+def _norm(sd, name):
+    return {"scale": jnp.asarray(sd[f"{name}.weight"].astype(np.float32)),
+            "bias": jnp.asarray(sd[f"{name}.bias"].astype(np.float32))}
+
+
+# ---------------------------------------------------------------------------
+# UNet
+
+
+def _port_resnet(sd, pfx):
+    p = {
+        "norm1": _norm(sd, f"{pfx}.norm1"),
+        "conv1": _conv(sd, f"{pfx}.conv1"),
+        "norm2": _norm(sd, f"{pfx}.norm2"),
+        "conv2": _conv(sd, f"{pfx}.conv2"),
+    }
+    if f"{pfx}.time_emb_proj.weight" in sd:
+        p["temb"] = _linear(sd, f"{pfx}.time_emb_proj")
+    if f"{pfx}.conv_shortcut.weight" in sd:
+        p["shortcut"] = _conv(sd, f"{pfx}.conv_shortcut")
+    return p
+
+
+def _port_transformer(sd, pfx):
+    tb = f"{pfx}.transformer_blocks.0"
+    return {
+        "norm": _norm(sd, f"{pfx}.norm"),
+        "proj_in": _conv(sd, f"{pfx}.proj_in"),
+        "ln1": _norm(sd, f"{tb}.norm1"),
+        "attn1": {
+            "q": _linear(sd, f"{tb}.attn1.to_q"),
+            "k": _linear(sd, f"{tb}.attn1.to_k"),
+            "v": _linear(sd, f"{tb}.attn1.to_v"),
+            "o": _linear(sd, f"{tb}.attn1.to_out.0"),
+        },
+        "ln2": _norm(sd, f"{tb}.norm2"),
+        "attn2": {
+            "q": _linear(sd, f"{tb}.attn2.to_q"),
+            "k": _linear(sd, f"{tb}.attn2.to_k"),
+            "v": _linear(sd, f"{tb}.attn2.to_v"),
+            "o": _linear(sd, f"{tb}.attn2.to_out.0"),
+        },
+        "ln3": _norm(sd, f"{tb}.norm3"),
+        "geglu": _linear(sd, f"{tb}.ff.net.0.proj"),
+        "ff_out": _linear(sd, f"{tb}.ff.net.2"),
+        "proj_out": _conv(sd, f"{pfx}.proj_out"),
+    }
+
+
+def port_unet(sd: Dict[str, np.ndarray]) -> dict:
+    """diffusers UNet2DConditionModel state dict → models/unet.py tree."""
+    p = {
+        "conv_in": _conv(sd, "conv_in"),
+        "time_mlp": {
+            "fc1": _linear(sd, "time_embedding.linear_1"),
+            "fc2": _linear(sd, "time_embedding.linear_2"),
+        },
+        "norm_out": _norm(sd, "conv_norm_out"),
+        "conv_out": _conv(sd, "conv_out"),
+    }
+
+    def block(prefix):
+        blk = {"resnets": [], "attns": []}
+        j = 0
+        while f"{prefix}.resnets.{j}.norm1.weight" in sd:
+            blk["resnets"].append(_port_resnet(sd, f"{prefix}.resnets.{j}"))
+            if f"{prefix}.attentions.{j}.proj_in.weight" in sd:
+                blk["attns"].append(
+                    _port_transformer(sd, f"{prefix}.attentions.{j}"))
+            j += 1
+        if f"{prefix}.downsamplers.0.conv.weight" in sd:
+            blk["downsample"] = _conv(sd, f"{prefix}.downsamplers.0.conv")
+        if f"{prefix}.upsamplers.0.conv.weight" in sd:
+            blk["upsample"] = _conv(sd, f"{prefix}.upsamplers.0.conv")
+        return blk
+
+    p["down"] = []
+    i = 0
+    while f"down_blocks.{i}.resnets.0.norm1.weight" in sd:
+        p["down"].append(block(f"down_blocks.{i}"))
+        i += 1
+    p["up"] = []
+    i = 0
+    while f"up_blocks.{i}.resnets.0.norm1.weight" in sd:
+        p["up"].append(block(f"up_blocks.{i}"))
+        i += 1
+    p["mid"] = {
+        "resnet1": _port_resnet(sd, "mid_block.resnets.0"),
+        "attn": _port_transformer(sd, "mid_block.attentions.0"),
+        "resnet2": _port_resnet(sd, "mid_block.resnets.1"),
+    }
+    return p
+
+
+# ---------------------------------------------------------------------------
+# VAE
+
+
+def _port_vae_attn(sd, pfx):
+    """Handles both old (query/key/value/proj_attn) and new (to_q/...) names."""
+    if f"{pfx}.to_q.weight" in sd:
+        names = ("to_q", "to_k", "to_v", "to_out.0")
+    else:
+        names = ("query", "key", "value", "proj_attn")
+    group_norm = "group_norm" if f"{pfx}.group_norm.weight" in sd else "norm"
+    return {
+        "norm": _norm(sd, f"{pfx}.{group_norm}"),
+        "q": _linear(sd, f"{pfx}.{names[0]}"),
+        "k": _linear(sd, f"{pfx}.{names[1]}"),
+        "v": _linear(sd, f"{pfx}.{names[2]}"),
+        "o": _linear(sd, f"{pfx}.{names[3]}"),
+    }
+
+
+def port_vae(sd: Dict[str, np.ndarray]) -> dict:
+    def coder(side, blocks_key, n_res, updown):
+        c = {
+            "conv_in": _conv(sd, f"{side}.conv_in"),
+            "mid": {
+                "resnet1": _port_resnet(sd, f"{side}.mid_block.resnets.0"),
+                "attn": _port_vae_attn(sd, f"{side}.mid_block.attentions.0"),
+                "resnet2": _port_resnet(sd, f"{side}.mid_block.resnets.1"),
+            },
+            "norm_out": _norm(sd, f"{side}.conv_norm_out"),
+            "conv_out": _conv(sd, f"{side}.conv_out"),
+        }
+        blocks = []
+        i = 0
+        while f"{side}.{blocks_key}.{i}.resnets.0.norm1.weight" in sd:
+            pfx = f"{side}.{blocks_key}.{i}"
+            blk = {"resnets": []}
+            j = 0
+            while f"{pfx}.resnets.{j}.norm1.weight" in sd:
+                blk["resnets"].append(_port_resnet(sd, f"{pfx}.resnets.{j}"))
+                j += 1
+            if f"{pfx}.downsamplers.0.conv.weight" in sd:
+                blk["downsample"] = _conv(sd, f"{pfx}.downsamplers.0.conv")
+            if f"{pfx}.upsamplers.0.conv.weight" in sd:
+                blk["upsample"] = _conv(sd, f"{pfx}.upsamplers.0.conv")
+            blocks.append(blk)
+            i += 1
+        c[updown] = blocks
+        return c
+
+    enc = coder("encoder", "down_blocks", 2, "down")
+    dec = coder("decoder", "up_blocks", 3, "up")
+    return {
+        "encoder": enc,
+        "decoder": dec,
+        "quant_conv": _conv(sd, "quant_conv"),
+        "post_quant_conv": _conv(sd, "post_quant_conv"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# CLIP text encoder
+
+
+def port_clip_text(sd: Dict[str, np.ndarray]) -> dict:
+    pfx = "text_model." if "text_model.final_layer_norm.weight" in sd else ""
+    layers = []
+    i = 0
+    while f"{pfx}encoder.layers.{i}.layer_norm1.weight" in sd:
+        lp = f"{pfx}encoder.layers.{i}"
+        layers.append({
+            "ln1": _norm(sd, f"{lp}.layer_norm1"),
+            "attn": {
+                "q": _linear(sd, f"{lp}.self_attn.q_proj"),
+                "k": _linear(sd, f"{lp}.self_attn.k_proj"),
+                "v": _linear(sd, f"{lp}.self_attn.v_proj"),
+                "o": _linear(sd, f"{lp}.self_attn.out_proj"),
+            },
+            "ln2": _norm(sd, f"{lp}.layer_norm2"),
+            "mlp": {
+                "fc1": _linear(sd, f"{lp}.mlp.fc1"),
+                "fc2": _linear(sd, f"{lp}.mlp.fc2"),
+            },
+        })
+        i += 1
+    import jax
+
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    return {
+        "token_embedding": {"table": jnp.asarray(
+            sd[f"{pfx}embeddings.token_embedding.weight"].astype(np.float32))},
+        "position_embedding": {"table": jnp.asarray(
+            sd[f"{pfx}embeddings.position_embedding.weight"].astype(np.float32))},
+        "layers": stacked,
+        "final_ln": _norm(sd, f"{pfx}final_layer_norm"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# top level
+
+
+def port_diffusers_checkpoint(root: str) -> dict:
+    """Convert a full diffusers save_pretrained dir → {text_encoder, unet, vae}."""
+    params = {}
+    mapping = {
+        "unet": port_unet,
+        "vae": port_vae,
+        "text_encoder": port_clip_text,
+    }
+    for comp, fn in mapping.items():
+        cdir = os.path.join(root, comp)
+        if os.path.isdir(cdir):
+            params[comp] = fn(load_state_dict(cdir))
+    if not params:
+        raise FileNotFoundError(f"no portable components under {root}")
+    return params
+
+
+# ---------------------------------------------------------------------------
+# export (our trees → diffusers-named state dicts, for interop/testing)
+
+
+def _exp_conv(out, name, p):
+    out[f"{name}.weight"] = np.transpose(np.asarray(p["w"]), (3, 2, 0, 1))
+    if "b" in p:
+        out[f"{name}.bias"] = np.asarray(p["b"])
+
+
+def _exp_linear(out, name, p):
+    out[f"{name}.weight"] = np.transpose(np.asarray(p["w"]), (1, 0))
+    if "b" in p:
+        out[f"{name}.bias"] = np.asarray(p["b"])
+
+
+def _exp_norm(out, name, p):
+    out[f"{name}.weight"] = np.asarray(p["scale"])
+    out[f"{name}.bias"] = np.asarray(p["bias"])
+
+
+def _exp_resnet(out, pfx, p):
+    _exp_norm(out, f"{pfx}.norm1", p["norm1"])
+    _exp_conv(out, f"{pfx}.conv1", p["conv1"])
+    _exp_norm(out, f"{pfx}.norm2", p["norm2"])
+    _exp_conv(out, f"{pfx}.conv2", p["conv2"])
+    if "temb" in p:
+        _exp_linear(out, f"{pfx}.time_emb_proj", p["temb"])
+    if "shortcut" in p:
+        _exp_conv(out, f"{pfx}.conv_shortcut", p["shortcut"])
+
+
+def _exp_transformer(out, pfx, p):
+    tb = f"{pfx}.transformer_blocks.0"
+    _exp_norm(out, f"{pfx}.norm", p["norm"])
+    _exp_conv(out, f"{pfx}.proj_in", p["proj_in"])
+    _exp_norm(out, f"{tb}.norm1", p["ln1"])
+    _exp_norm(out, f"{tb}.norm2", p["ln2"])
+    _exp_norm(out, f"{tb}.norm3", p["ln3"])
+    for attn, tname in (("attn1", "attn1"), ("attn2", "attn2")):
+        _exp_linear(out, f"{tb}.{tname}.to_q", p[attn]["q"])
+        _exp_linear(out, f"{tb}.{tname}.to_k", p[attn]["k"])
+        _exp_linear(out, f"{tb}.{tname}.to_v", p[attn]["v"])
+        _exp_linear(out, f"{tb}.{tname}.to_out.0", p[attn]["o"])
+    _exp_linear(out, f"{tb}.ff.net.0.proj", p["geglu"])
+    _exp_linear(out, f"{tb}.ff.net.2", p["ff_out"])
+    _exp_conv(out, f"{pfx}.proj_out", p["proj_out"])
+
+
+def export_unet(params: dict) -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    _exp_conv(out, "conv_in", params["conv_in"])
+    _exp_linear(out, "time_embedding.linear_1", params["time_mlp"]["fc1"])
+    _exp_linear(out, "time_embedding.linear_2", params["time_mlp"]["fc2"])
+    _exp_norm(out, "conv_norm_out", params["norm_out"])
+    _exp_conv(out, "conv_out", params["conv_out"])
+
+    def block(prefix, blk):
+        for j, r in enumerate(blk["resnets"]):
+            _exp_resnet(out, f"{prefix}.resnets.{j}", r)
+        for j, a in enumerate(blk["attns"]):
+            _exp_transformer(out, f"{prefix}.attentions.{j}", a)
+        if "downsample" in blk:
+            _exp_conv(out, f"{prefix}.downsamplers.0.conv", blk["downsample"])
+        if "upsample" in blk:
+            _exp_conv(out, f"{prefix}.upsamplers.0.conv", blk["upsample"])
+
+    for i, blk in enumerate(params["down"]):
+        block(f"down_blocks.{i}", blk)
+    for i, blk in enumerate(params["up"]):
+        block(f"up_blocks.{i}", blk)
+    _exp_resnet(out, "mid_block.resnets.0", params["mid"]["resnet1"])
+    _exp_transformer(out, "mid_block.attentions.0", params["mid"]["attn"])
+    _exp_resnet(out, "mid_block.resnets.1", params["mid"]["resnet2"])
+    return out
+
+
+def export_vae(params: dict) -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+
+    def attn(pfx, p):
+        _exp_norm(out, f"{pfx}.group_norm", p["norm"])
+        _exp_linear(out, f"{pfx}.to_q", p["q"])
+        _exp_linear(out, f"{pfx}.to_k", p["k"])
+        _exp_linear(out, f"{pfx}.to_v", p["v"])
+        _exp_linear(out, f"{pfx}.to_out.0", p["o"])
+
+    def coder(side, c, blocks_key, updown):
+        _exp_conv(out, f"{side}.conv_in", c["conv_in"])
+        _exp_resnet(out, f"{side}.mid_block.resnets.0", c["mid"]["resnet1"])
+        attn(f"{side}.mid_block.attentions.0", c["mid"]["attn"])
+        _exp_resnet(out, f"{side}.mid_block.resnets.1", c["mid"]["resnet2"])
+        _exp_norm(out, f"{side}.conv_norm_out", c["norm_out"])
+        _exp_conv(out, f"{side}.conv_out", c["conv_out"])
+        for i, blk in enumerate(c[updown]):
+            pfx = f"{side}.{blocks_key}.{i}"
+            for j, r in enumerate(blk["resnets"]):
+                _exp_resnet(out, f"{pfx}.resnets.{j}", r)
+            if "downsample" in blk:
+                _exp_conv(out, f"{pfx}.downsamplers.0.conv", blk["downsample"])
+            if "upsample" in blk:
+                _exp_conv(out, f"{pfx}.upsamplers.0.conv", blk["upsample"])
+
+    coder("encoder", params["encoder"], "down_blocks", "down")
+    coder("decoder", params["decoder"], "up_blocks", "up")
+    _exp_conv(out, "quant_conv", params["quant_conv"])
+    _exp_conv(out, "post_quant_conv", params["post_quant_conv"])
+    return out
+
+
+def export_clip_text(params: dict) -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    pfx = "text_model."
+    out[f"{pfx}embeddings.token_embedding.weight"] = np.asarray(
+        params["token_embedding"]["table"])
+    out[f"{pfx}embeddings.position_embedding.weight"] = np.asarray(
+        params["position_embedding"]["table"])
+    _exp_norm(out, f"{pfx}final_layer_norm", params["final_ln"])
+    n_layers = params["layers"]["ln1"]["scale"].shape[0]
+    for i in range(n_layers):
+        layer = __import__("jax").tree.map(lambda x: x[i], params["layers"])
+        lp = f"{pfx}encoder.layers.{i}"
+        _exp_norm(out, f"{lp}.layer_norm1", layer["ln1"])
+        _exp_norm(out, f"{lp}.layer_norm2", layer["ln2"])
+        _exp_linear(out, f"{lp}.self_attn.q_proj", layer["attn"]["q"])
+        _exp_linear(out, f"{lp}.self_attn.k_proj", layer["attn"]["k"])
+        _exp_linear(out, f"{lp}.self_attn.v_proj", layer["attn"]["v"])
+        _exp_linear(out, f"{lp}.self_attn.out_proj", layer["attn"]["o"])
+        _exp_linear(out, f"{lp}.mlp.fc1", layer["mlp"]["fc1"])
+        _exp_linear(out, f"{lp}.mlp.fc2", layer["mlp"]["fc2"])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# BART (summarizer)
+
+
+def port_bart(sd: Dict[str, np.ndarray]) -> dict:
+    """transformers BartForConditionalGeneration state dict → models/bart.py tree."""
+    def attn(pfx):
+        return {"q": _linear(sd, f"{pfx}.q_proj"),
+                "k": _linear(sd, f"{pfx}.k_proj"),
+                "v": _linear(sd, f"{pfx}.v_proj"),
+                "o": _linear(sd, f"{pfx}.out_proj")}
+
+    def layer(pfx, cross):
+        p = {
+            "self_attn": attn(f"{pfx}.self_attn"),
+            "self_ln": _norm(sd, f"{pfx}.self_attn_layer_norm"),
+            "fc1": _linear(sd, f"{pfx}.fc1"),
+            "fc2": _linear(sd, f"{pfx}.fc2"),
+            "final_ln": _norm(sd, f"{pfx}.final_layer_norm"),
+        }
+        if cross:
+            p["cross_attn"] = attn(f"{pfx}.encoder_attn")
+            p["cross_ln"] = _norm(sd, f"{pfx}.encoder_attn_layer_norm")
+        return p
+
+    def layers(side, cross):
+        out, i = [], 0
+        while f"model.{side}.layers.{i}.self_attn.q_proj.weight" in sd:
+            out.append(layer(f"model.{side}.layers.{i}", cross))
+            i += 1
+        return out
+
+    return {
+        "shared_embedding": {"table": jnp.asarray(
+            sd["model.shared.weight"].astype(np.float32))},
+        "enc_pos": {"table": jnp.asarray(
+            sd["model.encoder.embed_positions.weight"].astype(np.float32))},
+        "dec_pos": {"table": jnp.asarray(
+            sd["model.decoder.embed_positions.weight"].astype(np.float32))},
+        "enc_ln_emb": _norm(sd, "model.encoder.layernorm_embedding"),
+        "dec_ln_emb": _norm(sd, "model.decoder.layernorm_embedding"),
+        "encoder": layers("encoder", cross=False),
+        "decoder": layers("decoder", cross=True),
+    }
