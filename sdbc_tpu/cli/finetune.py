@@ -43,6 +43,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_workers", type=int, default=4)
     p.add_argument("--wandb_key", type=str, default="")
     p.add_argument("--ckpts_per_epoch", type=int, default=4)
+    common.bool_flag(p, "use_8bit_adam", False,
+                     "blockwise-int8 Adam moments (bitsandbytes equivalent)")
     common.bool_flag(p, "train_unet", False)
     common.bool_flag(p, "train_text_encoder", True)
     common.bool_flag(p, "grad_ckpt", False,
@@ -88,7 +90,7 @@ def main(argv=None):
         num_examples=total_steps,  # cosine horizon = total optimizer steps
         grad_accum=args.grad_acc_steps, train_unet=args.train_unet,
         train_text_encoder=args.train_text_encoder, grad_ckpt=grad_ckpt,
-        seed=args.seed)
+        use_8bit_adam=args.use_8bit_adam, seed=args.seed)
 
     resume_meta = {}
     if args.resume:

@@ -42,7 +42,14 @@ def xla_attention(q, k, v, *, causal: bool = False, scale: Optional[float] = Non
 
 def attention(q, k, v, *, causal: bool = False, scale: Optional[float] = None,
               impl: str = "auto"):
-    """Dispatching attention entry point used by all models."""
+    """Dispatching attention entry point used by all models.
+
+    SDBC_ATTN_IMPL=xla|flash overrides "auto" (perf ablations / debugging).
+    """
+    import os
+
+    if impl == "auto":
+        impl = os.environ.get("SDBC_ATTN_IMPL", "auto")
     if impl == "xla":
         return xla_attention(q, k, v, causal=causal, scale=scale)
     if impl == "flash" or (impl == "auto" and _flash_eligible(q, k)):

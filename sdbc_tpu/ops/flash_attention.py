@@ -1,16 +1,17 @@
-"""Pallas TPU flash attention (forward) for the SD UNet's spatial attention.
+"""Pallas TPU flash attention (forward + custom VJP) for SD spatial attention.
 
-Online-softmax tiling: each grid program owns one (batch*head, q-block) tile,
-streams K/V in `block_kv` chunks that stay VMEM-resident per head (the UNet's
-worst case is Sk=4096, D=160 → ~2.6 MB for K+V in bf16, well under the ~16 MB
-VMEM budget), and accumulates in fp32.  Head dim and kv length are zero-padded
-to lane/tile boundaries; padded kv positions are masked to -inf so the math is
-exact.
+Forward: online-softmax tiling; each grid program owns one (batch*head,
+q-block) tile, streams K/V in `block_kv` chunks that stay VMEM-resident per
+head (UNet worst case Sk=4096, D=160 → ~2.6 MB K+V in bf16, well under the
+~16 MB VMEM budget), accumulates in fp32, and emits both the output and the
+log-sum-exp rows.  Head dim / kv length are zero-padded to lane boundaries;
+padded kv positions are masked to -inf so the math is exact.
 
-Backward: custom_vjp that recomputes attention through the XLA einsum path
-(correct, memory-heavy); a Pallas flash backward replaces it in kernels v2.
+Backward: the Pallas two-kernel flash backward (flash_attention_bwd.py) —
+no S×S matrix ever reaches HBM.
 
-Replaces torch CUDA attention used via diffusers UNet (SURVEY.md E1).
+Replaces the torch CUDA attention the reference uses via diffusers
+(SURVEY.md E1).  CPU test runs use interpret mode automatically.
 """
 from __future__ import annotations
 
@@ -22,6 +23,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from sdbc_tpu.ops.flash_attention_bwd import flash_bwd
+
 _NEG_INF = -1e30
 
 
@@ -29,8 +32,8 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int,
-                block_kv: int, kv_pad: int):
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
+                kv_len: int, block_kv: int, kv_pad: int):
     q = q_ref[0].astype(jnp.float32)           # (bq, D)
     num_kv = kv_pad // block_kv
     bq, d = q.shape
@@ -57,19 +60,22 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int,
     m0 = jnp.full((bq, 1), _NEG_INF, jnp.float32)
     l0 = jnp.zeros((bq, 1), jnp.float32)
     acc0 = jnp.zeros((bq, d), jnp.float32)
-    _, l, acc = jax.lax.fori_loop(0, num_kv, body, (m0, l0, acc0))
+    m, l, acc = jax.lax.fori_loop(0, num_kv, body, (m0, l0, acc0))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
+    jq = pl.program_id(1)
+    lse_ref[0, 0, pl.ds(jq * bq, bq)] = (m + jnp.log(l)).reshape(bq)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_kv"))
 def _flash_fwd(q, k, v, scale: float, block_q: int = 256, block_kv: int = 512):
+    """Returns (out, lse) with out (B,H,Sq,D) and lse (B,H,Sq) fp32."""
     b, h, sq, d = q.shape
     sk = k.shape[2]
     d_pad = _round_up(d, 128)
+    block_q = min(block_q, _round_up(sq, 128))
     sq_pad = _round_up(sq, block_q)
-    kv_pad = _round_up(sk, min(block_kv, _round_up(sk, 128)))
-    block_kv = min(block_kv, kv_pad)
-    kv_pad = _round_up(kv_pad, block_kv)
+    block_kv = min(block_kv, _round_up(sk, 128))
+    kv_pad = _round_up(sk, block_kv)
 
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, sq_pad - sq), (0, d_pad - d)))
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, kv_pad - sk), (0, d_pad - d)))
@@ -80,7 +86,7 @@ def _flash_fwd(q, k, v, scale: float, block_q: int = 256, block_kv: int = 512):
 
     grid = (b * h, sq_pad // block_q)
     interpret = jax.default_backend() != "tpu"  # CPU tests run the same kernel
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, kv_len=sk,
                           block_kv=block_kv, kv_pad=kv_pad),
         grid=grid,
@@ -92,9 +98,18 @@ def _flash_fwd(q, k, v, scale: float, block_q: int = 256, block_kv: int = 512):
             pl.BlockSpec((1, kv_pad, d_pad), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d_pad), lambda i, j: (i, j, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, sq_pad, d_pad), q.dtype),
+        out_specs=(
+            pl.BlockSpec((1, block_q, d_pad), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            # full-row lse block revisited across q-block programs (each
+            # program writes its own slice); (1,1,Sq) satisfies TPU tiling
+            pl.BlockSpec((1, 1, sq_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, sq_pad, d_pad), q.dtype),
+            jax.ShapeDtypeStruct((b * h, 1, sq_pad), jnp.float32),
+        ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * sq_pad * kv_pad * d_pad,
@@ -102,25 +117,26 @@ def _flash_fwd(q, k, v, scale: float, block_q: int = 256, block_kv: int = 512):
             transcendentals=b * h * sq_pad * kv_pad,
         ),
     )(qp, kp, vp)
-    return out.reshape(b, h, sq_pad, d_pad)[:, :, :sq, :d]
+    out = out.reshape(b, h, sq_pad, d_pad)[:, :, :sq, :d]
+    lse = lse.reshape(b, h, sq_pad)[:, :, :sq]
+    return out, lse
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _flash(q, k, v, causal: bool, scale: float):
-    return _flash_fwd(q, k, v, scale)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash(q, k, v, scale: float):
+    out, _ = _flash_fwd(q, k, v, scale)
+    return out
 
 
-def _flash_fwd_rule(q, k, v, causal, scale):
-    return _flash_fwd(q, k, v, scale), (q, k, v)
+def _flash_fwd_rule(q, k, v, scale):
+    out, lse = _flash_fwd(q, k, v, scale)
+    return out, (q, k, v, out, lse)
 
 
-def _flash_bwd_rule(causal, scale, res, g):
-    from sdbc_tpu.ops.attention import xla_attention
-    q, k, v = res
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_: xla_attention(q_, k_, v_, causal=causal, scale=scale),
-        q, k, v)
-    return vjp(g)
+def _flash_bwd_rule(scale, res, g):
+    q, k, v, out, lse = res
+    dq, dk, dv = flash_bwd(q, k, v, out, g.astype(out.dtype), lse, scale)
+    return dq, dk, dv
 
 
 _flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
@@ -129,8 +145,8 @@ _flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 def flash_attention(q, k, v, *, causal: bool = False, scale: Optional[float] = None):
     if causal:
         # CLIP's 77-token causal attention goes through XLA (attention.py);
-        # the kernel currently targets the UNet's non-causal spatial attention.
+        # the kernel targets the UNet's non-causal spatial attention.
         from sdbc_tpu.ops.attention import xla_attention
         return xla_attention(q, k, v, causal=True, scale=scale)
     scale = float(scale if scale is not None else q.shape[-1] ** -0.5)
-    return _flash(q, k, v, False, scale)
+    return _flash(q, k, v, scale)

@@ -48,6 +48,7 @@ class TrainConfig:
     train_unet: bool = False
     train_text_encoder: bool = True
     grad_ckpt: bool = False
+    use_8bit_adam: bool = False       # blockwise-int8 moments (reference :407-410)
     max_grad_norm: float = 0.0        # 0 = off (reference has no clipping)
     lr_scale_by_dp: bool = True       # reference scales lr by num_processes (:367-371)
     seed: int = 42
@@ -87,8 +88,14 @@ def make_optimizer(tcfg: TrainConfig, dp_size: int = 1) -> optax.GradientTransfo
     txs = []
     if tcfg.max_grad_norm > 0:
         txs.append(optax.clip_by_global_norm(tcfg.max_grad_norm))
-    txs.append(optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8,
-                           weight_decay=tcfg.weight_decay))
+    if tcfg.use_8bit_adam:
+        from sdbc_tpu.train.adam8bit import adamw8bit
+
+        txs.append(adamw8bit(schedule, b1=0.9, b2=0.999, eps=1e-8,
+                             weight_decay=tcfg.weight_decay))
+    else:
+        txs.append(optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8,
+                               weight_decay=tcfg.weight_decay))
     # NaN guard: non-finite grads skip the update (reference would
     # breakpoint() on NaN loss, finetune_sd.py:491-493)
     return optax.apply_if_finite(optax.chain(*txs), max_consecutive_errors=10 ** 8)

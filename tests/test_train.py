@@ -75,3 +75,21 @@ def test_nan_guard_skips_update(tiny_cfg, tiny_params):
     assert not bool(m["finite"])
     after = jax.tree.leaves(s1.trainable)[0]
     np.testing.assert_array_equal(np.asarray(before), np.asarray(after))
+
+
+def test_8bit_adam_trains(tiny_cfg, tiny_params):
+    """use_8bit_adam path: loss decreases with quantized moments."""
+    from sdbc_tpu.train.trainer import TrainConfig, init_train_state, make_train_step
+
+    tcfg = TrainConfig(train_unet=False, train_text_encoder=True, grad_accum=1,
+                       learning_rate=1e-3, num_examples=100, use_8bit_adam=True,
+                       lr_scale_by_dp=False)
+    state = init_train_state(tiny_params, tcfg, compute_dtype=jnp.float32)
+    step = make_train_step(tiny_cfg, tcfg, compute_dtype=jnp.float32)
+    batch = _batch(tiny_cfg)
+    key = jax.random.key(7)
+    losses = []
+    for _ in range(4):
+        state, m = step(state, batch, key)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], losses
