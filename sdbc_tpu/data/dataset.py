@@ -37,6 +37,7 @@ class DatasetConfig:
     include_desc: bool = False
     max_length: int = 77
     seed: int = 42
+    use_native: bool = True  # C++ decode core when built (native/loader.cc)
 
 
 class GoodreadsDataset:
@@ -102,11 +103,25 @@ def make_dataloader(dataset: GoodreadsDataset, micro_batch: int,
         rng.shuffle(order)
     n_batches = len(order) // step if drop_last else -(-len(order) // step)
 
+    from sdbc_tpu.data import native_loader
+
+    use_native = dataset.cfg.use_native and native_loader.available()
+
     def load_batch(batch_indices):
-        with cf.ThreadPoolExecutor(max_workers=num_workers) as ex:
-            items = list(ex.map(dataset.__getitem__, batch_indices))
-        pix = np.stack([it["pixel_values"] for it in items])
-        ids = np.stack([it["input_ids"] for it in items])
+        if use_native:
+            # one native call decodes the whole batch (C++ thread pool)
+            paths = [dataset.image_path(i) for i in batch_indices]
+            pix = native_loader.decode_batch(paths, dataset.cfg.img_size,
+                                             threads=num_workers)
+            ids = np.stack([
+                np.asarray(dataset.tokenizer.encode(
+                    dataset.prompt_for(i), dataset.cfg.max_length), np.int32)
+                for i in batch_indices])
+        else:
+            with cf.ThreadPoolExecutor(max_workers=num_workers) as ex:
+                items = list(ex.map(dataset.__getitem__, batch_indices))
+            pix = np.stack([it["pixel_values"] for it in items])
+            ids = np.stack([it["input_ids"] for it in items])
         a = len(batch_indices) // micro_batch
         return {
             "pixel_values": pix.reshape(a, micro_batch, *pix.shape[1:]),

@@ -1,0 +1,97 @@
+"""ctypes bindings for the native C++ decode/resize core (native/loader.cc).
+
+Auto-builds the shared library on first use (make -C native) and falls back
+to the PIL path (utils.image.decode_and_prepare) when unavailable, so the
+framework never hard-depends on the native build.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libsdbc_loader.so")
+
+_lib = None
+_lib_lock = threading.Lock()
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_LIB_PATH):
+            try:
+                subprocess.run(["make", "-C", _NATIVE_DIR, "-s"], check=True,
+                               capture_output=True, timeout=120)
+            except Exception:
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+        lib.sdbc_decode_batch.restype = ctypes.c_int
+        lib.sdbc_decode_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+        lib.sdbc_decode_probe.restype = ctypes.c_int
+        lib.sdbc_decode_probe.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int)]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def decode_batch(paths: Sequence[str], size: int,
+                 threads: int = 4) -> np.ndarray:
+    """Decode+resize+normalize a batch of JPEGs → (N, size, size, 3) float32.
+
+    Failed decodes come back as zero images (count reported via exception-free
+    contract; use probe() for integrity checks).
+    """
+    lib = _load()
+    n = len(paths)
+    out = np.empty((n, size, size, 3), np.float32)
+    if lib is None:
+        from sdbc_tpu.utils.image import decode_and_prepare
+
+        for i, p in enumerate(paths):
+            try:
+                out[i] = decode_and_prepare(p, size)
+            except Exception:
+                out[i] = 0.0
+        return out
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    lib.sdbc_decode_batch(
+        arr, n, size, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        threads)
+    return out
+
+
+def probe(path: str) -> bool:
+    """True if the JPEG decodes cleanly (preprocess integrity check)."""
+    lib = _load()
+    if lib is None:
+        from PIL import Image
+
+        try:
+            with Image.open(path) as im:
+                im.convert("RGB")
+            return True
+        except Exception:
+            return False
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    return lib.sdbc_decode_probe(path.encode(), ctypes.byref(w),
+                                 ctypes.byref(h)) == 0

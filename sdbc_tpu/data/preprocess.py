@@ -27,18 +27,16 @@ def english_keep_ratio(text: str) -> float:
 
 
 def readable_indices(df, image_dir: str, verbose: bool = False) -> List:
-    """Indices whose <index>.jpg decodes cleanly (notebook cells 3, 17)."""
-    from PIL import Image
+    """Indices whose <index>.jpg decodes cleanly (notebook cells 3, 17).
+
+    Uses the native C++ probe when built (fast path), PIL otherwise.
+    """
+    from sdbc_tpu.data.native_loader import probe
 
     good = []
     for i, idx in enumerate(df.index):
-        path = os.path.join(image_dir, f"{idx}.jpg")
-        try:
-            with Image.open(path) as im:
-                im.convert("RGB")
+        if probe(os.path.join(image_dir, f"{idx}.jpg")):
             good.append(idx)
-        except Exception:
-            pass
         if verbose and (i + 1) % 1000 == 0:
             print(f"\rimage check {i + 1}/{len(df)}", end="", flush=True)
     if verbose:

@@ -74,3 +74,32 @@ def test_preprocess_pipeline(data_root):
     dropped = pd.read_csv(os.path.join(data_root, "dropped_non_English.csv"),
                           index_col=0)
     assert len(dropped) == 1
+
+
+def test_native_loader_matches_pil(data_root):
+    """C++ decode core vs PIL reference path (quantization-level tolerance)."""
+    from sdbc_tpu.data import native_loader as nl
+    from sdbc_tpu.utils.image import decode_and_prepare
+
+    path = os.path.join(data_root, "images", "images", "0.jpg")
+    if not nl.available():
+        pytest.skip("native loader not built")
+    out = nl.decode_batch([path, path], 32)
+    assert out.shape == (2, 32, 32, 3)
+    ref = decode_and_prepare(path, 32)
+    assert np.abs(out[0] - ref).max() < 0.06  # separate fixed-point paths
+    np.testing.assert_array_equal(out[0], out[1])
+    assert nl.probe(path)
+    assert not nl.probe(os.path.join(data_root, "df_train.csv"))
+
+
+def test_dataloader_native_flag(data_root):
+    from sdbc_tpu.data.dataset import DatasetConfig, GoodreadsDataset, make_dataloader
+    from sdbc_tpu.data.tokenizer import CLIPTokenizer
+
+    cfg = DatasetConfig(data_root=data_root, img_size=32, max_length=16,
+                        use_native=True)
+    ds = GoodreadsDataset(cfg, CLIPTokenizer.fallback(1000))
+    b = next(iter(make_dataloader(ds, micro_batch=2, grad_accum=1)))
+    assert b["pixel_values"].shape == (1, 2, 32, 32, 3)
+    assert np.isfinite(b["pixel_values"]).all()
