@@ -18,6 +18,8 @@ import numpy as np
 
 
 def main():
+    from sdbc_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
     on_tpu = jax.default_backend() == "tpu"
     from sdbc_tpu.diffusion.pipeline import PipelineConfig, sample
     from sdbc_tpu.models import clip, unet, vae

@@ -14,6 +14,10 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from sdbc_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 
 def bool_flag(parser: argparse.ArgumentParser, name: str, default: bool,
               help: str = "") -> None:

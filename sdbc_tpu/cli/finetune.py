@@ -53,6 +53,8 @@ def build_parser() -> argparse.ArgumentParser:
     common.bool_flag(p, "include_desc", False)
     common.bool_flag(p, "resume", False, "resume from run's latest checkpoint")
     common.bool_flag(p, "final_grids", False, "render prompt grids after training")
+    p.add_argument("--profile_dir", type=str, default="",
+                   help="jax.profiler trace output dir (traces steps 3-5)")
     return p
 
 
@@ -115,6 +117,20 @@ def main(argv=None):
     gstep = int(resume_meta.get("step", 0))
     ckpt_every = max(steps_per_epoch // args.ckpts_per_epoch, 1)
 
+    # preemption safety: SIGTERM/SIGINT → finish the step, checkpoint, exit
+    # (replaces the reference's manual wandb-resume recovery, SURVEY.md §5)
+    import signal
+
+    preempted = {"flag": False}
+
+    def _on_term(signum, frame):
+        print(f"signal {signum}: checkpointing at next step boundary")
+        preempted["flag"] = True
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(sig, _on_term)
+
+    profiling = False
     for epoch in range(args.epochs):
         loader = make_dataloader(ds, micro_batch=micro_global,
                                  grad_accum=args.grad_acc_steps,
@@ -123,9 +139,15 @@ def main(argv=None):
         running, running_n = 0.0, 0
         t0 = time.perf_counter()
         for batch in loader:
+            if args.profile_dir and gstep == 2 and not profiling:
+                jax.profiler.start_trace(args.profile_dir)
+                profiling = True
             key, sub = jax.random.split(key)
             state, metrics = step_fn(state, batch, sub)
             loss = float(metrics["loss"])
+            if profiling and gstep >= 5:
+                jax.profiler.stop_trace()
+                profiling = False
             gstep += 1
             running += loss
             running_n += 1
@@ -152,6 +174,19 @@ def main(argv=None):
                         metadata={"step": gstep, "epoch": epoch,
                                   "best_mean_loss": best_mean_loss,
                                   "mean_loss": mean_loss})
+
+            if preempted["flag"]:
+                path = ckpt_mod.new_checkpoint_path(args.output_dir,
+                                                    args.run_id, gstep)
+                ckpt_mod.save_pipeline(
+                    path, merged_params(state), cfg,
+                    opt_state=state.opt_state,
+                    metadata={"step": gstep, "epoch": epoch,
+                              "best_mean_loss": best_mean_loss,
+                              "preempted": True})
+                print(f"preemption checkpoint saved: {path}")
+                tracker.finish()
+                return
 
     final = ckpt_mod.new_checkpoint_path(args.output_dir, args.run_id, gstep)
     ckpt_mod.save_pipeline(final, merged_params(state), cfg,

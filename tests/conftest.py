@@ -14,6 +14,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+from sdbc_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()  # single-core host: reuse XLA compiles across runs
+
 import jax.numpy as jnp  # noqa: E402
 import pytest  # noqa: E402
 
