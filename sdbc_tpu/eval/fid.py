@@ -204,10 +204,25 @@ _WEIGHTS_ENV = "SDBC_INCEPTION_WEIGHTS"
 
 
 def default_params(cfg=None):
-    """Inception weights: ported npz if SDBC_INCEPTION_WEIGHTS is set, else
-    deterministic random init (self-consistent FID; see module docstring)."""
+    """Inception weights resolution.
+
+    SDBC_INCEPTION_WEIGHTS may point at:
+      - pt_inception-2015-12-05-*.pth (pytorch-fid's port of the reference's
+        frozen TF graph, fid.py:273) → numeric FID parity with the reference
+      - a .npz in this framework's flat tree format (models/inception.py)
+    Unset → deterministic random init (self-consistent FID deltas only).
+    """
     cfg = cfg or inception_mod.InceptionConfig.fid()
     path = os.environ.get(_WEIGHTS_ENV, "")
     if path and os.path.exists(path):
+        if path.endswith((".pth", ".pt")):
+            from sdbc_tpu.models.port import load_fid_inception
+
+            return load_fid_inception(path)
+        flat = np.load(path)
+        if any(k.startswith("Conv2d_1a") for k in flat.files):
+            from sdbc_tpu.models.port import port_fid_inception
+
+            return port_fid_inception(dict(flat))
         return inception_mod.load_npz(path)
     return inception_mod.init(jax.random.key(2015), cfg)

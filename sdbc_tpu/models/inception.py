@@ -66,7 +66,10 @@ def _cbr(p, x, stride=1, padding="SAME"):
         x, p["w"].astype(x.dtype), (stride, stride), padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=x.dtype)
-    y = (y - p["mean"]) * jax.lax.rsqrt(p["var"] + 1e-3) + p["beta"]
+    y = (y - p["mean"]) * jax.lax.rsqrt(p["var"] + 1e-3)
+    if "gamma" in p:  # torchvision/pt-inception ports carry a BN scale
+        y = y * p["gamma"]
+    y = y + p["beta"]
     return jax.nn.relu(y)
 
 
@@ -156,13 +159,16 @@ def _init_block8(keys, cin, m):
     }
 
 
-def _block8(p, x):
+def _block8(p, x, pool: str = "avg"):
     b0 = _cbr(p["b1x1"], x)
     b1 = _cbr(p["b3x3_1"], x)
     b1 = jnp.concatenate([_cbr(p["b3x3_2a"], b1), _cbr(p["b3x3_2b"], b1)], -1)
     b2 = _cbr(p["b3x3d_2"], _cbr(p["b3x3d_1"], x))
     b2 = jnp.concatenate([_cbr(p["b3x3d_3a"], b2), _cbr(p["b3x3d_3b"], b2)], -1)
-    b3 = _cbr(p["pool"], _avg_pool_same(x))
+    # the 2015 FID graph max-pools in the LAST 8x8 block (the pt-inception
+    # "FIDInceptionE_2" quirk); avg elsewhere
+    pooled = _max_pool(x, 3, 1, "SAME") if pool == "max" else _avg_pool_same(x)
+    b3 = _cbr(p["pool"], pooled)
     return jnp.concatenate([b0, b1, b2, b3], axis=-1)
 
 
@@ -269,8 +275,9 @@ def features(params, images, cfg: InceptionConfig = InceptionConfig()):
     b2 = _max_pool(x)
     x = jnp.concatenate([b0, b1, b2], axis=-1)
 
-    for blk in params["mixed8"]:
-        x = _block8(blk, x)
+    for i, blk in enumerate(params["mixed8"]):
+        x = _block8(blk, x, pool="max" if i == len(params["mixed8"]) - 1
+                    else "avg")
 
     return jnp.mean(x, axis=(1, 2))  # global average pool → (N, C)
 

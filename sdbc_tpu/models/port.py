@@ -455,3 +455,103 @@ def port_bart(sd: Dict[str, np.ndarray]) -> dict:
         "encoder": layers("encoder", cross=False),
         "decoder": layers("decoder", cross=True),
     }
+
+
+# ---------------------------------------------------------------------------
+# FID InceptionV3 (pt-inception-2015-12-05 / torchvision naming)
+
+
+def _inc_cbr(sd, name):
+    """BasicConv2d: conv + BN(gamma, beta, running stats)."""
+    p = {
+        "w": jnp.asarray(np.transpose(sd[f"{name}.conv.weight"],
+                                      (2, 3, 1, 0)).astype(np.float32)),
+        "gamma": jnp.asarray(sd[f"{name}.bn.weight"].astype(np.float32)),
+        "beta": jnp.asarray(sd[f"{name}.bn.bias"].astype(np.float32)),
+        "mean": jnp.asarray(sd[f"{name}.bn.running_mean"].astype(np.float32)),
+        "var": jnp.asarray(sd[f"{name}.bn.running_var"].astype(np.float32)),
+    }
+    return p
+
+
+def port_fid_inception(sd: Dict[str, np.ndarray]) -> dict:
+    """pt_inception-2015-12-05 (pytorch-fid) state dict → models/inception.py.
+
+    This is THE standard FID weights file (a port of the reference's frozen
+    TF graph, fid.py:273).  Feed the result to eval.fid get_activations for
+    numeric FID parity with the CUDA/TF reference.
+    """
+    c = _inc_cbr
+    p = {"stem": {
+        "c1": c(sd, "Conv2d_1a_3x3"),
+        "c2": c(sd, "Conv2d_2a_3x3"),
+        "c3": c(sd, "Conv2d_2b_3x3"),
+        "c4": c(sd, "Conv2d_3b_1x1"),
+        "c5": c(sd, "Conv2d_4a_3x3"),
+    }}
+    p["mixed35"] = []
+    for blk in ("Mixed_5b", "Mixed_5c", "Mixed_5d"):
+        # torchvision names the 5x5 branch of 5c differently (branch5x5 vs
+        # branch5x5_1/2 are consistent; pool branch is branch_pool)
+        p["mixed35"].append({
+            "b1x1": c(sd, f"{blk}.branch1x1"),
+            "b5x5_1": c(sd, f"{blk}.branch5x5_1"),
+            "b5x5_2": c(sd, f"{blk}.branch5x5_2"),
+            "b3x3_1": c(sd, f"{blk}.branch3x3dbl_1"),
+            "b3x3_2": c(sd, f"{blk}.branch3x3dbl_2"),
+            "b3x3_3": c(sd, f"{blk}.branch3x3dbl_3"),
+            "pool": c(sd, f"{blk}.branch_pool"),
+        })
+    p["red17"] = {
+        "b3x3": c(sd, "Mixed_6a.branch3x3"),
+        "b3x3d_1": c(sd, "Mixed_6a.branch3x3dbl_1"),
+        "b3x3d_2": c(sd, "Mixed_6a.branch3x3dbl_2"),
+        "b3x3d_3": c(sd, "Mixed_6a.branch3x3dbl_3"),
+    }
+    p["mixed17"] = []
+    for blk in ("Mixed_6b", "Mixed_6c", "Mixed_6d", "Mixed_6e"):
+        p["mixed17"].append({
+            "b1x1": c(sd, f"{blk}.branch1x1"),
+            "b7x7_1": c(sd, f"{blk}.branch7x7_1"),
+            "b7x7_2": c(sd, f"{blk}.branch7x7_2"),
+            "b7x7_3": c(sd, f"{blk}.branch7x7_3"),
+            "b7x7d_1": c(sd, f"{blk}.branch7x7dbl_1"),
+            "b7x7d_2": c(sd, f"{blk}.branch7x7dbl_2"),
+            "b7x7d_3": c(sd, f"{blk}.branch7x7dbl_3"),
+            "b7x7d_4": c(sd, f"{blk}.branch7x7dbl_4"),
+            "b7x7d_5": c(sd, f"{blk}.branch7x7dbl_5"),
+            "pool": c(sd, f"{blk}.branch_pool"),
+        })
+    p["red8"] = {
+        "b3x3_1": c(sd, "Mixed_7a.branch3x3_1"),
+        "b3x3_2": c(sd, "Mixed_7a.branch3x3_2"),
+        "b7x7_1": c(sd, "Mixed_7a.branch7x7x3_1"),
+        "b7x7_2": c(sd, "Mixed_7a.branch7x7x3_2"),
+        "b7x7_3": c(sd, "Mixed_7a.branch7x7x3_3"),
+        "b7x7_4": c(sd, "Mixed_7a.branch7x7x3_4"),
+    }
+    p["mixed8"] = []
+    for blk in ("Mixed_7b", "Mixed_7c"):
+        p["mixed8"].append({
+            "b1x1": c(sd, f"{blk}.branch1x1"),
+            "b3x3_1": c(sd, f"{blk}.branch3x3_1"),
+            "b3x3_2a": c(sd, f"{blk}.branch3x3_2a"),
+            "b3x3_2b": c(sd, f"{blk}.branch3x3_2b"),
+            "b3x3d_1": c(sd, f"{blk}.branch3x3dbl_1"),
+            "b3x3d_2": c(sd, f"{blk}.branch3x3dbl_2"),
+            "b3x3d_3a": c(sd, f"{blk}.branch3x3dbl_3a"),
+            "b3x3d_3b": c(sd, f"{blk}.branch3x3dbl_3b"),
+            "pool": c(sd, f"{blk}.branch_pool"),
+        })
+    return p
+
+
+def load_fid_inception(weights_path: str) -> dict:
+    """Load pt_inception-2015-12-05-*.pth (torch) or a .npz of it."""
+    if weights_path.endswith(".npz"):
+        flat = dict(np.load(weights_path))
+        return port_fid_inception(flat)
+    import torch
+
+    sd = torch.load(weights_path, map_location="cpu", weights_only=True)
+    return port_fid_inception({k: v.numpy() for k, v in sd.items()})
