@@ -28,6 +28,11 @@ def bool_flag(parser: argparse.ArgumentParser, name: str, default: bool,
 def add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--ckpt", type=str, default="",
                    help="checkpoint dir (utils/checkpoint.py layout)")
+    p.add_argument("--diffusers_ckpt", type=str, default="",
+                   help="diffusers save_pretrained dir (ported on the fly)")
+    p.add_argument("--wandb_artifact_run", type=str, default="",
+                   help="wandb run id to download stable_diffusion_model from")
+    p.add_argument("--wandb_artifact_version", type=str, default="latest")
     p.add_argument("--output_dir", type=str, default="./outputs")
     p.add_argument("--run_id", type=str, default="dev")
     p.add_argument("--tokenizer_dir", type=str, default="",
@@ -58,10 +63,29 @@ def resolve_params_cfg(args):
     from sdbc_tpu.models import clip, unet, vae
     from sdbc_tpu.utils import checkpoint as ckpt_mod
 
+    import dataclasses
+
+    if getattr(args, "wandb_artifact_run", ""):
+        # wandb-artifact branch of the reference's 3-way resolution
+        # (utils.py:232-253); requires wandb + network
+        from sdbc_tpu.utils.tracking import Tracker
+
+        path = Tracker.download_artifact(
+            args.wandb_artifact_run, getattr(args, "wandb_key", ""),
+            version=args.wandb_artifact_version)
+        params, cfg = ckpt_mod.load_pipeline(path)
+        return params, dataclasses.replace(cfg, scheduler=args.scheduler)
+
+    if getattr(args, "diffusers_ckpt", ""):
+        from sdbc_tpu.models.port import port_diffusers_checkpoint
+
+        params = port_diffusers_checkpoint(args.diffusers_ckpt)
+        cfg = (PipelineConfig.tiny(args.scheduler) if args.tiny
+               else PipelineConfig.sd15(args.scheduler))
+        return params, cfg
+
     if args.ckpt:
         params, cfg = ckpt_mod.load_pipeline(args.ckpt)
-        import dataclasses
-
         cfg = dataclasses.replace(cfg, scheduler=args.scheduler)
         return params, cfg
 

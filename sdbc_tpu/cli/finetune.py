@@ -174,6 +174,7 @@ def main(argv=None):
                         metadata={"step": gstep, "epoch": epoch,
                                   "best_mean_loss": best_mean_loss,
                                   "mean_loss": mean_loss})
+                    tracker.log_artifact(path)
 
             if preempted["flag"]:
                 path = ckpt_mod.new_checkpoint_path(args.output_dir,

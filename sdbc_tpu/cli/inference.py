@@ -37,8 +37,41 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--prompt", type=str, default="")
     p.add_argument("--samples_per_prompt", type=int, default=2)
     p.add_argument("--wandb_key", type=str, default="")
+    p.add_argument("--bart_ckpt", type=str, default="",
+                   help="transformers BART dir for --summarize (DistilBART)")
     common.bool_flag(p, "batch_generate", True)
+    common.bool_flag(p, "summarize", False,
+                     "summarize book descriptions into prompts (needs "
+                     "--bart_ckpt and --include_desc)")
+    common.bool_flag(p, "include_desc", False)
     return p
+
+
+def _build_summarizer(args, ctx_len: int):
+    from sdbc_tpu.models import bart
+    from sdbc_tpu.models.port import load_state_dict, port_bart
+
+    sd = load_state_dict(args.bart_ckpt)
+    params = port_bart(sd)
+    cfg = bart.BartConfig.distilbart_cnn()
+    try:
+        from transformers import AutoTokenizer
+
+        tok = AutoTokenizer.from_pretrained(args.bart_ckpt)
+
+        class _Tok:
+            def encode(self, t, n):
+                ids = tok(t, truncation=True, max_length=n,
+                          padding="max_length")["input_ids"]
+                return ids
+
+            def decode(self, ids):
+                return tok.decode(ids, skip_special_tokens=True)
+
+        return bart.Summarizer(params, cfg, _Tok())
+    except Exception as e:
+        raise SystemExit(f"--summarize needs a BART tokenizer in "
+                         f"{args.bart_ckpt}: {e}")
 
 
 def main(argv=None):
@@ -88,14 +121,30 @@ def main(argv=None):
         with open(os.path.join(save_dir, "fid_score.txt"), "w") as f:
             f.write(f"{fid}\n")
 
-    else:  # default: qualitative grids
+    else:  # default: qualitative grids (3 configs, reference inference.py:458-471)
         from sdbc_tpu.eval.visualize import visualize_prompts
 
         with open(os.path.join(save_dir, "hyperparams.json"), "w") as f:
             json.dump(vars(args), f, indent=2, default=str)
-        for include_desc in (False,):
+
+        summarizer, descriptions = None, None
+        if args.summarize:
+            summarizer = _build_summarizer(args, cfg.clip.ctx)
+            import pandas as pd
+
+            df_test = pd.read_csv(os.path.join(args.data_root, "df_test.csv"),
+                                  index_col=0)
+            descriptions = [str(d) for d in df_test["book_desc"].head(16)]
+
+        configs = [(False, False)]
+        if args.include_desc:
+            configs.append((False, True))
+        if args.summarize:
+            configs.append((True, True))
+        for summarize, include_desc in configs:
             _, _, path = visualize_prompts(
-                pipe, include_desc=include_desc,
+                pipe, summarize=summarize, include_desc=include_desc,
+                summarizer=summarizer, descriptions=descriptions,
                 samples_per_prompt=args.samples_per_prompt,
                 img_size=args.img_size,
                 inference_steps=args.num_inference_steps,

@@ -56,6 +56,35 @@ class Tracker:
 
             self.wandb.log({name: wandb.Image(path)}, step=step)
 
+    def log_artifact(self, path: str, name: str = "stable_diffusion_model",
+                     type_: str = "model") -> None:
+        """Checkpoint-dir upload (reference finetune_sd.py:541-545); local-only
+        runs record the path in the event log instead."""
+        self.log({"artifact_saved": 1.0})
+        if self.wandb is not None:
+            import wandb
+
+            art = wandb.Artifact(name, type=type_)
+            art.add_dir(path)
+            self.wandb.log_artifact(art)
+
+    @staticmethod
+    def download_artifact(run_id: str, wandb_key: str,
+                          name: str = "stable_diffusion_model",
+                          version: str = "latest",
+                          project: str = "sdbc-tpu") -> str:
+        """Artifact download for resume (reference utils.py:232-253)."""
+        try:
+            import wandb
+        except ImportError as e:
+            raise RuntimeError(
+                "wandb is not installed in this environment; resume from a "
+                "local checkpoint dir instead (--ckpt)") from e
+        wandb.login(key=wandb_key)
+        run = wandb.init(project=project, id=run_id, resume="must")
+        art = run.use_artifact(f"{name}:{version}")
+        return art.download()
+
     def finish(self) -> None:
         self._events.close()
         if self.wandb is not None:
