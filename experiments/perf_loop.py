@@ -13,6 +13,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from sdbc_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 from sdbc_tpu.diffusion.pipeline import PipelineConfig
 from sdbc_tpu.models import clip, unet, vae
 from sdbc_tpu.utils.dtypes import cast_floating

@@ -19,6 +19,16 @@ from sdbc_tpu.utils.cache import enable_persistent_cache
 enable_persistent_cache()
 
 
+def maybe_init_distributed() -> None:
+    """Multi-host init (multi-slice pods): gated so single-host runs are
+    untouched.  Set SDBC_MULTIHOST=1 (or provide COORDINATOR_ADDRESS) on each
+    host; jax.distributed wires the DCN coordination plane and
+    parallel.host_local_batch_slice shards input loading per host."""
+    if os.environ.get("SDBC_MULTIHOST") == "1" or \
+            os.environ.get("COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+
+
 def bool_flag(parser: argparse.ArgumentParser, name: str, default: bool,
               help: str = "") -> None:
     parser.add_argument(f"--{name}", action=argparse.BooleanOptionalAction,

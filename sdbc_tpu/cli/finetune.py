@@ -60,6 +60,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    common.maybe_init_distributed()
     from sdbc_tpu.data.dataset import DatasetConfig, GoodreadsDataset, make_dataloader
     from sdbc_tpu.diffusion.pipeline import SDPipeline
     from sdbc_tpu.parallel.mesh import MeshConfig, make_mesh, replicate_tree
