@@ -157,6 +157,8 @@ class SDPipeline:
         return np.asarray(self.tokenizer.batch_encode(prompts, self.cfg.clip.ctx),
                           np.int32)
 
+    BATCH_BUCKETS = (1, 2, 4, 8, 16, 32)
+
     def __call__(self, prompts, *, height: int = 512, width: int = 512,
                  num_inference_steps: int = 50, guidance_scale: float = 7.5,
                  latents: Optional[np.ndarray] = None, seed: int = 42,
@@ -164,26 +166,35 @@ class SDPipeline:
         if isinstance(prompts, str):
             prompts = [prompts]
         b = len(prompts)
+        # pad ragged batches up to a bucket: one compiled graph per bucket
+        # instead of one per distinct batch size (single-jit discipline)
+        bucket = next((s for s in self.BATCH_BUCKETS if s >= b), b)
+        if bucket != b:
+            prompts = list(prompts) + [""] * (bucket - b)
         cond = jnp.asarray(self.tokenize(prompts))
-        uncond = jnp.asarray(self.tokenize([""] * b))
+        uncond = jnp.asarray(self.tokenize([""] * len(prompts)))
         if latents is None:
             key = jax.random.key(seed)
             f = self.cfg.vae_scale
             latents = jax.random.normal(
-                key, (b, height // f, width // f, self.cfg.unet.in_channels),
-                jnp.float32)
+                key, (len(prompts), height // f, width // f,
+                      self.cfg.unet.in_channels), jnp.float32)
         else:
             latents = jnp.asarray(latents)
             if latents.ndim == 3:
                 latents = latents[None]
             # accept torch-layout NCHW fixed latents from the parity protocol
-            if latents.shape[-1] != 4 and latents.shape[1] == 4:
+            if latents.shape[-1] != self.cfg.unet.in_channels \
+                    and latents.shape[1] == self.cfg.unet.in_channels:
                 latents = jnp.transpose(latents, (0, 2, 3, 1))
+            if latents.shape[0] < len(prompts):  # pad to the bucket
+                reps = [latents[-1:]] * (len(prompts) - latents.shape[0])
+                latents = jnp.concatenate([latents] + reps, axis=0)
         imgs = sample(self.params, cond, uncond, latents, jax.random.key(seed),
                       guidance_scale, cfg=self.cfg,
                       num_inference_steps=num_inference_steps,
                       compute_dtype=self.compute_dtype, decode=decode)
-        return np.asarray(imgs)
+        return np.asarray(imgs)[:b]
 
     def numpy_to_pil(self, imgs: np.ndarray):
         from PIL import Image
