@@ -9,6 +9,7 @@ Random-init weights (zero-egress image: no pretrained checkpoints available);
 throughput is weight-value-independent.
 """
 import json
+import os
 import sys
 import time
 
@@ -27,7 +28,8 @@ def main():
 
     if on_tpu:
         cfg = PipelineConfig.sd15("ddim")
-        batch, hw, steps = 4, 512, 50
+        batch = int(os.environ.get("SDBC_BENCH_BATCH", "4"))
+        hw, steps = 512, 50
         dt = jnp.bfloat16
     else:  # CPU smoke mode for local runs
         cfg = PipelineConfig.tiny("ddim")

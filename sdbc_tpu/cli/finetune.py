@@ -85,7 +85,13 @@ def main(argv=None):
     mesh = make_mesh(MeshConfig())
     dp = mesh.shape["data"]
     micro_global = args.batch_size * dp
-    steps_per_epoch = max(len(ds) // (micro_global * args.grad_acc_steps), 1)
+    global_batch = micro_global * args.grad_acc_steps
+    if len(ds) < global_batch:
+        raise SystemExit(
+            f"dataset has {len(ds)} examples but one optimizer step consumes "
+            f"{global_batch} (batch_size {args.batch_size} x {dp} devices x "
+            f"grad_acc {args.grad_acc_steps}) — lower them or add data")
+    steps_per_epoch = len(ds) // global_batch
     total_steps = steps_per_epoch * args.epochs
 
     tcfg = TrainConfig(

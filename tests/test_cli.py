@@ -1,0 +1,114 @@
+"""End-to-end CLI tests on a synthetic Goodreads dataset (tiny configs)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tests.data_fixtures import build_fake_dataset
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("clids"))
+    out = str(tmp_path_factory.mktemp("cliout"))
+    build_fake_dataset(root, n_train=8, n_test=4, img_size=32)
+    return {"root": root, "out": out}
+
+
+@pytest.fixture(scope="module")
+def trained_ckpt(env):
+    import sdbc_tpu.cli.finetune as ft
+
+    ft.main(["--tiny", "--data_root", env["root"], "--img_size", "32",
+             "--epochs", "2", "--batch_size", "1", "--grad_acc_steps", "1",
+             "--num_examples", "8", "--train_text_encoder",
+             "--learning_rate", "1e-4", "--no-bf16",
+             "--output_dir", env["out"], "--run_id", "clitest",
+             "--ckpts_per_epoch", "2"])
+    run_dir = os.path.join(env["out"], "runs", "clitest")
+    ckpts = [d for d in os.listdir(run_dir) if d.startswith("ckpt-")]
+    assert ckpts, "no checkpoint saved"
+    # local JSONL tracking always on (wandb absent)
+    assert os.path.exists(os.path.join(run_dir, "events.jsonl"))
+    assert os.path.exists(os.path.join(run_dir, "hyperparams.json"))
+    latest = max(ckpts, key=lambda d: int(d.split("-")[1]))
+    return os.path.join(run_dir, latest)
+
+
+def test_finetune_then_enter_prompt(env, trained_ckpt):
+    import sdbc_tpu.cli.inference as inf
+
+    inf.main(["--mode", "enter_prompt", "--prompt", "a test cover",
+              "--tiny", "--ckpt", trained_ckpt, "--img_size", "32",
+              "--num_inference_steps", "2", "--no-bf16",
+              "--save_dir", env["out"] + "/gen", "--run_id", "clitest"])
+    outdir = os.path.join(env["out"], "gen", "clitest inference")
+    assert any(f.endswith(".png") for f in os.listdir(outdir))
+
+
+def test_precalc_and_calc_fid(env, trained_ckpt):
+    import sdbc_tpu.cli.inference as inf
+    import sdbc_tpu.cli.precalc_fid_stats as pf
+
+    stats = os.path.join(env["out"], "fid_stats.npz")
+    pf.main(["--data_root", env["root"], "--img_size", "32",
+             "--batch_size", "4", "--out", stats, "--tiny"])
+    with np.load(stats) as f:
+        assert f["mu"].ndim == 1 and f["sigma"].ndim == 2
+
+    inf.main(["--mode", "calc_fid", "--tiny", "--ckpt", trained_ckpt,
+              "--data_root", env["root"], "--img_size", "32",
+              "--num_inference_steps", "2", "--num_imgs", "4",
+              "--batch_size", "2", "--save_dir", env["out"] + "/fidgen",
+              "--fid_stats_path", stats, "--no-bf16", "--run_id", "clitest"])
+    gen_dir = os.path.join(env["out"], "fidgen", "clitest inference")
+    score_file = os.path.join(gen_dir, "fid_score.txt")
+    assert os.path.exists(score_file)
+    fid = float(open(score_file).read().strip())
+    assert np.isfinite(fid)
+    # resume-awareness: re-run generates nothing new but still scores
+    n_before = len(os.listdir(gen_dir))
+    inf.main(["--mode", "calc_fid", "--tiny", "--ckpt", trained_ckpt,
+              "--data_root", env["root"], "--img_size", "32",
+              "--num_inference_steps", "2", "--num_imgs", "4",
+              "--batch_size", "2", "--save_dir", env["out"] + "/fidgen",
+              "--fid_stats_path", stats, "--no-bf16", "--run_id", "clitest"])
+    assert len(os.listdir(gen_dir)) == n_before
+
+
+def test_default_mode_grid(env, trained_ckpt):
+    import sdbc_tpu.cli.inference as inf
+
+    inf.main(["--mode", "default", "--tiny", "--ckpt", trained_ckpt,
+              "--img_size", "32", "--num_inference_steps", "2",
+              "--batch_size", "4", "--samples_per_prompt", "1",
+              "--save_dir", env["out"] + "/grids", "--no-bf16",
+              "--run_id", "clitest"])
+    outdir = os.path.join(env["out"], "grids", "clitest inference")
+    assert os.path.exists(os.path.join(
+        outdir, "summerize=False,include_desc=False.png"))
+    assert os.path.exists(os.path.join(outdir, "hyperparams.json"))
+
+
+def test_resume_training(env, trained_ckpt):
+    import sdbc_tpu.cli.finetune as ft
+
+    ft.main(["--tiny", "--data_root", env["root"], "--img_size", "32",
+             "--epochs", "2", "--batch_size", "1", "--grad_acc_steps", "1",
+             "--num_examples", "8", "--train_text_encoder",
+             "--learning_rate", "1e-4", "--no-bf16",
+             "--output_dir", env["out"], "--run_id", "clitest", "--resume"])
+    run_dir = os.path.join(env["out"], "runs", "clitest")
+    assert len([d for d in os.listdir(run_dir)
+                if d.startswith("ckpt-")]) >= 2
+
+
+def test_preprocess_cli(tmp_path):
+    import sdbc_tpu.cli.preprocess as pp
+
+    root = build_fake_dataset(str(tmp_path), n_train=6, n_test=3,
+                              img_size=32, with_source=True)
+    pp.main(["--data_root", root, "--n_test", "3"])
+    assert os.path.exists(os.path.join(root, "df_train.csv"))
+    assert os.path.exists(os.path.join(root, "df_test.csv"))
