@@ -39,6 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--wandb_key", type=str, default="")
     p.add_argument("--bart_ckpt", type=str, default="",
                    help="transformers BART dir for --summarize (DistilBART)")
+    p.add_argument("--cache_interval", type=int, default=0,
+                   help=">1: DeepCache-style fast sampling (approximate; "
+                        "deep UNet trunk reused between every k-th step)")
     common.bool_flag(p, "batch_generate", True)
     common.bool_flag(p, "summarize", False,
                      "summarize book descriptions into prompts (needs "
@@ -90,7 +93,8 @@ def main(argv=None):
             raise SystemExit("--prompt is required with --mode enter_prompt")
         imgs = pipe([args.prompt], height=args.img_size, width=args.img_size,
                     num_inference_steps=args.num_inference_steps,
-                    guidance_scale=args.guidance_scale, seed=args.seed)
+                    guidance_scale=args.guidance_scale, seed=args.seed,
+                    cache_interval=args.cache_interval)
         out = os.path.join(save_dir, f"{args.prompt[:64]}.png")
         pipe.numpy_to_pil(imgs)[0].save(out)
         print(f"saved {out}")

@@ -62,16 +62,21 @@ def encode_text(params, ids, cfg: PipelineConfig, compute_dtype=jnp.bfloat16):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "num_inference_steps", "compute_dtype", "decode"))
+    static_argnames=("cfg", "num_inference_steps", "compute_dtype", "decode",
+                     "cache_interval"))
 def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
            *, cfg: PipelineConfig, num_inference_steps: int = 50,
-           compute_dtype=jnp.bfloat16, decode: bool = True):
+           compute_dtype=jnp.bfloat16, decode: bool = True,
+           cache_interval: int = 0):
     """Run the full CFG sampling graph.
 
     params: {"text_encoder", "unet", "vae"} param trees (fp32 masters; cast here)
     cond_ids/uncond_ids: (B, ctx) int32 token ids
     latents: (B, h/8, w/8, 4) initial noise (inject for fixed-seed parity)
     key: PRNG key (used by the DDPM ancestral sampler only)
+    cache_interval: >1 enables DeepCache-style fast sampling on the DDIM
+      path — the UNet's deep trunk is recomputed every cache_interval steps
+      and reused in between (approximate; 0/1 = exact reference sampling)
     Returns (B, H, W, 3) float images in [0, 1] (or raw latents if decode=False).
     """
     sched = sched_mod.make_schedule(cfg.schedule)
@@ -95,12 +100,44 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
         ts = sched_mod.ddim_timesteps(cfg.schedule, num_inference_steps)
         ratio = cfg.schedule.num_train_timesteps // num_inference_steps
 
-        def body(i, lat):
-            t = ts[i]
-            eps = eps_fn(lat, t)
-            return sched_mod.ddim_step(sched, eps, t, t - ratio, lat)
+        if cache_interval and cache_interval > 1:
+            b2 = 2 * lat.shape[0]
+            deep_ch = cfg.unet.block_out_channels[1]
+            cache0 = jnp.zeros((b2,) + lat.shape[1:3] + (deep_ch,), dt)
 
-        lat = jax.lax.fori_loop(0, num_inference_steps, body, lat)
+            def eps_cached(lat, t, i, cache):
+                lat2 = jnp.concatenate([lat, lat], axis=0)
+                tb = jnp.full((b2,), t, jnp.int32)
+
+                def full(cache):
+                    return unet_mod.apply(uparams, lat2, tb, context,
+                                          cfg.unet, return_deep=True)
+
+                def reuse(cache):
+                    out = unet_mod.apply(uparams, lat2, tb, context,
+                                         cfg.unet, cached_deep=cache)
+                    return out, cache
+
+                eps, cache = jax.lax.cond(i % cache_interval == 0, full,
+                                          reuse, cache)
+                eps_u, eps_c = jnp.split(eps.astype(jnp.float32), 2, axis=0)
+                return eps_u + gs * (eps_c - eps_u), cache
+
+            def body(i, carry):
+                lat, cache = carry
+                t = ts[i]
+                eps, cache = eps_cached(lat, t, i, cache)
+                return sched_mod.ddim_step(sched, eps, t, t - ratio, lat), cache
+
+            lat, _ = jax.lax.fori_loop(0, num_inference_steps, body,
+                                       (lat, cache0))
+        else:
+            def body(i, lat):
+                t = ts[i]
+                eps = eps_fn(lat, t)
+                return sched_mod.ddim_step(sched, eps, t, t - ratio, lat)
+
+            lat = jax.lax.fori_loop(0, num_inference_steps, body, lat)
 
     elif cfg.scheduler == "pndm":
         ts = sched_mod.pndm_timesteps(cfg.schedule, num_inference_steps)
@@ -162,7 +199,7 @@ class SDPipeline:
     def __call__(self, prompts, *, height: int = 512, width: int = 512,
                  num_inference_steps: int = 50, guidance_scale: float = 7.5,
                  latents: Optional[np.ndarray] = None, seed: int = 42,
-                 decode: bool = True):
+                 decode: bool = True, cache_interval: int = 0):
         if isinstance(prompts, str):
             prompts = [prompts]
         b = len(prompts)
@@ -193,7 +230,8 @@ class SDPipeline:
         imgs = sample(self.params, cond, uncond, latents, jax.random.key(seed),
                       guidance_scale, cfg=self.cfg,
                       num_inference_steps=num_inference_steps,
-                      compute_dtype=self.compute_dtype, decode=decode)
+                      compute_dtype=self.compute_dtype, decode=decode,
+                      cache_interval=cache_interval)
         return np.asarray(imgs)[:b]
 
     def numpy_to_pil(self, imgs: np.ndarray):

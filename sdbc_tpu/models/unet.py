@@ -213,11 +213,17 @@ def init(key, cfg: UNetConfig):
 
 
 def apply(params, latents, timesteps, encoder_hidden_states, cfg: UNetConfig,
-          *, remat: bool = False):
+          *, remat: bool = False, cached_deep=None, return_deep: bool = False):
     """latents (N,h,w,4), timesteps (N,), CLIP states (N,77,768) → eps (N,h,w,4).
 
     remat=True rematerialises every ResBlock/transformer in the backward pass
     (the reference's enable_gradient_checkpointing, finetune_sd.py:388-389).
+
+    Deep-feature caching (opt-in fast sampling, DeepCache-style): the "deep"
+    trunk is everything between the first down block and the last up block.
+    return_deep=True additionally returns its output; cached_deep=<that
+    tensor> skips the trunk and reuses it (shallow layers still run).  The
+    default path (both off) is bit-identical to the plain forward.
     """
     g = cfg.norm_groups
     heads = cfg.attention_heads
@@ -234,9 +240,7 @@ def apply(params, latents, timesteps, encoder_hidden_states, cfg: UNetConfig,
     temb = nn.linear(params["time_mlp"]["fc2"],
                      jax.nn.silu(nn.linear(params["time_mlp"]["fc1"], temb)))
 
-    h = nn.conv2d(params["conv_in"], latents)
-    skips = [h]
-    for blk in params["down"]:
+    def run_block_down(blk, h, skips):
         for j, r in enumerate(blk["resnets"]):
             h = res_fn(r, h, temb, g)
             if blk["attns"]:
@@ -245,12 +249,9 @@ def apply(params, latents, timesteps, encoder_hidden_states, cfg: UNetConfig,
         if "downsample" in blk:
             h = nn.conv2d(blk["downsample"], h, stride=2, padding=1)
             skips.append(h)
+        return h
 
-    h = res_fn(params["mid"]["resnet1"], h, temb, g)
-    h = attn_fn(params["mid"]["attn"], h, ctx, heads, g)
-    h = res_fn(params["mid"]["resnet2"], h, temb, g)
-
-    for blk in params["up"]:
+    def run_block_up(blk, h, skips):
         for j, r in enumerate(blk["resnets"]):
             h = jnp.concatenate([h, skips.pop()], axis=-1)
             h = res_fn(r, h, temb, g)
@@ -259,6 +260,30 @@ def apply(params, latents, timesteps, encoder_hidden_states, cfg: UNetConfig,
         if "upsample" in blk:
             h = nn.upsample_nearest_2x(h)
             h = nn.conv2d(blk["upsample"], h)
+        return h
 
+    # shallow head: conv_in + first down block (skips feed the LAST up block)
+    h = nn.conv2d(params["conv_in"], latents)
+    shallow_skips = [h]
+    h = run_block_down(params["down"][0], h, shallow_skips)
+    # the first block's downsample output belongs to the deep trunk's skips
+    deep_skips = [shallow_skips.pop()] if "downsample" in params["down"][0] \
+        else []
+
+    if cached_deep is None:
+        d = h
+        for blk in params["down"][1:]:
+            d = run_block_down(blk, d, deep_skips)
+        d = res_fn(params["mid"]["resnet1"], d, temb, g)
+        d = attn_fn(params["mid"]["attn"], d, ctx, heads, g)
+        d = res_fn(params["mid"]["resnet2"], d, temb, g)
+        for blk in params["up"][:-1]:
+            d = run_block_up(blk, d, deep_skips)
+        deep = d
+    else:
+        deep = cached_deep
+
+    h = run_block_up(params["up"][-1], deep, shallow_skips)
     h = nn.group_norm(params["norm_out"], h, g, act="silu")
-    return nn.conv2d(params["conv_out"], h)
+    out = nn.conv2d(params["conv_out"], h)
+    return (out, deep) if return_deep else out

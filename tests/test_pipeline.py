@@ -59,3 +59,15 @@ def test_other_schedulers_run(tiny_cfg, tiny_params, scheduler):
 def test_batch_generation(pipe):
     imgs = pipe(["a", "b"], height=32, width=32, num_inference_steps=2)
     assert imgs.shape == (2, 32, 32, 3)
+
+
+def test_cache_interval_fast_mode(pipe):
+    """DeepCache fast path: runs, deterministic, approximates the exact path."""
+    lat = per_sample_fixed_latents(1, (4, 8, 8), seed=9)
+    exact = pipe(["z"], num_inference_steps=6, latents=lat)
+    fast1 = pipe(["z"], num_inference_steps=6, latents=lat, cache_interval=3)
+    fast2 = pipe(["z"], num_inference_steps=6, latents=lat, cache_interval=3)
+    np.testing.assert_array_equal(fast1, fast2)
+    assert np.isfinite(fast1).all()
+    # approximate but correlated with the exact result
+    assert np.abs(exact - fast1).mean() < 0.2
