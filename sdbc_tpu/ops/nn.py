@@ -10,6 +10,7 @@ nn.Embedding, SiLU/GELU, and the diffusers sinusoidal timestep embedding.
 """
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional
 
@@ -85,12 +86,9 @@ def init_group_norm(num_channels: int, dtype=jnp.float32):
             "bias": jnp.zeros((num_channels,), dtype)}
 
 
-def group_norm(p, x, num_groups: int = 32, eps: float = 1e-6, act: Optional[str] = None):
-    """GroupNorm over channel groups of an NHWC (or N...C) tensor.
-
-    Statistics in fp32 regardless of compute dtype (bf16-safe), optional fused
-    activation (the UNet/VAE pattern is GroupNorm->SiLU everywhere).
-    """
+def group_norm_ref(p, x, num_groups: int = 32, eps: float = 1e-6,
+                   act: Optional[str] = None):
+    """Reference GroupNorm (4D-reshape formulation); used by tests."""
     orig_dtype = x.dtype
     n, c = x.shape[0], x.shape[-1]
     spatial = x.shape[1:-1]
@@ -106,6 +104,54 @@ def group_norm(p, x, num_groups: int = 32, eps: float = 1e-6, act: Optional[str]
     elif act is not None:
         raise ValueError(f"unknown act {act}")
     return y.astype(orig_dtype)
+
+
+@functools.lru_cache(maxsize=64)
+def _group_onehot(c: int, g: int):
+    """(C, G) 0/1 group-membership matrix (channel ch → group ch // (C/G))."""
+    import numpy as _np
+
+    m = _np.zeros((c, g), _np.float32)
+    cpg = c // g
+    for ch in range(c):
+        m[ch, ch // cpg] = 1.0
+    return jnp.asarray(m)
+
+
+def group_norm(p, x, num_groups: int = 32, eps: float = 1e-6,
+               act: Optional[str] = None):
+    """GroupNorm over channel groups of an NHWC (or N...C) tensor.
+
+    TPU formulation: group statistics via one-hot matmuls on the MXU
+    (einsum over spatial+channel) instead of a 4D lane-splitting reshape —
+    the reshape forced layout changes that showed up as ~17% of sampling
+    device time in the profile.  fp32 statistics, optional fused SiLU.
+    """
+    orig_dtype = x.dtype
+    n, c = x.shape[0], x.shape[-1]
+    g = num_groups
+    cpg = c // g
+    count = (x.size // (n * c)) * cpg  # elements per (sample, group)
+
+    x2d = x.reshape(n, -1, c)
+    m = _group_onehot(c, g)
+    xf = x2d.astype(jnp.float32)
+    s1 = jnp.einsum("nhc,cg->ng", xf, m)            # group sums
+    s2 = jnp.einsum("nhc,cg->ng", xf * xf, m)       # group sum-squares
+    mean_g = s1 / count
+    var_g = jnp.maximum(s2 / count - mean_g * mean_g, 0.0)
+    inv_g = jax.lax.rsqrt(var_g + eps)
+    # per-channel affine folded with the group stats: y = x*a_c + b_c
+    scale = p["scale"].astype(jnp.float32)
+    bias = p["bias"].astype(jnp.float32)
+    a_c = jnp.einsum("ng,cg->nc", inv_g, m) * scale[None]
+    b_c = bias[None] - jnp.einsum("ng,cg->nc", mean_g * inv_g, m) * scale[None]
+    y = xf * a_c[:, None, :] + b_c[:, None, :]
+    if act == "silu":
+        y = jax.nn.silu(y)
+    elif act is not None:
+        raise ValueError(f"unknown act {act}")
+    return y.astype(orig_dtype).reshape(x.shape)
 
 
 def init_layer_norm(dim: int, dtype=jnp.float32):

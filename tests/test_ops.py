@@ -102,3 +102,24 @@ def test_flash_attention_grads_match_xla():
     gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_flash_tt_matches_xla():
+    from sdbc_tpu.ops.flash_attention_tt import flash_attention_tt
+
+    q = jax.random.normal(jax.random.key(20), (1, 2, 128, 24), jnp.float32)
+    k = jax.random.normal(jax.random.key(21), (1, 2, 77, 24), jnp.float32)
+    v = jax.random.normal(jax.random.key(22), (1, 2, 77, 24), jnp.float32)
+    np.testing.assert_allclose(np.asarray(flash_attention_tt(q, k, v)),
+                               np.asarray(xla_attention(q, k, v)), atol=2e-5)
+
+    def loss_tt(q, k, v):
+        return jnp.sum(flash_attention_tt(q, k, v) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(xla_attention(q, k, v) ** 2)
+
+    gf = jax.grad(loss_tt, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
