@@ -34,14 +34,16 @@ def _round_up(x: int, m: int) -> int:
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
                 kv_len: int, block_kv: int, kv_pad: int):
-    q = q_ref[0].astype(jnp.float32)           # (bq, D)
+    q = q_ref[0]                               # (bq, D) native dtype (bf16)
     num_kv = kv_pad // block_kv
     bq, d = q.shape
 
     def body(j, carry):
         m, l, acc = carry
-        k = k_ref[0, pl.ds(j * block_kv, block_kv), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(j * block_kv, block_kv), :].astype(jnp.float32)
+        # keep operands in their native (bf16) dtype: fp32 MXU matmuls run at
+        # a fraction of bf16 rate; accumulation stays fp32 via preferred type
+        k = k_ref[0, pl.ds(j * block_kv, block_kv), :]
+        v = v_ref[0, pl.ds(j * block_kv, block_kv), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale  # (bq, block_kv)
@@ -54,7 +56,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
         alpha = jnp.exp(m - m_new)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         return m_new, l, acc
 
     m0 = jnp.full((bq, 1), _NEG_INF, jnp.float32)

@@ -26,8 +26,8 @@ def _round_up(x: int, m: int) -> int:
 
 def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
                scale, kv_len, block_kv, kv_pad):
-    q = q_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    q = q_ref[0]
+    do = do_ref[0]
     bq, d = q.shape
     jq = pl.program_id(1)
     lse = lse_ref[0, 0, pl.ds(jq * bq, bq)].astype(jnp.float32)[:, None]
@@ -35,8 +35,8 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
     num_kv = kv_pad // block_kv
 
     def body(j, dq):
-        k = k_ref[0, pl.ds(j * block_kv, block_kv), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(j * block_kv, block_kv), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(j * block_kv, block_kv), :]
+        v = v_ref[0, pl.ds(j * block_kv, block_kv), :]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         if kv_pad != kv_len:
@@ -46,7 +46,7 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
         p = jnp.exp(s - lse)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - delta) * scale
+        ds = (p * (dp - delta) * scale).astype(k.dtype)
         return dq + jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
                                         preferred_element_type=jnp.float32)
 
@@ -56,8 +56,8 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
 
 def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                 dk_ref, dv_ref, *, scale, kv_len, block_q, q_pad, block_kv):
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    k = k_ref[0]
+    v = v_ref[0]
     bkv, d = k.shape
     num_q = q_pad // block_q
     col = (pl.program_id(1) * block_kv
@@ -65,8 +65,8 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     def body(i, carry):
         dk, dv = carry
-        q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        do = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        q = q_ref[0, pl.ds(i * block_q, block_q), :]
+        do = do_ref[0, pl.ds(i * block_q, block_q), :]
         lse = lse_ref[0, 0, pl.ds(i * block_q, block_q)].astype(
             jnp.float32)[:, None]
         delta = delta_ref[0, 0, pl.ds(i * block_q, block_q)].astype(

@@ -36,14 +36,14 @@ def _round_up(x: int, m: int) -> int:
 
 def _fwd_tt_kernel(qt_ref, kt_ref, vt_ref, o_ref, lse_ref, *, scale: float,
                    kv_len: int, block_kv: int, kv_pad: int):
-    qt = qt_ref[0].astype(jnp.float32)              # (d, bq)
+    qt = qt_ref[0]                                  # (d, bq) native dtype
     d, bq = qt.shape
     num_kv = kv_pad // block_kv
 
     def body(j, carry):
         m, l, acc = carry
-        kt = kt_ref[0, :, pl.ds(j * block_kv, block_kv)].astype(jnp.float32)
-        vt = vt_ref[0, :, pl.ds(j * block_kv, block_kv)].astype(jnp.float32)
+        kt = kt_ref[0, :, pl.ds(j * block_kv, block_kv)]
+        vt = vt_ref[0, :, pl.ds(j * block_kv, block_kv)]
         # s' (bkv, bq): contraction over the sublane head dim
         s = jax.lax.dot_general(kt, qt, (((0,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
@@ -56,7 +56,8 @@ def _fwd_tt_kernel(qt_ref, kt_ref, vt_ref, o_ref, lse_ref, *, scale: float,
         alpha = jnp.exp(m - m_new)
         l = l * alpha + jnp.sum(p, axis=0, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
-            vt, p, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            vt, p.astype(vt.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         return m_new, l, acc
 
     m0 = jnp.full((1, bq), _NEG_INF, jnp.float32)

@@ -107,15 +107,23 @@ def group_norm_ref(p, x, num_groups: int = 32, eps: float = 1e-6,
 
 
 @functools.lru_cache(maxsize=64)
-def _group_onehot(c: int, g: int):
-    """(C, G) 0/1 group-membership matrix (channel ch → group ch // (C/G))."""
+def _group_onehot_np(c: int, g: int):
+    """(C, G) 0/1 group-membership matrix (channel ch → group ch // (C/G)).
+
+    Cached as NUMPY (a cached jnp constant created inside one trace would
+    leak that trace's tracer into later ones).
+    """
     import numpy as _np
 
     m = _np.zeros((c, g), _np.float32)
     cpg = c // g
     for ch in range(c):
         m[ch, ch // cpg] = 1.0
-    return jnp.asarray(m)
+    return m
+
+
+def _group_onehot(c: int, g: int):
+    return jnp.asarray(_group_onehot_np(c, g))
 
 
 def group_norm(p, x, num_groups: int = 32, eps: float = 1e-6,
