@@ -44,16 +44,18 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
         # a fraction of bf16 rate; accumulation stays fp32 via preferred type
         k = k_ref[0, pl.ds(j * block_kv, block_kv), :]
         v = v_ref[0, pl.ds(j * block_kv, block_kv), :]
+        # q is pre-scaled by scale*log2(e): s is already in log2 space,
+        # saving one full elementwise pass over the (bq, bkv) score matrix
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale  # (bq, block_kv)
+            preferred_element_type=jnp.float32)  # (bq, block_kv), log2 units
         if kv_pad != kv_len:  # mask zero-padded kv positions
             col = j * block_kv + jax.lax.broadcasted_iota(
                 jnp.int32, (bq, block_kv), 1)
             s = jnp.where(col < kv_len, s, _NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
+        p = jnp.exp2(s - m_new)          # exp2: cheaper than exp on the VPU
+        alpha = jnp.exp2(m - m_new)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -66,7 +68,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
     m, l, acc = jax.lax.fori_loop(0, num_kv, body, (m0, l0, acc0))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
     jq = pl.program_id(1)
-    lse_ref[0, 0, pl.ds(jq * bq, bq)] = (m + jnp.log(l)).reshape(bq)
+    # convert the log2-space running stats back to a natural-log LSE
+    ln2 = 0.6931471805599453
+    lse_ref[0, 0, pl.ds(jq * bq, bq)] = (
+        m * ln2 + jnp.log(l)).reshape(bq)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_kv"))
@@ -80,6 +85,8 @@ def _flash_fwd(q, k, v, scale: float, block_q: int = 256, block_kv: int = 512):
     block_kv = min(block_kv, _round_up(sk, 128))
     kv_pad = _round_up(sk, block_kv)
 
+    log2e = 1.4426950408889634
+    q = (q.astype(jnp.float32) * (scale * log2e)).astype(q.dtype)
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, sq_pad - sq), (0, d_pad - d)))
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, kv_pad - sk), (0, d_pad - d)))
     vp = jnp.pad(v, ((0, 0), (0, 0), (0, kv_pad - sk), (0, d_pad - d)))

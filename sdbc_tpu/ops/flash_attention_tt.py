@@ -44,16 +44,17 @@ def _fwd_tt_kernel(qt_ref, kt_ref, vt_ref, o_ref, lse_ref, *, scale: float,
         m, l, acc = carry
         kt = kt_ref[0, :, pl.ds(j * block_kv, block_kv)]
         vt = vt_ref[0, :, pl.ds(j * block_kv, block_kv)]
-        # s' (bkv, bq): contraction over the sublane head dim
+        # s' (bkv, bq): contraction over the sublane head dim; q pre-scaled
+        # by scale*log2(e) so s is in log2 space (one less elementwise pass)
         s = jax.lax.dot_general(kt, qt, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
+                                preferred_element_type=jnp.float32)
         if kv_pad != kv_len:
             row = j * block_kv + jax.lax.broadcasted_iota(
                 jnp.int32, (block_kv, bq), 0)
             s = jnp.where(row < kv_len, s, _NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=0, keepdims=True))  # (1, bq)
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
+        p = jnp.exp2(s - m_new)
+        alpha = jnp.exp2(m - m_new)
         l = l * alpha + jnp.sum(p, axis=0, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
             vt, p.astype(vt.dtype), (((1,), (0,)), ((), ())),
@@ -66,7 +67,9 @@ def _fwd_tt_kernel(qt_ref, kt_ref, vt_ref, o_ref, lse_ref, *, scale: float,
     m, l, acc = jax.lax.fori_loop(0, num_kv, body, (m0, l0, acc0))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
     jq = pl.program_id(1)
-    lse_ref[0, 0, pl.ds(jq * bq, bq)] = (m + jnp.log(l)).reshape(bq)
+    ln2 = 0.6931471805599453
+    lse_ref[0, 0, pl.ds(jq * bq, bq)] = (
+        m * ln2 + jnp.log(l)).reshape(bq)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_kv"))
@@ -80,6 +83,9 @@ def _flash_fwd_tt(q, k, v, scale: float, block_q: int = 256,
     sq_pad = _round_up(sq, block_q)
     block_kv = min(block_kv, _round_up(sk, 128))
     kv_pad = _round_up(sk, block_kv)
+
+    log2e = 1.4426950408889634
+    q = (q.astype(jnp.float32) * (scale * log2e)).astype(q.dtype)
 
     def to_tt(x, s_pad):
         xt = jnp.swapaxes(x, -1, -2)  # (B,H,D,S)
