@@ -67,6 +67,12 @@ def _flash_eligible(q, k) -> bool:
         return False
     sq, d = q.shape[-2], q.shape[-1]
     sk = k.shape[-2]
-    # Flash pays off for the UNet's spatial self/cross attention (256..4096 q
-    # tokens); for CLIP's 77-token causal attention XLA's fused path is fine.
+    # Flash pays off for the UNet's spatial self-attention (256..4096 kv
+    # tokens).  Short-kv cross attention (77 CLIP tokens) and CLIP's causal
+    # attention are MXU-hostile in a flash kernel (tiny K and N) — XLA's
+    # fused path handles them better.  SDBC_ATTN_CROSS=flash forces flash.
+    import os
+
+    if sk < 256 and os.environ.get("SDBC_ATTN_CROSS", "xla") == "xla":
+        return False
     return sq >= 128 and d <= 256
