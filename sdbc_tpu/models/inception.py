@@ -23,7 +23,7 @@ the port; absolute parity requires it (SURVEY.md §7 hard part 3).
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ transformer via ``remat=True``.
 from __future__ import annotations
 
 import dataclasses
-import functools
+
 from typing import Tuple
 
 import jax

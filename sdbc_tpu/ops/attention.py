@@ -11,7 +11,7 @@ impl:
 """
 from __future__ import annotations
 
-import functools
+
 from typing import Optional
 
 import jax
