@@ -52,13 +52,15 @@ def attention(q, k, v, *, causal: bool = False, scale: Optional[float] = None,
         impl = os.environ.get("SDBC_ATTN_IMPL", "auto")
     if impl == "xla":
         return xla_attention(q, k, v, causal=causal, scale=scale)
-    if impl == "flash_tt" or (impl == "auto" and _flash_eligible(q, k)):
+    if impl == "flash" or (impl == "auto" and _flash_eligible(q, k)):
+        # measured-best default (experiments/PERF_NOTES.md): v1 flash for
+        # long-kv self-attention, XLA for short-kv cross (via _flash_eligible)
+        from sdbc_tpu.ops.flash_attention import flash_attention
+        return flash_attention(q, k, v, causal=causal, scale=scale)
+    if impl == "flash_tt":
         # transposed-layout kernel: head dim on sublanes (no 128-lane pad)
         from sdbc_tpu.ops.flash_attention_tt import flash_attention_tt
         return flash_attention_tt(q, k, v, causal=causal, scale=scale)
-    if impl == "flash":
-        from sdbc_tpu.ops.flash_attention import flash_attention
-        return flash_attention(q, k, v, causal=causal, scale=scale)
     return xla_attention(q, k, v, causal=causal, scale=scale)
 
 
