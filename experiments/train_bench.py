@@ -1,0 +1,78 @@
+"""Training throughput on the real chip: the reference's main fine-tune modes.
+
+  config A: text-encoder-only (reference --train_text_encoder default)
+  config B: UNet fine-tune with gradient checkpointing (+8-bit Adam)
+Run: python experiments/train_bench.py [A|B]
+"""
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sdbc_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+import jax
+import jax.numpy as jnp
+
+from sdbc_tpu.diffusion.pipeline import PipelineConfig
+from sdbc_tpu.models import clip, unet, vae
+from sdbc_tpu.train.trainer import TrainConfig, init_train_state, make_train_step
+
+
+def main():
+    mode = (sys.argv[1] if len(sys.argv) > 1 else "A").upper()
+    cfg = PipelineConfig.sd15()
+
+    @jax.jit
+    def build(key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        return {"text_encoder": clip.init(k1, cfg.clip),
+                "unet": unet.init(k2, cfg.unet),
+                "vae": vae.init(k3, cfg.vae)}
+
+    params = build(jax.random.key(0))
+    print("params ready", flush=True)
+
+    if mode == "A":
+        tcfg = TrainConfig(train_text_encoder=True, train_unet=False,
+                           grad_accum=4, num_examples=1000)
+        micro = 4
+    else:
+        tcfg = TrainConfig(train_text_encoder=False, train_unet=True,
+                           grad_ckpt=True, use_8bit_adam=True,
+                           grad_accum=4, num_examples=1000)
+        micro = 2
+
+    state = init_train_state(params, tcfg, compute_dtype=jnp.bfloat16)
+    del params
+    step = make_train_step(cfg, tcfg, compute_dtype=jnp.bfloat16, donate=True)
+    batch = {
+        "pixel_values": jnp.zeros((tcfg.grad_accum, micro, 512, 512, 3),
+                                  jnp.bfloat16),
+        "input_ids": jnp.ones((tcfg.grad_accum, micro, 77), jnp.int32),
+    }
+    key = jax.random.key(1)
+    print("compiling train step...", flush=True)
+    t0 = time.perf_counter()
+    state, m = step(state, batch, key)
+    print(f"first step (compile) {time.perf_counter()-t0:.1f}s "
+          f"loss={float(m['loss']):.4f}", flush=True)
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        state, m = step(state, batch, key)
+        _ = float(m["loss"])  # host sync
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    imgs = tcfg.grad_accum * micro
+    print(f"mode {mode}: {dt:.3f}s/step, {imgs/dt:.2f} train imgs/s/chip "
+          f"(micro {micro} x accum {tcfg.grad_accum})", flush=True)
+
+
+if __name__ == "__main__":
+    main()

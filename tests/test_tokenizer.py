@@ -87,3 +87,24 @@ def test_templates_format():
     ph = templates.padded_placeholders(13)
     assert len(ph) == 13
     assert all("{summary}" in t for t in ph)
+
+
+def test_bpe_matches_transformers_clip_tokenizer(vocab_dir):
+    """Same vocab files → identical token ids as transformers.CLIPTokenizer.
+
+    Real cross-implementation parity: with the actual openai/clip vocab files
+    this tokenizer produces the reference's exact input_ids (utils.py:148-154).
+    """
+    hf_mod = pytest.importorskip("transformers")
+    import json
+    import os
+
+    # the module fixture's vocab + some richer merges
+    hf = hf_mod.CLIPTokenizer(os.path.join(vocab_dir, "vocab.json"),
+                              os.path.join(vocab_dir, "merges.txt"))
+    ours = CLIPTokenizer.from_pretrained(vocab_dir)
+    for text in ["book", "ok book", "a b c", "BOOK ok", "zzz qqq book"]:
+        h = hf(text, padding="max_length", truncation=True,
+               max_length=12)["input_ids"]
+        o = ours.encode(text, max_length=12)
+        assert h == o, (text, h, o)
