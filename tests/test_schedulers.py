@@ -99,3 +99,40 @@ def test_pndm_multistep_runs_finite():
         state, x = S.pndm_step(SCHED, CFG, state, eps, ts[i], x, 10)
     assert np.all(np.isfinite(np.asarray(x)))
     assert int(state.count) == int(ts.shape[0])
+
+
+def test_pndm_constant_eps_matches_closed_form():
+    """With a constant eps field every multistep average equals eps, so the
+    PLMS trajectory must equal the closed-form _get_prev_sample chain over
+    the PLMS timestep sequence — validates the ring buffer + warmup logic."""
+    steps = 10
+    ts = np.asarray(S.pndm_timesteps(CFG, steps))
+    ratio = CFG.num_train_timesteps // steps
+    eps = jnp.full((1, 2, 2, 1), 0.3)
+    x = jnp.ones((1, 2, 2, 1))
+
+    state = S.pndm_init_state(x.shape)
+    x_pndm = x
+    for i in range(len(ts)):
+        state, x_pndm = S.pndm_step(SCHED, CFG, state, eps, jnp.asarray(ts[i]),
+                                    x_pndm, steps)
+
+    # closed-form: same sequence of (t_eff → t_prev) transitions with eps
+    def prev_sample(x, t, t_prev):
+        a_t = np.asarray(SCHED.alphas_cumprod)[t]
+        a_prev = (np.asarray(SCHED.alphas_cumprod)[t_prev] if t_prev >= 0
+                  else float(SCHED.final_alpha_cumprod))
+        denom = a_t * np.sqrt(1 - a_prev) + np.sqrt(a_t * a_prev * (1 - a_t))
+        return (np.sqrt(a_prev / a_t) * np.asarray(x)
+                - (a_prev - a_t) * 0.3 / denom)
+
+    x_ref = np.asarray(x, np.float64)
+    # transitions: step0: ts[0]→ts[0]-r; step1 (counter==1): ts[1]+r→ts[1]
+    # applied to the ORIGINAL x (cur_sample); then ts[2]→ts[2]-r, ...
+    x0_saved = x_ref.copy()
+    x_ref = prev_sample(x_ref, ts[0], ts[0] - ratio)
+    x_ref = prev_sample(x0_saved, ts[1] + ratio, ts[1])
+    for i in range(2, len(ts)):
+        x_ref = prev_sample(x_ref, ts[i], ts[i] - ratio)
+
+    np.testing.assert_allclose(np.asarray(x_pndm), x_ref, rtol=1e-4)
