@@ -26,21 +26,37 @@ def english_keep_ratio(text: str) -> float:
     return len(_EN_CHARS.findall(text)) / len(text)
 
 
-def readable_indices(df, image_dir: str, verbose: bool = False) -> List:
+def readable_indices(df, image_dir: str, verbose: bool = False,
+                     collect_sizes: bool = False):
     """Indices whose <index>.jpg decodes cleanly (notebook cells 3, 17).
 
     Uses the native C++ probe when built (fast path), PIL otherwise.
+    collect_sizes=True additionally returns (W, H) per readable image — the
+    notebook's size-histogram data (cell 3).
     """
     from sdbc_tpu.data.native_loader import probe
 
     good = []
+    sizes = []
     for i, idx in enumerate(df.index):
-        if probe(os.path.join(image_dir, f"{idx}.jpg")):
+        path = os.path.join(image_dir, f"{idx}.jpg")
+        if collect_sizes:
+            try:
+                from PIL import Image
+
+                with Image.open(path) as im:
+                    sizes.append(im.size)
+                good.append(idx)
+            except Exception:
+                pass
+        elif probe(path):
             good.append(idx)
         if verbose and (i + 1) % 1000 == 0:
             print(f"\rimage check {i + 1}/{len(df)}", end="", flush=True)
     if verbose:
         print()
+    if collect_sizes:
+        return good, sizes
     return good
 
 
@@ -53,10 +69,17 @@ def preprocess(data_root: str, source_csv: str = "book_data.csv",
     df = pd.read_csv(os.path.join(data_root, source_csv), index_col=0)
     image_dir = os.path.join(data_root, "images", "images")
 
-    good = readable_indices(df, image_dir, verbose)
+    good, sizes = readable_indices(df, image_dir, verbose, collect_sizes=True)
     df = df.loc[good]
     if verbose:
         print(f"readable images: {len(df)}")
+        if sizes:
+            import numpy as np
+
+            arr = np.asarray(sizes, np.float64)
+            print(f"image size: mean W {arr[:, 0].mean():.1f}, "
+                  f"mean H {arr[:, 1].mean():.1f} "
+                  f"(the notebook's cell-3 histogram summary)")
 
     df = df[[c for c in KEEP_COLUMNS if c in df.columns]].dropna()
 
