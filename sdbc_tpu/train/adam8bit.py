@@ -52,9 +52,12 @@ def _adam8_kernel(g_ref, p_ref, mq_ref, ms_ref, vq_ref, vs_ref, lr_ref,
     m = b1 * m + (1.0 - b1) * g
     v = b2 * v + (1.0 - b2) * g * g
 
+    import math
+
     step = step_ref[0, 0].astype(jnp.float32)
-    bc1 = 1.0 - jnp.power(b1, step)
-    bc2 = 1.0 - jnp.power(b2, step)
+    # b**step as exp(step·ln b): Mosaic has no powf lowering
+    bc1 = 1.0 - jnp.exp(step * math.log(b1))
+    bc2 = 1.0 - jnp.exp(step * math.log(b2))
     m_hat = m / bc1
     v_hat = v / bc2
     lr = lr_ref[0, 0]
