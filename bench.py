@@ -60,9 +60,12 @@ def main():
     latents = jax.random.normal(key, (batch, hw // f, hw // f,
                                       cfg.unet.in_channels), jnp.float32)
 
+    cache_interval = int(os.environ.get("SDBC_BENCH_CACHE_INTERVAL", "0"))
+
     def run():
         return sample(params, cond, uncond, latents, key, 7.5, cfg=cfg,
-                      num_inference_steps=steps, compute_dtype=dt)
+                      num_inference_steps=steps, compute_dtype=dt,
+                      cache_interval=cache_interval)
 
     def run_sync():
         # force a device→host readback: block_until_ready alone is not a
@@ -87,9 +90,12 @@ def main():
     ips = batch / dt_run
 
     target = 2.0  # images/sec/chip north star (BASELINE.json)
+    mode = "sd15" if on_tpu else "tiny-cpu-smoke"
+    if cache_interval:
+        mode += f", deepcache k={cache_interval}"
     print(json.dumps({
         "metric": f"images/sec/chip @ {hw}x{hw}, {steps}-step DDIM, CFG, "
-                  f"batch {batch} ({'sd15' if on_tpu else 'tiny-cpu-smoke'})",
+                  f"batch {batch} ({mode})",
         "value": round(ips, 4),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / target, 4),
