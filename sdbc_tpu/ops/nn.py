@@ -134,7 +134,16 @@ def group_norm(p, x, num_groups: int = 32, eps: float = 1e-6,
     (einsum over spatial+channel) instead of a 4D lane-splitting reshape —
     the reshape forced layout changes that showed up as ~17% of sampling
     device time in the profile.  fp32 statistics, optional fused SiLU.
+    On TPU, VMEM-sized tensors go through the fused single-HBM-pass Pallas
+    kernel (ops/pallas_groupnorm.py); set SDBC_GN_FUSED=0 to disable.
     """
+    import os
+
+    if act in (None, "silu") and os.environ.get("SDBC_GN_FUSED", "1") == "1":
+        from sdbc_tpu.ops import pallas_groupnorm as pgn
+
+        if pgn.eligible(x, num_groups):
+            return pgn.fused_group_norm(p, x, num_groups, eps, act)
     orig_dtype = x.dtype
     n, c = x.shape[0], x.shape[-1]
     g = num_groups

@@ -123,3 +123,24 @@ def test_flash_tt_matches_xla():
     gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_fused_groupnorm_kernel_matches_ref():
+    from sdbc_tpu.ops import pallas_groupnorm as pgn
+
+    x = jax.random.normal(jax.random.key(30), (2, 8, 8, 32)) * 2 + 0.5
+    p = {"scale": jnp.ones((32,)) * 1.3 + 0.1, "bias": jnp.zeros((32,)) + 0.2}
+    for act in (None, "silu"):
+        a = nn.group_norm_ref(p, x, 8, act=act)
+        b = pgn.fused_group_norm(p, x, 8, act=act)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def loss(x):
+        return jnp.sum(pgn.fused_group_norm(p, x, 8, act="silu") ** 2)
+
+    def loss_ref(x):
+        return jnp.sum(nn.group_norm_ref(p, x, 8, act="silu") ** 2)
+
+    ga = jax.grad(loss)(x)
+    gb = jax.grad(loss_ref)(x)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-4)
