@@ -134,12 +134,14 @@ def group_norm(p, x, num_groups: int = 32, eps: float = 1e-6,
     (einsum over spatial+channel) instead of a 4D lane-splitting reshape —
     the reshape forced layout changes that showed up as ~17% of sampling
     device time in the profile.  fp32 statistics, optional fused SiLU.
-    On TPU, VMEM-sized tensors go through the fused single-HBM-pass Pallas
-    kernel (ops/pallas_groupnorm.py); set SDBC_GN_FUSED=0 to disable.
+    SDBC_GN_FUSED=1 routes VMEM-sized tensors through the single-HBM-pass
+    Pallas kernel (ops/pallas_groupnorm.py) — measured slightly SLOWER than
+    XLA's own fusion on v5e (3.18 vs 2.96 ms at (8,64,64,320)), so off by
+    default; kept as an implementation option.
     """
     import os
 
-    if act in (None, "silu") and os.environ.get("SDBC_GN_FUSED", "1") == "1":
+    if act in (None, "silu") and os.environ.get("SDBC_GN_FUSED", "0") == "1":
         from sdbc_tpu.ops import pallas_groupnorm as pgn
 
         if pgn.eligible(x, num_groups):

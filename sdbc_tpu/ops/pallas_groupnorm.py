@@ -27,16 +27,28 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+_ROW_TILE = 256
+
+
 def _gn_kernel(x_ref, m_ref, scale_ref, bias_ref, y_ref, *, eps: float,
                count: float, silu: bool, hw_len: int):
-    x = x_ref[0]                                   # (HW_pad, C) native dtype
-    xf = x.astype(jnp.float32)
-    if x.shape[0] != hw_len:                       # zero-padded rows
-        row = jax.lax.broadcasted_iota(jnp.int32, xf.shape, 0)
-        xf = jnp.where(row < hw_len, xf, 0.0)
+    """x stays VMEM-resident; fp32 temporaries live only per ROW_TILE slab
+    (Mosaic materialises whole-block intermediates on the VMEM stack, so
+    whole-block fp32 math OOMs at (4096, 320))."""
+    hw_pad, c = x_ref.shape[1], x_ref.shape[2]
+    tiles = hw_pad // _ROW_TILE
     m = m_ref[:]                                   # (C, G) one-hot
-    col_s1 = jnp.sum(xf, axis=0, keepdims=True)            # (1, C)
-    col_s2 = jnp.sum(xf * xf, axis=0, keepdims=True)
+
+    def stats_body(i, carry):
+        s1, s2 = carry
+        xt = x_ref[0, pl.ds(i * _ROW_TILE, _ROW_TILE), :].astype(jnp.float32)
+        # zero-padded rows contribute nothing to either sum
+        return s1 + jnp.sum(xt, axis=0, keepdims=True), \
+            s2 + jnp.sum(xt * xt, axis=0, keepdims=True)
+
+    z = jnp.zeros((1, c), jnp.float32)
+    col_s1, col_s2 = jax.lax.fori_loop(0, tiles, stats_body, (z, z))
+
     s1 = jax.lax.dot_general(col_s1, m, (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)  # (1, G)
     s2 = jax.lax.dot_general(col_s2, m, (((1,), (0,)), ((), ())),
@@ -51,16 +63,22 @@ def _gn_kernel(x_ref, m_ref, scale_ref, bias_ref, y_ref, *, eps: float,
                                  preferred_element_type=jnp.float32)
     a_c = inv_c * scale_ref[:]                              # (1, C)
     b_c = bias_ref[:] - mean_c * a_c
-    y = xf * a_c + b_c
-    if silu:
-        y = y * jax.nn.sigmoid(y)
-    y_ref[0] = y.astype(y_ref.dtype)
+
+    def norm_body(i, _):
+        xt = x_ref[0, pl.ds(i * _ROW_TILE, _ROW_TILE), :].astype(jnp.float32)
+        y = xt * a_c + b_c
+        if silu:
+            y = y * jax.nn.sigmoid(y)
+        y_ref[0, pl.ds(i * _ROW_TILE, _ROW_TILE), :] = y.astype(y_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, tiles, norm_body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("num_groups", "eps", "silu"))
 def _gn_fwd(x2d, m, scale, bias, num_groups: int, eps: float, silu: bool):
     n, hw, c = x2d.shape
-    hw_pad = _round_up(hw, 8)
+    hw_pad = _round_up(hw, _ROW_TILE)
     xp = jnp.pad(x2d, ((0, 0), (0, hw_pad - hw), (0, 0)))
     interpret = jax.default_backend() != "tpu"
     count = float(hw * (c // num_groups))
