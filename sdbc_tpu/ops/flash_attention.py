@@ -75,7 +75,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_kv"))
-def _flash_fwd(q, k, v, scale: float, block_q: int = 256, block_kv: int = 512):
+def _flash_fwd(q, k, v, scale: float, block_q: int = 512, block_kv: int = 1024):
     """Returns (out, lse) with out (B,H,Sq,D) and lse (B,H,Sq) fp32."""
     b, h, sq, d = q.shape
     sk = k.shape[2]
