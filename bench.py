@@ -61,11 +61,12 @@ def main():
                                       cfg.unet.in_channels), jnp.float32)
 
     cache_interval = int(os.environ.get("SDBC_BENCH_CACHE_INTERVAL", "0"))
+    cache_tail = int(os.environ.get("SDBC_BENCH_CACHE_TAIL", "0"))
 
     def run():
         return sample(params, cond, uncond, latents, key, 7.5, cfg=cfg,
                       num_inference_steps=steps, compute_dtype=dt,
-                      cache_interval=cache_interval)
+                      cache_interval=cache_interval, cache_tail=cache_tail)
 
     def run_sync():
         # force a device→host readback: block_until_ready alone is not a

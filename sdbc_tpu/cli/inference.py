@@ -42,6 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cache_interval", type=int, default=0,
                    help=">1: DeepCache-style fast sampling (approximate; "
                         "deep UNet trunk reused between every k-th step)")
+    p.add_argument("--cache_tail", type=int, default=0,
+                   help="fast-sampling cache boundary: how many trailing "
+                        "ResNets run fresh on cached steps (1=aggressive, "
+                        "0=conservative default)")
     common.bool_flag(p, "batch_generate", True)
     common.bool_flag(p, "summarize", False,
                      "summarize book descriptions into prompts (needs "
@@ -94,7 +98,8 @@ def main(argv=None):
         imgs = pipe([args.prompt], height=args.img_size, width=args.img_size,
                     num_inference_steps=args.num_inference_steps,
                     guidance_scale=args.guidance_scale, seed=args.seed,
-                    cache_interval=args.cache_interval)
+                    cache_interval=args.cache_interval,
+                    cache_tail=args.cache_tail)
         out = os.path.join(save_dir, f"{args.prompt[:64]}.png")
         pipe.numpy_to_pil(imgs)[0].save(out)
         print(f"saved {out}")

@@ -63,11 +63,11 @@ def encode_text(params, ids, cfg: PipelineConfig, compute_dtype=jnp.bfloat16):
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "num_inference_steps", "compute_dtype", "decode",
-                     "cache_interval"))
+                     "cache_interval", "cache_tail"))
 def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
            *, cfg: PipelineConfig, num_inference_steps: int = 50,
            compute_dtype=jnp.bfloat16, decode: bool = True,
-           cache_interval: int = 0):
+           cache_interval: int = 0, cache_tail: int = 0):
     """Run the full CFG sampling graph.
 
     params: {"text_encoder", "unet", "vae"} param trees (fp32 masters; cast here)
@@ -102,7 +102,10 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
 
         if cache_interval and cache_interval > 1:
             b2 = 2 * lat.shape[0]
-            deep_ch = cfg.unet.block_out_channels[1]
+            total_tail = cfg.unet.layers_per_block + 1
+            aggressive = 0 < cache_tail < total_tail
+            deep_ch = cfg.unet.block_out_channels[0] if aggressive \
+                else cfg.unet.block_out_channels[1]
             cache0 = jnp.zeros((b2,) + lat.shape[1:3] + (deep_ch,), dt)
 
             def eps_cached(lat, t, i, cache):
@@ -111,11 +114,13 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
 
                 def full(cache):
                     return unet_mod.apply(uparams, lat2, tb, context,
-                                          cfg.unet, return_deep=True)
+                                          cfg.unet, return_deep=True,
+                                          cache_tail=cache_tail)
 
                 def reuse(cache):
                     out = unet_mod.apply(uparams, lat2, tb, context,
-                                         cfg.unet, cached_deep=cache)
+                                         cfg.unet, cached_deep=cache,
+                                         cache_tail=cache_tail)
                     return out, cache
 
                 eps, cache = jax.lax.cond(i % cache_interval == 0, full,
@@ -199,7 +204,8 @@ class SDPipeline:
     def __call__(self, prompts, *, height: int = 512, width: int = 512,
                  num_inference_steps: int = 50, guidance_scale: float = 7.5,
                  latents: Optional[np.ndarray] = None, seed: int = 42,
-                 decode: bool = True, cache_interval: int = 0):
+                 decode: bool = True, cache_interval: int = 0,
+                 cache_tail: int = 0):
         if isinstance(prompts, str):
             prompts = [prompts]
         b = len(prompts)
@@ -231,7 +237,7 @@ class SDPipeline:
                       guidance_scale, cfg=self.cfg,
                       num_inference_steps=num_inference_steps,
                       compute_dtype=self.compute_dtype, decode=decode,
-                      cache_interval=cache_interval)
+                      cache_interval=cache_interval, cache_tail=cache_tail)
         return np.asarray(imgs)[:b]
 
     def numpy_to_pil(self, imgs: np.ndarray):

@@ -213,17 +213,21 @@ def init(key, cfg: UNetConfig):
 
 
 def apply(params, latents, timesteps, encoder_hidden_states, cfg: UNetConfig,
-          *, remat: bool = False, cached_deep=None, return_deep: bool = False):
+          *, remat: bool = False, cached_deep=None, return_deep: bool = False,
+          cache_tail: int = 0):
     """latents (N,h,w,4), timesteps (N,), CLIP states (N,77,768) → eps (N,h,w,4).
 
     remat=True rematerialises every ResBlock/transformer in the backward pass
     (the reference's enable_gradient_checkpointing, finetune_sd.py:388-389).
 
     Deep-feature caching (opt-in fast sampling, DeepCache-style): the "deep"
-    trunk is everything between the first down block and the last up block.
-    return_deep=True additionally returns its output; cached_deep=<that
-    tensor> skips the trunk and reuses it (shallow layers still run).  The
-    default path (both off) is bit-identical to the plain forward.
+    trunk is cached between steps; return_deep=True additionally returns its
+    output, cached_deep=<that tensor> skips it.  ``cache_tail`` sets the
+    boundary = how many trailing ResNets of the LAST up block run fresh on
+    cached steps (0/default = all of them, plus the whole first down block —
+    the conservative split; 1 = aggressive: only conv_in, the final ResBlock
+    and the output head run on cached steps).  The no-cache path is
+    bit-identical to the plain forward for any cache_tail.
     """
     g = cfg.norm_groups
     heads = cfg.attention_heads
@@ -262,16 +266,34 @@ def apply(params, latents, timesteps, encoder_hidden_states, cfg: UNetConfig,
             h = nn.conv2d(blk["upsample"], h)
         return h
 
-    # shallow head: conv_in + first down block (skips feed the LAST up block)
+    blk0 = params["down"][0]
+    last_up = params["up"][-1]
+    total_tail = len(last_up["resnets"])
+    ct = cache_tail if cache_tail and 0 < cache_tail <= total_tail \
+        else total_tail
+    head_resnets = ct - 1  # down[0] resnets whose skips the fresh tail pops
+
+    def run_resnet_j(blk, j, h, skips=None):
+        h = res_fn(blk["resnets"][j], h, temb, g)
+        if blk["attns"]:
+            h = attn_fn(blk["attns"][j], h, ctx, heads, g)
+        if skips is not None:
+            skips.append(h)
+        return h
+
+    # shallow head: conv_in + the first (ct-1) resnets of down[0]
     h = nn.conv2d(params["conv_in"], latents)
     shallow_skips = [h]
-    h = run_block_down(params["down"][0], h, shallow_skips)
-    # the first block's downsample output belongs to the deep trunk's skips
-    deep_skips = [shallow_skips.pop()] if "downsample" in params["down"][0] \
-        else []
+    for j in range(head_resnets):
+        h = run_resnet_j(blk0, j, h, shallow_skips)
 
     if cached_deep is None:
-        d = h
+        d, deep_skips = h, []
+        for j in range(head_resnets, len(blk0["resnets"])):
+            d = run_resnet_j(blk0, j, d, deep_skips)
+        if "downsample" in blk0:
+            d = nn.conv2d(blk0["downsample"], d, stride=2, padding=1)
+            deep_skips.append(d)
         for blk in params["down"][1:]:
             d = run_block_down(blk, d, deep_skips)
         d = res_fn(params["mid"]["resnet1"], d, temb, g)
@@ -279,11 +301,18 @@ def apply(params, latents, timesteps, encoder_hidden_states, cfg: UNetConfig,
         d = res_fn(params["mid"]["resnet2"], d, temb, g)
         for blk in params["up"][:-1]:
             d = run_block_up(blk, d, deep_skips)
+        # deep-owned leading resnets of the last up block
+        for j in range(total_tail - ct):
+            d = jnp.concatenate([d, deep_skips.pop()], axis=-1)
+            d = run_resnet_j(last_up, j, d)
         deep = d
     else:
         deep = cached_deep
 
-    h = run_block_up(params["up"][-1], deep, shallow_skips)
+    h = deep
+    for j in range(total_tail - ct, total_tail):
+        h = jnp.concatenate([h, shallow_skips.pop()], axis=-1)
+        h = run_resnet_j(last_up, j, h)
     h = nn.group_norm(params["norm_out"], h, g, act="silu")
     out = nn.conv2d(params["conv_out"], h)
     return (out, deep) if return_deep else out
