@@ -94,6 +94,8 @@ def main():
     mode = "sd15" if on_tpu else "tiny-cpu-smoke"
     if cache_interval:
         mode += f", deepcache k={cache_interval}"
+        if cache_tail:
+            mode += f" tail={cache_tail}"
     print(json.dumps({
         "metric": f"images/sec/chip @ {hw}x{hw}, {steps}-step DDIM, CFG, "
                   f"batch {batch} ({mode})",
