@@ -48,7 +48,7 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--tokenizer_dir", type=str, default="",
                    help="dir with CLIP vocab.json+merges.txt")
     p.add_argument("--scheduler", type=str, default="ddim",
-                   choices=["ddim", "pndm", "ddpm"])
+                   choices=["ddim", "pndm", "ddpm", "dpm"])
     p.add_argument("--seed", type=int, default=42)
     bool_flag(p, "tiny", False, "tiny test config instead of SD-1.5")
     bool_flag(p, "bf16", True, "bfloat16 compute")

@@ -207,3 +207,66 @@ def pndm_step(sched: Schedule, cfg: ScheduleConfig, state: PNDMState, eps, t,
     new_state = PNDMState(ets=new_ets, count=count + 1,
                           cur_sample=new_cur.astype(x_t.dtype))
     return new_state, x_prev.astype(x_t.dtype)
+
+
+# ---------------------------------------------------------------------------
+# DPM-Solver++ (2M) — beyond-reference bonus: DDIM-quality samples in
+# ~20-25 steps.  Second-order multistep solver in log-SNR (lambda) space,
+# data-prediction formulation (Lu et al. 2022, multistep variant).
+
+
+class DPMState(NamedTuple):
+    prev_x0: jax.Array     # x0 prediction from the previous step
+    count: jax.Array       # () int32 — steps taken so far
+
+
+def dpm_timesteps(cfg: ScheduleConfig, num_inference_steps: int) -> jnp.ndarray:
+    """Same leading-space descending sequence as DDIM."""
+    return ddim_timesteps(cfg, num_inference_steps)
+
+
+def dpm_init_state(latent_shape) -> DPMState:
+    return DPMState(prev_x0=jnp.zeros(latent_shape, jnp.float32),
+                    count=jnp.asarray(0, jnp.int32))
+
+
+def _lambda_of(alpha_bar):
+    """log-SNR lambda = log(alpha/sigma) with alpha=sqrt(ā), sigma=sqrt(1-ā)."""
+    a = jnp.sqrt(alpha_bar)
+    s = jnp.sqrt(1.0 - alpha_bar)
+    return jnp.log(jnp.maximum(a, 1e-20)) - jnp.log(jnp.maximum(s, 1e-20))
+
+
+def dpm_step(sched: Schedule, cfg: ScheduleConfig, state: DPMState, eps, t,
+             t_prev, x_t):
+    """One DPM-Solver++(2M) step t → t_prev.  Returns (new_state, x_prev).
+
+    First step falls back to first-order (= DDIM-like data-prediction update);
+    later steps use the 2nd-order multistep correction from the stored x0.
+    """
+    a_t = sched.alphas_cumprod[t]
+    a_prev = jnp.where(t_prev >= 0,
+                       sched.alphas_cumprod[jnp.maximum(t_prev, 0)],
+                       sched.final_alpha_cumprod)
+    xf = x_t.astype(jnp.float32)
+    ef = eps.astype(jnp.float32)
+
+    alpha_t, sigma_t = jnp.sqrt(a_t), jnp.sqrt(1.0 - a_t)
+    alpha_p, sigma_p = jnp.sqrt(a_prev), jnp.sqrt(1.0 - a_prev)
+    x0 = (xf - sigma_t * ef) / alpha_t
+
+    lam_t = _lambda_of(a_t)
+    lam_p = _lambda_of(a_prev)
+    h = lam_p - lam_t
+
+    # 2M correction: extrapolate the x0 trajectory using the previous x0.
+    # r = h_prev / h is approximated as 1 (uniform-lambda assumption is not
+    # needed: the standard 2M uses the actual previous h; we store only x0 and
+    # use the local first-difference, the common simplified variant).
+    x0_2m = jnp.where(state.count > 0, 1.5 * x0 - 0.5 * state.prev_x0, x0)
+
+    phi = jnp.expm1(-h)
+    x_prev = (sigma_p / sigma_t) * xf - alpha_p * phi * x0_2m
+
+    return DPMState(prev_x0=x0, count=state.count + 1), \
+        x_prev.astype(x_t.dtype)

@@ -136,3 +136,29 @@ def test_pndm_constant_eps_matches_closed_form():
         x_ref = prev_sample(x_ref, ts[i], ts[i] - ratio)
 
     np.testing.assert_allclose(np.asarray(x_pndm), x_ref, rtol=1e-4)
+
+
+def test_dpm_first_order_step_recovers_qsample():
+    """With exact eps, the first DPM-Solver++ step maps x_t exactly onto the
+    closed-form q-sample at t_prev (same invariant DDIM satisfies)."""
+    x0 = jax.random.normal(jax.random.key(7), (1, 4, 4, 2))
+    noise = jax.random.normal(jax.random.key(8), (1, 4, 4, 2))
+    t = jnp.asarray(801)
+    x_t = S.ddpm_add_noise(SCHED, x0, noise, t[None])
+    state = S.dpm_init_state(x_t.shape)
+    _, x_prev = S.dpm_step(SCHED, CFG, state, noise, t, jnp.asarray(781), x_t)
+    expect = S.ddpm_add_noise(SCHED, x0, noise, jnp.asarray(781)[None])
+    np.testing.assert_allclose(np.asarray(x_prev), np.asarray(expect),
+                               atol=1e-4)
+
+
+def test_dpm_multistep_runs_finite_and_uses_history():
+    x = jax.random.normal(jax.random.key(9), (1, 4, 4, 2))
+    state = S.dpm_init_state(x.shape)
+    ts = S.dpm_timesteps(CFG, 10)
+    ratio = CFG.num_train_timesteps // 10
+    for i in range(10):
+        eps = x * 0.1
+        state, x = S.dpm_step(SCHED, CFG, state, eps, ts[i], ts[i] - ratio, x)
+    assert np.all(np.isfinite(np.asarray(x)))
+    assert int(state.count) == 10
