@@ -27,9 +27,10 @@ def main():
     from sdbc_tpu.utils.dtypes import cast_floating
 
     if on_tpu:
-        cfg = PipelineConfig.sd15("ddim")
+        cfg = PipelineConfig.sd15(os.environ.get("SDBC_BENCH_SCHEDULER", "ddim"))
         batch = int(os.environ.get("SDBC_BENCH_BATCH", "4"))
-        hw, steps = 512, 50
+        hw = 512
+        steps = int(os.environ.get("SDBC_BENCH_STEPS", "50"))
         dt = jnp.bfloat16
     else:  # CPU smoke mode for local runs
         cfg = PipelineConfig.tiny("ddim")
@@ -97,7 +98,8 @@ def main():
         if cache_tail:
             mode += f" tail={cache_tail}"
     print(json.dumps({
-        "metric": f"images/sec/chip @ {hw}x{hw}, {steps}-step DDIM, CFG, "
+        "metric": f"images/sec/chip @ {hw}x{hw}, {steps}-step "
+                  f"{cfg.scheduler.upper()}, CFG, "
                   f"batch {batch} ({mode})",
         "value": round(ips, 4),
         "unit": "images/sec/chip",
