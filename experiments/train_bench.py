@@ -42,8 +42,13 @@ def main():
         tcfg = TrainConfig(train_text_encoder=True, train_unet=False,
                            grad_accum=4, num_examples=1000)
         micro = 4
-    else:
+    elif mode == "B":
         tcfg = TrainConfig(train_text_encoder=False, train_unet=True,
+                           grad_ckpt=True, use_8bit_adam=True,
+                           grad_accum=4, num_examples=1000)
+        micro = 2
+    else:  # C: joint fine-tune (BASELINE.json config 5)
+        tcfg = TrainConfig(train_text_encoder=True, train_unet=True,
                            grad_ckpt=True, use_8bit_adam=True,
                            grad_accum=4, num_examples=1000)
         micro = 2
