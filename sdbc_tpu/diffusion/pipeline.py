@@ -79,6 +79,9 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
       and reused in between (approximate; 0/1 = exact reference sampling)
     Returns (B, H, W, 3) float images in [0, 1] (or raw latents if decode=False).
     """
+    if cache_interval and cache_interval > 1 and cfg.scheduler != "ddim":
+        raise ValueError("cache_interval (DeepCache fast mode) is implemented "
+                         "for the ddim scheduler only")
     sched = sched_mod.make_schedule(cfg.schedule)
     dt = compute_dtype
 

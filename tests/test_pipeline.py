@@ -71,3 +71,30 @@ def test_cache_interval_fast_mode(pipe):
     assert np.isfinite(fast1).all()
     # approximate but correlated with the exact result
     assert np.abs(exact - fast1).mean() < 0.2
+
+
+def test_unknown_scheduler_rejected(tiny_cfg, tiny_params):
+    import dataclasses
+
+    from sdbc_tpu.diffusion.pipeline import sample
+
+    cfg = dataclasses.replace(tiny_cfg, scheduler="nope")
+    lat = jnp.zeros((1, 8, 8, 4))
+    ids = jnp.zeros((1, tiny_cfg.clip.ctx), jnp.int32)
+    with pytest.raises(ValueError, match="unknown scheduler"):
+        sample(tiny_params, ids, ids, lat, jax.random.key(0), 7.5, cfg=cfg,
+               num_inference_steps=2, compute_dtype=jnp.float32)
+
+
+def test_cache_interval_requires_ddim(tiny_cfg, tiny_params):
+    import dataclasses
+
+    from sdbc_tpu.diffusion.pipeline import sample
+
+    cfg = dataclasses.replace(tiny_cfg, scheduler="pndm")
+    lat = jnp.zeros((1, 8, 8, 4))
+    ids = jnp.zeros((1, tiny_cfg.clip.ctx), jnp.int32)
+    with pytest.raises(ValueError, match="ddim"):
+        sample(tiny_params, ids, ids, lat, jax.random.key(0), 7.5, cfg=cfg,
+               num_inference_steps=2, compute_dtype=jnp.float32,
+               cache_interval=2)
