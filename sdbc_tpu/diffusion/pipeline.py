@@ -135,7 +135,8 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
                 lat, cache = carry
                 t = ts[i]
                 eps, cache = eps_cached(lat, t, i, cache)
-                return sched_mod.ddim_step(sched, eps, t, t - ratio, lat), cache
+                return sched_mod.ddim_step(sched, eps, t, t - ratio, lat,
+                                           prediction_type=cfg.schedule.prediction_type), cache
 
             lat, _ = jax.lax.fori_loop(0, num_inference_steps, body,
                                        (lat, cache0))
@@ -143,7 +144,9 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
             def body(i, lat):
                 t = ts[i]
                 eps = eps_fn(lat, t)
-                return sched_mod.ddim_step(sched, eps, t, t - ratio, lat)
+                return sched_mod.ddim_step(
+                    sched, eps, t, t - ratio, lat,
+                    prediction_type=cfg.schedule.prediction_type)
 
             lat = jax.lax.fori_loop(0, num_inference_steps, body, lat)
 

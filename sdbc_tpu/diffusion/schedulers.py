@@ -32,6 +32,9 @@ class ScheduleConfig:
     clip_sample: bool = False
     set_alpha_to_one: bool = False
     steps_offset: int = 1  # SD-1.x pipelines use steps_offset=1
+    # "epsilon" (SD-1.x, the reference) or "v_prediction" (SD-2.x-style
+    # checkpoints); converted to (eps, x0) at each step via to_eps_x0
+    prediction_type: str = "epsilon"
 
     @staticmethod
     def sd15() -> "ScheduleConfig":
@@ -97,6 +100,38 @@ def ddpm_step(sched: Schedule, eps, t, x_t, key, clip_sample: bool = True):
     return sample.astype(x_t.dtype)
 
 
+def to_eps_x0(sched: Schedule, model_out, t, x_t, prediction_type: str):
+    """Convert a model output to (eps, x0) under the given parameterisation.
+
+    epsilon:      x = α·x0 + σ·ε with model_out = ε
+    v_prediction: model_out = v := α·ε − σ·x0  ⇒  x0 = α·x − σ·v,
+                  ε = σ·x + α·v  (α = sqrt(ā_t), σ = sqrt(1−ā_t))
+    """
+    a_t = sched.alphas_cumprod[t]
+    alpha = jnp.sqrt(a_t)
+    sigma = jnp.sqrt(1.0 - a_t)
+    xf = x_t.astype(jnp.float32)
+    mo = model_out.astype(jnp.float32)
+    if prediction_type == "v_prediction":
+        x0 = alpha * xf - sigma * mo
+        eps = sigma * xf + alpha * mo
+    elif prediction_type == "epsilon":
+        eps = mo
+        x0 = (xf - sigma * eps) / alpha
+    else:
+        raise ValueError(f"unknown prediction_type {prediction_type}")
+    return eps, x0
+
+
+def velocity_target(sched: Schedule, x0, noise, timesteps):
+    """Training target for v-prediction: v = α·ε − σ·x0 (per-example t)."""
+    a = sched.alphas_cumprod[timesteps].astype(jnp.float32)
+    shape = (-1,) + (1,) * (x0.ndim - 1)
+    alpha = jnp.sqrt(a).reshape(shape)
+    sigma = jnp.sqrt(1.0 - a).reshape(shape)
+    return alpha * noise.astype(jnp.float32) - sigma * x0.astype(jnp.float32)
+
+
 # ---------------------------------------------------------------------------
 # DDIM
 
@@ -109,18 +144,18 @@ def ddim_timesteps(cfg: ScheduleConfig, num_inference_steps: int) -> jnp.ndarray
     return ts[::-1]
 
 
-def ddim_step(sched: Schedule, eps, t, t_prev, x_t, eta: float = 0.0):
+def ddim_step(sched: Schedule, model_out, t, t_prev, x_t, eta: float = 0.0,
+              prediction_type: str = "epsilon"):
     """Deterministic DDIM step (eta=0, the reference's inference setting).
 
     t_prev < 0 selects final_alpha_cumprod (set_alpha_to_one=False semantics:
-    ā_{-1} = ā_0 rather than 1).
+    ā_{-1} = ā_0 rather than 1).  model_out is interpreted per
+    prediction_type (epsilon for SD-1.x, v_prediction for SD-2.x-style).
     """
-    a_t = sched.alphas_cumprod[t]
     a_prev = jnp.where(t_prev >= 0,
                        sched.alphas_cumprod[jnp.maximum(t_prev, 0)],
                        sched.final_alpha_cumprod)
-    xf, ef = x_t.astype(jnp.float32), eps.astype(jnp.float32)
-    x0 = (xf - jnp.sqrt(1.0 - a_t) * ef) / jnp.sqrt(a_t)
+    ef, x0 = to_eps_x0(sched, model_out, t, x_t, prediction_type)
     # clip_sample=False per reference → no clipping here
     dir_xt = jnp.sqrt(1.0 - a_prev) * ef
     return (jnp.sqrt(a_prev) * x0 + dir_xt).astype(x_t.dtype)

@@ -139,10 +139,14 @@ def diffusion_loss(trainable, frozen, batch, key, cfg: PipelineConfig,
 
     ctx = clip_mod.apply(params["text_encoder"], ids, cfg.clip,
                          compute_dtype=dt)
-    eps = unet_mod.apply(params["unet"], noisy, t, ctx, cfg.unet,
-                         remat=tcfg.grad_ckpt)
+    pred = unet_mod.apply(params["unet"], noisy, t, ctx, cfg.unet,
+                          remat=tcfg.grad_ckpt)
+    if cfg.schedule.prediction_type == "v_prediction":
+        target = sched_mod.velocity_target(sched, latents, noise, t)
+    else:  # epsilon (the reference's objective, finetune_sd.py:483)
+        target = noise
     # fp32 MSE, mean over pixels then batch (reference :483)
-    return jnp.mean((eps.astype(jnp.float32) - noise) ** 2)
+    return jnp.mean((pred.astype(jnp.float32) - target) ** 2)
 
 
 def make_train_step(cfg: PipelineConfig, tcfg: TrainConfig, mesh=None,

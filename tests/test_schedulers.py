@@ -162,3 +162,22 @@ def test_dpm_multistep_runs_finite_and_uses_history():
         state, x = S.dpm_step(SCHED, CFG, state, eps, ts[i], ts[i] - ratio, x)
     assert np.all(np.isfinite(np.asarray(x)))
     assert int(state.count) == 10
+
+
+def test_v_prediction_roundtrip():
+    """eps↔v conversions are exact inverses; v-pred DDIM step with the exact
+    velocity matches the eps-pred step with the exact noise."""
+    x0 = jax.random.normal(jax.random.key(11), (1, 4, 4, 2))
+    noise = jax.random.normal(jax.random.key(12), (1, 4, 4, 2))
+    t = jnp.asarray(601)
+    x_t = S.ddpm_add_noise(SCHED, x0, noise, t[None])
+    v = S.velocity_target(SCHED, x0, noise, t[None])
+    eps_back, x0_back = S.to_eps_x0(SCHED, v, t, x_t, "v_prediction")
+    np.testing.assert_allclose(np.asarray(eps_back), np.asarray(noise),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(x0_back), np.asarray(x0), atol=1e-5)
+    step_eps = S.ddim_step(SCHED, noise, t, jnp.asarray(581), x_t)
+    step_v = S.ddim_step(SCHED, v, t, jnp.asarray(581), x_t,
+                         prediction_type="v_prediction")
+    np.testing.assert_allclose(np.asarray(step_v), np.asarray(step_eps),
+                               atol=1e-4)
