@@ -92,12 +92,26 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
     lat = latents.astype(dt)
     gs = jnp.asarray(guidance_scale, jnp.float32)
 
-    def eps_fn(lat, t):
+    def model_out_fn(lat, t):
         lat2 = jnp.concatenate([lat, lat], axis=0)
         tb = jnp.full((lat2.shape[0],), t, jnp.int32)
-        eps = unet_mod.apply(uparams, lat2, tb, context, cfg.unet)
-        eps_u, eps_c = jnp.split(eps.astype(jnp.float32), 2, axis=0)
-        return eps_u + gs * (eps_c - eps_u)
+        out = unet_mod.apply(uparams, lat2, tb, context, cfg.unet)
+        out_u, out_c = jnp.split(out.astype(jnp.float32), 2, axis=0)
+        return out_u + gs * (out_c - out_u)
+
+    def eps_fn(lat, t):
+        """Guided model output converted to epsilon parameterisation.
+
+        The dpm/pndm/ddpm steps are eps-parameterised; v-prediction
+        checkpoints are converted here (the ddim path converts inside
+        ddim_step instead).  CFG and the v→eps map are both linear in the
+        model output, so guiding first then converting is exact.
+        """
+        out = model_out_fn(lat, t)
+        if cfg.schedule.prediction_type != "epsilon":
+            out, _ = sched_mod.to_eps_x0(sched, out, t, lat,
+                                         cfg.schedule.prediction_type)
+        return out
 
     if cfg.scheduler == "ddim":
         ts = sched_mod.ddim_timesteps(cfg.schedule, num_inference_steps)
@@ -143,9 +157,9 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
         else:
             def body(i, lat):
                 t = ts[i]
-                eps = eps_fn(lat, t)
+                out = model_out_fn(lat, t)  # ddim_step converts per prediction_type
                 return sched_mod.ddim_step(
-                    sched, eps, t, t - ratio, lat,
+                    sched, out, t, t - ratio, lat,
                     prediction_type=cfg.schedule.prediction_type)
 
             lat = jax.lax.fori_loop(0, num_inference_steps, body, lat)
@@ -155,13 +169,19 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
         # scheduler beyond the reference's three)
         ts = sched_mod.dpm_timesteps(cfg.schedule, num_inference_steps)
         ratio = cfg.schedule.num_train_timesteps // num_inference_steps
+        # lower-order-final safeguard (diffusers semantics): at small step
+        # counts the last step drops to first order for stability
+        lower_order_final = num_inference_steps < 15
 
         def body(i, carry):
             state, lat = carry
             t = ts[i]
             eps = eps_fn(lat, t)
+            first = jnp.logical_and(lower_order_final,
+                                    i == num_inference_steps - 1)
             state, lat = sched_mod.dpm_step(sched, cfg.schedule, state, eps,
-                                            t, t - ratio, lat)
+                                            t, t - ratio, lat,
+                                            first_order=first)
             return state, lat
 
         state0 = sched_mod.dpm_init_state(lat.shape)

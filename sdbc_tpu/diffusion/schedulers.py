@@ -251,8 +251,9 @@ def pndm_step(sched: Schedule, cfg: ScheduleConfig, state: PNDMState, eps, t,
 
 
 class DPMState(NamedTuple):
-    prev_x0: jax.Array     # x0 prediction from the previous step
-    count: jax.Array       # () int32 — steps taken so far
+    prev_x0: jax.Array      # x0 prediction from the previous step
+    prev_lambda: jax.Array  # () log-SNR at the previous model point
+    count: jax.Array        # () int32 — steps taken so far
 
 
 def dpm_timesteps(cfg: ScheduleConfig, num_inference_steps: int) -> jnp.ndarray:
@@ -262,6 +263,7 @@ def dpm_timesteps(cfg: ScheduleConfig, num_inference_steps: int) -> jnp.ndarray:
 
 def dpm_init_state(latent_shape) -> DPMState:
     return DPMState(prev_x0=jnp.zeros(latent_shape, jnp.float32),
+                    prev_lambda=jnp.zeros((), jnp.float32),
                     count=jnp.asarray(0, jnp.int32))
 
 
@@ -273,11 +275,15 @@ def _lambda_of(alpha_bar):
 
 
 def dpm_step(sched: Schedule, cfg: ScheduleConfig, state: DPMState, eps, t,
-             t_prev, x_t):
+             t_prev, x_t, first_order=False):
     """One DPM-Solver++(2M) step t → t_prev.  Returns (new_state, x_prev).
 
-    First step falls back to first-order (= DDIM-like data-prediction update);
-    later steps use the 2nd-order multistep correction from the stored x0.
+    Exact multistep form (Lu et al. 2022, data-prediction 2M): with the
+    previous model point's log-SNR λ_{s1} carried in the state,
+    r0 = (λ_t − λ_{s1}) / h and D1 = (x0 − x0_prev)/r0, giving the
+    update x_prev = (σ_p/σ_t)·x − α_p·expm1(−h)·(x0 + D1/2).  The first
+    step — and, when ``first_order`` is set (the lower-order-final safeguard
+    for small step counts), the last — falls back to first order.
     """
     a_t = sched.alphas_cumprod[t]
     a_prev = jnp.where(t_prev >= 0,
@@ -292,16 +298,17 @@ def dpm_step(sched: Schedule, cfg: ScheduleConfig, state: DPMState, eps, t,
 
     lam_t = _lambda_of(a_t)
     lam_p = _lambda_of(a_prev)
-    h = lam_p - lam_t
+    h = lam_p - lam_t          # > 0 (λ grows as t falls)
+    h_prev = lam_t - state.prev_lambda
 
-    # 2M correction: extrapolate the x0 trajectory using the previous x0.
-    # r = h_prev / h is approximated as 1 (uniform-lambda assumption is not
-    # needed: the standard 2M uses the actual previous h; we store only x0 and
-    # use the local first-difference, the common simplified variant).
-    x0_2m = jnp.where(state.count > 0, 1.5 * x0 - 0.5 * state.prev_x0, x0)
+    use_2nd = jnp.logical_and(state.count > 0,
+                              jnp.logical_not(jnp.asarray(first_order)))
+    r0 = jnp.where(use_2nd, h_prev / h, 1.0)  # guarded: no NaN through where
+    d1 = (x0 - state.prev_x0) / r0
+    x0_2m = jnp.where(use_2nd, x0 + 0.5 * d1, x0)
 
     phi = jnp.expm1(-h)
     x_prev = (sigma_p / sigma_t) * xf - alpha_p * phi * x0_2m
 
-    return DPMState(prev_x0=x0, count=state.count + 1), \
+    return DPMState(prev_x0=x0, prev_lambda=lam_t, count=state.count + 1), \
         x_prev.astype(x_t.dtype)

@@ -73,6 +73,27 @@ def test_cache_interval_fast_mode(pipe):
     assert np.abs(exact - fast1).mean() < 0.2
 
 
+@pytest.mark.parametrize("scheduler", ["pndm", "dpm"])
+def test_v_prediction_wired_on_eps_schedulers(tiny_cfg, tiny_params, scheduler):
+    """A single PNDM/DPM step equals the DDIM step (known identity) — but only
+    if the pipeline converts the v-prediction model output to eps before the
+    eps-parameterised steps (the round-1 advisor finding)."""
+    cfg_v = dataclasses.replace(
+        tiny_cfg, schedule=dataclasses.replace(
+            tiny_cfg.schedule, prediction_type="v_prediction"))
+    tok = CLIPTokenizer.fallback(cfg_v.clip.vocab_size)
+    lat = per_sample_fixed_latents(1, (4, 8, 8), seed=5)
+
+    ddim = SDPipeline(tiny_params, dataclasses.replace(cfg_v, scheduler="ddim"),
+                      tok, compute_dtype=jnp.float32)
+    other = SDPipeline(tiny_params, dataclasses.replace(cfg_v,
+                                                        scheduler=scheduler),
+                       tok, compute_dtype=jnp.float32)
+    a = ddim(["v"], height=32, width=32, num_inference_steps=1, latents=lat)
+    b = other(["v"], height=32, width=32, num_inference_steps=1, latents=lat)
+    np.testing.assert_allclose(a, b, atol=2e-4)
+
+
 def test_unknown_scheduler_rejected(tiny_cfg, tiny_params):
     import dataclasses
 

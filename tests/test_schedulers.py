@@ -164,6 +164,60 @@ def test_dpm_multistep_runs_finite_and_uses_history():
     assert int(state.count) == 10
 
 
+def test_dpm_second_order_exact_coefficient():
+    """Two DPM-2M steps on a NON-uniform lambda grid must match the exact
+    multistep closed form (r0 = h_prev/h), not the r0=1 simplification."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, 4, 4, 2)).astype(np.float32))
+    eps1 = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+    eps2 = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+    t0, t1, t2 = 901, 481, 381  # non-uniform spacing → h_prev != h
+
+    state = S.dpm_init_state(x.shape)
+    state, x1 = S.dpm_step(SCHED, CFG, state, eps1, jnp.asarray(t0),
+                           jnp.asarray(t1), x)
+    state, x2 = S.dpm_step(SCHED, CFG, state, eps2, jnp.asarray(t1),
+                           jnp.asarray(t2), x1)
+
+    ac = np.asarray(SCHED.alphas_cumprod, np.float64)
+
+    def coeffs(t):
+        a, s = np.sqrt(ac[t]), np.sqrt(1 - ac[t])
+        return a, s, np.log(a) - np.log(s)
+
+    a0, s0, l0 = coeffs(t0)
+    a1, s1, l1 = coeffs(t1)
+    a2, s2, l2 = coeffs(t2)
+    xn = np.asarray(x, np.float64)
+    x0_1 = (xn - s0 * np.asarray(eps1, np.float64)) / a0
+    h1 = l1 - l0
+    x1_ref = (s1 / s0) * xn - a1 * np.expm1(-h1) * x0_1
+    x0_2 = (x1_ref - s1 * np.asarray(eps2, np.float64)) / a1
+    h2, h_prev = l2 - l1, l1 - l0
+    r0 = h_prev / h2
+    d1 = (x0_2 - x0_1) / r0
+    x2_ref = (s2 / s1) * x1_ref - a2 * np.expm1(-h2) * (x0_2 + 0.5 * d1)
+
+    np.testing.assert_allclose(np.asarray(x1), x1_ref, rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(x2), x2_ref, rtol=2e-4, atol=1e-5)
+
+
+def test_dpm_lower_order_final():
+    """first_order=True forces the first-order update even with history."""
+    x = jax.random.normal(jax.random.key(13), (1, 4, 4, 2))
+    eps = jax.random.normal(jax.random.key(14), (1, 4, 4, 2))
+    state = S.dpm_init_state(x.shape)
+    state, x1 = S.dpm_step(SCHED, CFG, state, eps, jnp.asarray(801),
+                           jnp.asarray(401), x)
+    _, x2_first = S.dpm_step(SCHED, CFG, state, eps, jnp.asarray(401),
+                             jnp.asarray(1), x1, first_order=True)
+    fresh = S.dpm_init_state(x.shape)
+    _, x2_ref = S.dpm_step(SCHED, CFG, fresh, eps, jnp.asarray(401),
+                           jnp.asarray(1), x1)
+    np.testing.assert_allclose(np.asarray(x2_first), np.asarray(x2_ref),
+                               atol=1e-6)
+
+
 def test_v_prediction_roundtrip():
     """eps↔v conversions are exact inverses; v-pred DDIM step with the exact
     velocity matches the eps-pred step with the exact noise."""
