@@ -45,6 +45,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ckpts_per_epoch", type=int, default=4)
     common.bool_flag(p, "use_8bit_adam", False,
                      "blockwise-int8 Adam moments (bitsandbytes equivalent)")
+    common.bool_flag(p, "scale_lr", False,
+                     "scale lr by grad_accum*batch*devices (reference's "
+                     "opt-in scale_lr branch, finetune_sd.py:367-371)")
     common.bool_flag(p, "train_unet", False)
     common.bool_flag(p, "train_text_encoder", True)
     common.bool_flag(p, "grad_ckpt", False,
@@ -97,20 +100,31 @@ def main(argv=None):
     tcfg = TrainConfig(
         learning_rate=args.learning_rate, weight_decay=args.weight_decay,
         num_examples=total_steps,  # cosine horizon = total optimizer steps
-        grad_accum=args.grad_acc_steps, train_unet=args.train_unet,
+        grad_accum=args.grad_acc_steps, micro_batch=args.batch_size,
+        train_unet=args.train_unet,
         train_text_encoder=args.train_text_encoder, grad_ckpt=grad_ckpt,
-        use_8bit_adam=args.use_8bit_adam, seed=args.seed)
+        use_8bit_adam=args.use_8bit_adam, lr_scale_by_dp=args.scale_lr,
+        seed=args.seed)
 
-    resume_meta = {}
+    resume_meta, resume_path = {}, None
     if args.resume:
-        latest = ckpt_mod.latest_checkpoint(args.output_dir, args.run_id)
-        if latest:
-            print(f"resuming from {latest}")
-            params, cfg = ckpt_mod.load_pipeline(latest)
-            resume_meta = ckpt_mod.load_metadata(latest)
+        resume_path = ckpt_mod.latest_checkpoint(args.output_dir, args.run_id)
+        if resume_path:
+            print(f"resuming from {resume_path}")
+            params, cfg = ckpt_mod.load_pipeline(resume_path)
+            resume_meta = ckpt_mod.load_metadata(resume_path)
 
-    state = replicate_tree(
-        init_train_state(params, tcfg, dp_size=dp, compute_dtype=dt), mesh)
+    state = init_train_state(params, tcfg, dp_size=dp, compute_dtype=dt)
+    if resume_path:
+        # full training-state continuity: Adam moments + schedule step
+        # (the reference saves optimizer.pt but never restores it —
+        # finetune_sd.py:536-537; we restore both, VERDICT round-1 item 3)
+        opt_state = ckpt_mod.load_opt_state(resume_path, state.opt_state)
+        if opt_state is not None:
+            state = state._replace(
+                opt_state=opt_state,
+                step=jnp.asarray(int(resume_meta.get("step", 0)), jnp.int32))
+    state = replicate_tree(state, mesh)
     step_fn = make_train_step(cfg, tcfg, mesh=mesh, dp_size=dp,
                               compute_dtype=dt, donate=True)
 
@@ -168,10 +182,13 @@ def main(argv=None):
 
             if gstep % ckpt_every == 0:
                 mean_loss = running / running_n
+                # fixed-length window per checkpoint interval (the reference
+                # resets its accumulator only on a new best, so its mean_loss
+                # covers a variable window — SURVEY §7 bug, not replicated)
+                running, running_n = 0.0, 0
                 tracker.log({"mean_loss": mean_loss}, step=gstep)
                 if mean_loss < best_mean_loss:
                     best_mean_loss = mean_loss
-                    running, running_n = 0.0, 0
                     path = ckpt_mod.new_checkpoint_path(
                         args.output_dir, args.run_id, gstep)
                     print(f"new best mean loss {mean_loss:.4f}; saving {path}")

@@ -225,4 +225,12 @@ def default_params(cfg=None):
 
             return port_fid_inception(dict(flat))
         return inception_mod.load_npz(path)
+    import sys
+
+    print(
+        "WARNING: SDBC_INCEPTION_WEIGHTS is unset — using RANDOM Inception "
+        "weights.  FID values are self-consistent deltas only and are NOT "
+        "comparable to any published or reference statistic.  Point "
+        "SDBC_INCEPTION_WEIGHTS at pt_inception-2015-12-05-*.pth (or a "
+        "ported .npz) for real FID.", file=sys.stderr, flush=True)
     return inception_mod.init(jax.random.key(2015), cfg)

@@ -42,15 +42,24 @@ class TrainConfig:
     # reference defaults: finetune_sd.py:25-48
     learning_rate: float = 5e-6
     weight_decay: float = 1e-4
-    num_examples: int = 12000         # cosine T_max (finetune_sd.py:421)
+    # Cosine decay horizon in OPTIMIZER steps: the schedule is evaluated once
+    # per optimizer update (cli/finetune.py passes steps_per_epoch*epochs).
+    # Intentional difference from the reference, which calls scheduler.step()
+    # per MICRO-batch with T_max=num_examples (finetune_sd.py:421,576) — its
+    # accumulation semantics are muddled (SURVEY.md §7 bug list).
+    num_examples: int = 12000
     eta_min: float = 1e-6
     grad_accum: int = 16
+    micro_batch: int = 1              # per-device micro batch (lr scaling only)
     train_unet: bool = False
     train_text_encoder: bool = True
     grad_ckpt: bool = False
     use_8bit_adam: bool = False       # blockwise-int8 moments (reference :407-410)
     max_grad_norm: float = 0.0        # 0 = off (reference has no clipping)
-    lr_scale_by_dp: bool = True       # reference scales lr by num_processes (:367-371)
+    # The reference's scale_lr branch multiplies lr by
+    # grad_accum * batch_size * num_processes but DEFAULTS OFF
+    # (utils hyperparam scale_lr=False; conditional at finetune_sd.py:367-371)
+    lr_scale_by_dp: bool = False
     seed: int = 42
 
     def trainable_keys(self):
@@ -78,7 +87,11 @@ def _split_params(params, tcfg: TrainConfig, compute_dtype=jnp.bfloat16):
 
 
 def make_optimizer(tcfg: TrainConfig, dp_size: int = 1) -> optax.GradientTransformation:
-    lr = tcfg.learning_rate * (dp_size if tcfg.lr_scale_by_dp else 1)
+    # scale_lr semantics (finetune_sd.py:367-371): lr × grad_accum ×
+    # batch_size × num_processes, opt-in
+    scale = (tcfg.grad_accum * tcfg.micro_batch * dp_size
+             if tcfg.lr_scale_by_dp else 1)
+    lr = tcfg.learning_rate * scale
     if lr > 0:
         schedule = optax.cosine_decay_schedule(
             init_value=lr, decay_steps=max(tcfg.num_examples, 1),

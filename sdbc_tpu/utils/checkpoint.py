@@ -79,6 +79,21 @@ def load_pipeline(path: str, template_params: Optional[dict] = None,
     return params, cfg
 
 
+def load_opt_state(path: str, template: Any):
+    """Restore optimizer state onto a freshly-initialised template tree.
+
+    optax states are NamedTuple trees; restoring WITHOUT a template yields
+    plain dicts that optax.update cannot consume — so resume callers must
+    pass ``opt.init(trainable)`` (or an existing TrainState.opt_state) as the
+    template.  Returns None when the checkpoint has no opt_state (mirrors the
+    reference's optional optimizer.pt, finetune_sd.py:536-537).
+    """
+    opath = os.path.join(os.path.abspath(path), "opt_state")
+    if not os.path.exists(opath):
+        return None
+    return _ckpt().restore(opath, template)
+
+
 def load_metadata(path: str) -> dict:
     mpath = os.path.join(path, "metadata.json")
     if not os.path.exists(mpath):
