@@ -156,7 +156,8 @@ def main(argv=None):
         loader = make_dataloader(ds, micro_batch=micro_global,
                                  grad_accum=args.grad_acc_steps,
                                  seed=args.seed + epoch,
-                                 num_workers=args.num_workers)
+                                 num_workers=args.num_workers,
+                                 mesh=mesh)  # per-host input sharding
         running, running_n = 0.0, 0
         t0 = time.perf_counter()
         for batch in loader:

@@ -90,11 +90,16 @@ class GoodreadsDataset:
 def make_dataloader(dataset: GoodreadsDataset, micro_batch: int,
                     grad_accum: int = 1, shuffle: bool = True,
                     seed: int = 42, num_workers: int = 4,
-                    drop_last: bool = True) -> Iterator[dict]:
+                    drop_last: bool = True, mesh=None) -> Iterator[dict]:
     """Yield {"pixel_values": (A, B, H, W, 3), "input_ids": (A, B, 77)} batches.
 
     Thread-pool decode with one-batch lookahead prefetch (the torch
     num_workers=4 pipeline equivalent, reference utils.py:173-174).
+
+    With ``mesh``, each host decodes ONLY the rows that land on its local
+    devices (accelerate's per-process dataloader sharding,
+    finetune_sd.py:363-364) and batches are assembled into global jax.Arrays
+    sharded over the ``data`` axis.  micro_batch stays the GLOBAL micro batch.
     """
     step = micro_batch * grad_accum
     order = list(range(len(dataset)))
@@ -103,11 +108,23 @@ def make_dataloader(dataset: GoodreadsDataset, micro_batch: int,
         rng.shuffle(order)
     n_batches = len(order) // step if drop_last else -(-len(order) // step)
 
+    local_sel = None  # positions within a step batch this host loads
+    if mesh is not None:
+        from sdbc_tpu.parallel.mesh import (host_local_batch_indices,
+                                            make_global_batch)
+
+        local_micro = host_local_batch_indices(micro_batch, mesh)
+        local_sel = np.concatenate(
+            [a * micro_batch + local_micro for a in range(grad_accum)])
+        n_micro_local = len(local_micro)
+
     from sdbc_tpu.data import native_loader
 
     use_native = dataset.cfg.use_native and native_loader.available()
 
     def load_batch(batch_indices):
+        if local_sel is not None:
+            batch_indices = [batch_indices[i] for i in local_sel]
         if use_native:
             # one native call decodes the whole batch (C++ thread pool)
             paths = [dataset.image_path(i) for i in batch_indices]
@@ -122,11 +139,15 @@ def make_dataloader(dataset: GoodreadsDataset, micro_batch: int,
                 items = list(ex.map(dataset.__getitem__, batch_indices))
             pix = np.stack([it["pixel_values"] for it in items])
             ids = np.stack([it["input_ids"] for it in items])
-        a = len(batch_indices) // micro_batch
-        return {
-            "pixel_values": pix.reshape(a, micro_batch, *pix.shape[1:]),
-            "input_ids": ids.reshape(a, micro_batch, *ids.shape[1:]),
+        mb = micro_batch if local_sel is None else n_micro_local
+        a = len(batch_indices) // mb
+        out = {
+            "pixel_values": pix.reshape(a, mb, *pix.shape[1:]),
+            "input_ids": ids.reshape(a, mb, *ids.shape[1:]),
         }
+        if mesh is not None:
+            out = make_global_batch(out, mesh, batch_dim=1)
+        return out
 
     with cf.ThreadPoolExecutor(max_workers=1) as prefetcher:
         future = None
