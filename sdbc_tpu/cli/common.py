@@ -50,6 +50,11 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--scheduler", type=str, default="ddim",
                    choices=["ddim", "pndm", "ddpm", "dpm"])
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--prompt_bank", type=str, default="native",
+                   choices=["native", "reference"],
+                   help="'reference' renders byte-exact reference template "
+                        "strings (first-slot legible interpolation) for "
+                        "apples-to-apples FID/grid comparisons")
     bool_flag(p, "tiny", False, "tiny test config instead of SD-1.5")
     bool_flag(p, "bf16", True, "bfloat16 compute")
 

@@ -82,7 +82,7 @@ def main(argv=None):
         data_root=args.data_root, img_size=args.img_size,
         size=args.num_examples, legible_text_prob=args.legible_text_prob,
         include_desc=args.include_desc, max_length=cfg.clip.ctx,
-        seed=args.seed)
+        seed=args.seed, prompt_bank=args.prompt_bank)
     ds = GoodreadsDataset(dcfg, tok)
 
     mesh = make_mesh(MeshConfig())

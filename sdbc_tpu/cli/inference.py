@@ -115,7 +115,8 @@ def main(argv=None):
         get_fid_images(pipe, save_dir, df_test, num_imgs=args.num_imgs,
                        batch_size=args.batch_size, img_size=args.img_size,
                        inference_steps=args.num_inference_steps,
-                       guidance_scale=args.guidance_scale, seed=args.seed)
+                       guidance_scale=args.guidance_scale, seed=args.seed,
+                       prompt_bank=args.prompt_bank)
         if not os.path.exists(args.fid_stats_path):
             raise SystemExit(
                 f"{args.fid_stats_path} not found — run "
@@ -136,14 +137,15 @@ def main(argv=None):
         with open(os.path.join(save_dir, "hyperparams.json"), "w") as f:
             json.dump(vars(args), f, indent=2, default=str)
 
-        summarizer, descriptions = None, None
-        if args.summarize:
-            summarizer = _build_summarizer(args, cfg.clip.ctx)
+        summarizer, descriptions, df_test = None, None, None
+        if args.summarize or args.prompt_bank == "reference":
             import pandas as pd
 
             df_test = pd.read_csv(os.path.join(args.data_root, "df_test.csv"),
                                   index_col=0)
             descriptions = [str(d) for d in df_test["book_desc"].head(16)]
+        if args.summarize:
+            summarizer = _build_summarizer(args, cfg.clip.ctx)
 
         configs = [(False, False)]
         if args.include_desc:
@@ -151,6 +153,27 @@ def main(argv=None):
         if args.summarize:
             configs.append((True, True))
         for summarize, include_desc in configs:
+            prompts_override = None
+            if args.prompt_bank == "reference":
+                # reference grid semantics: per test template, the first
+                # samples_per_prompt df_test rows' (author, title) rendered
+                # with the byte-exact bank (inference.py:299-330)
+                import random as _random
+
+                from sdbc_tpu.data import templates as tmpl
+
+                head = df_test.head(args.samples_per_prompt)
+                rows = [(str(r["book_authors"]), str(r["book_title"]))
+                        for _, r in head.iterrows()]
+                descs = None
+                if summarize:
+                    descs = [summarizer(d, max_length=15)
+                             for d in descriptions[:args.samples_per_prompt]]
+                elif include_desc:
+                    descs = descriptions[:args.samples_per_prompt]
+                prompts_override = tmpl.reference_grid_prompts(
+                    rows, args.samples_per_prompt, include_desc=include_desc,
+                    descriptions=descs, rng=_random.Random(args.seed))
             _, _, path = visualize_prompts(
                 pipe, summarize=summarize, include_desc=include_desc,
                 summarizer=summarizer, descriptions=descriptions,
@@ -160,7 +183,8 @@ def main(argv=None):
                 guidance_scale=args.guidance_scale,
                 batch_generate=args.batch_generate,
                 batch_size=args.batch_size,
-                save_dir=save_dir, seed=args.seed)
+                save_dir=save_dir, seed=args.seed,
+                prompts_override=prompts_override)
             print(f"grid saved: {path}")
 
 

@@ -38,6 +38,10 @@ class DatasetConfig:
     max_length: int = 77
     seed: int = 42
     use_native: bool = True  # C++ decode core when built (native/loader.cc)
+    # "native" (this framework's rewritten wording) or "reference"
+    # (byte-exact reference strings + first-slot legible interpolation,
+    # templates.py REFERENCE_* — for apples-to-apples comparisons)
+    prompt_bank: str = "native"
 
 
 class GoodreadsDataset:
@@ -71,9 +75,15 @@ class GoodreadsDataset:
         if self.cfg.include_desc and "book_desc" in row and isinstance(
                 row.get("book_desc"), str):
             desc = row["book_desc"]
+        author = str(row.get("book_authors", ""))
+        title = str(row.get("book_title", ""))
+        if self.cfg.prompt_bank == "reference":
+            return templates.format_reference_training_prompt(
+                author, title, desc=desc, rng=rng or self._rng,
+                legible_text_prob=self.cfg.legible_text_prob,
+                include_desc=self.cfg.include_desc)
         return templates.format_training_prompt(
-            str(row.get("book_authors", "")), str(row.get("book_title", "")),
-            desc=desc, rng=rng or self._rng,
+            author, title, desc=desc, rng=rng or self._rng,
             legible_text_prob=self.cfg.legible_text_prob)
 
     def __getitem__(self, idx: int) -> dict:

@@ -62,6 +62,176 @@ TEST_TEMPLATES: List[str] = [
 ]
 
 
+# ---------------------------------------------------------------------------
+# Reference-exact parity bank (opt-in via --prompt_bank reference).
+#
+# These strings are CONFIG DATA copied verbatim from the reference so that
+# FID / grid comparisons against reference runs are apples-to-apples
+# (round-1 VERDICT item 5).  The reference keeps two drifted copies; both are
+# preserved: the utils.py bank drives TRAINING (utils.py:14-64) and the
+# inference.py bank drives EVAL (inference.py:100-144).  Slots are
+# POSITIONAL with ``legible_text`` first ("" or "legible text"), then
+# author, then title (then description when include_desc concatenates a
+# summary placeholder — utils.py:111-113, inference.py:324-330).
+REFERENCE_LEGIBLE_TEXT = "legible text"
+
+# utils.py:14-33 (training-time bank; commented-out entries omitted)
+REFERENCE_TRAINING_TEMPLATES: List[str] = [
+    "A {} book cover with author {}, book title {} ",
+    "A {} book cover written by author {} with book title {} ",
+    "A  {} book cover with author name:{}, book title: {}",
+    "An intricate {} book cover including book author:{}, book title: '{}'",
+    "A detailed {} book cover with author {} and book title {} ",
+]
+
+# utils.py:35-46
+REFERENCE_SUMMARY_PLACEHOLDERS: List[str] = [
+    ", and summary: {}",
+    ", and abstract: {}",
+    ",summary: {}",
+    ", the book describes that {}",
+    ", book discription: {}",
+    ", main story: {}",
+    ", the book is mainly about {}",
+    ", and main story: {}",
+    "and book abstract: {}",
+    ", and book description: {}",
+]
+
+# utils.py:47-64
+REFERENCE_TEST_TEMPLATES: List[str] = [
+    "A {} book cover with author {}, book title {} ",
+    "A {} book cover written by author {} with book title {} ",
+    "A {} simple book cover with author {}, book title {} ",
+    "A plain {} book cover with author {}. The book title is{} ",
+    "A {} vivid book cover with author {}, book title {} ",
+    "A  {} book cover with author name:{}, book title: {}",
+    "An intricate {}, book cover including book author:{}, book title: '{}'",
+    "A detailed, {}, book cover with {} ,written by author {}",
+    "A creative, colorful {}, book cover written by {}. The book title is {}, ",
+    "A {} old-fashioned, plain book cover written by {}. The book title is {}",
+    "A simple, {}, old-fashioned book cover with author name {}, book title {} ",
+    "A simple, {}, plain book cover with author name {}, book title {} ",
+    "A detailed {} book cover with author {} and book title {} ",
+]
+
+# inference.py:100-117 (the drifted eval-side copy; drives get_fid_images)
+REFERENCE_INFERENCE_TRAINING_TEMPLATES: List[str] = [
+    "A {} book cover with author: {}, book title: {} ",
+    "A {} book cover written by author: {} with book title: {} ",
+    "A  {} book cover with author name: {}, book title: {}",
+    "A detailed {} book cover with author: {} and book title: {} ",
+]
+
+# inference.py:119-129.  The reference's second entry is the malformed
+# ",summary {}}" whose .format() RAISES "Single '}' encountered" — i.e. the
+# reference's include_desc grid path crashes at template index 1 (a
+# documented reference bug, not replicated; repaired to a well-formed slot).
+REFERENCE_INFERENCE_SUMMARY_PLACEHOLDERS: List[str] = [
+    ", and abstract {}",
+    ",summary {}",
+    ", the book describes that {}",
+    ", book discription {}",
+    ", main story {}",
+    ", the book is mainly about {}",
+    ", and main story {}",
+    "and book abstract {}",
+    ", and book description {}",
+]
+
+# inference.py:130-144 (NOTE the last entry has only TWO slots: format() then
+# binds legible_text→author-name and author→title and drops title — a
+# reference quirk that positional formatting reproduces automatically)
+REFERENCE_INFERENCE_TEST_TEMPLATES: List[str] = [
+    "A {} book cover with author: {}, book title: {} ",
+    "A {} book cover written by author: {} with book title: {} ",
+    "A {} simple book cover with author: {}, book title: {} ",
+    "A {} vivid, fantastic book cover with author: {}, book title: {} ",
+    "An intricate {}, book cover including book author:{}, book title: '{}'",
+    "A detailed, {}, book cover written by author: {}, with title:{}",
+    "A creative, colorful {}, book cover written by: {}. The book title is: {}, ",
+    "A {} old-fashioned, plain book cover written by: {}. The book title is: {}",
+    "A simple, {}, old-fashioned book cover with author name: {}, book title: {} ",
+    "A cartoon-styled, entertaining book cover with author name: {}, book title: {}",
+]
+
+
+def render_reference_prompt(template: str, legible: bool, author: str,
+                            title: str, desc: Optional[str] = None,
+                            placeholder: Optional[str] = None) -> str:
+    """Byte-exact reference prompt rendering (utils.py:133-146).
+
+    With desc/placeholder, the template and placeholder are concatenated
+    first (utils.py:111-113) and formatted with four positionals.  Extra
+    positional args are silently ignored by str.format — exactly the
+    reference's behavior on its two-slot template.
+    """
+    legible_text = REFERENCE_LEGIBLE_TEXT if legible else ""
+    if placeholder is not None:
+        return (template + placeholder).format(legible_text, author, title,
+                                               "" if desc is None else desc)
+    return template.format(legible_text, author, title)
+
+
+def format_reference_training_prompt(author: str, title: str,
+                                     desc: Optional[str] = None,
+                                     rng: Optional[random.Random] = None,
+                                     legible_text_prob: float = 0.0,
+                                     include_desc: bool = False) -> str:
+    """Training-time reference draw: legible via ``random() <= prob`` FIRST,
+    then template choice — same rng call order as utils.py:133-142."""
+    rng = rng or random
+    legible = rng.random() <= legible_text_prob
+    if include_desc:
+        combined = list(zip(REFERENCE_TRAINING_TEMPLATES,
+                            REFERENCE_SUMMARY_PLACEHOLDERS))
+        template, placeholder = rng.choice(combined)
+        return render_reference_prompt(template, legible, author, title,
+                                       desc=desc, placeholder=placeholder)
+    template = rng.choice(REFERENCE_TRAINING_TEMPLATES)
+    return render_reference_prompt(template, legible, author, title)
+
+
+def reference_fid_prompt(author: str, title: str,
+                         rng: Optional[random.Random] = None) -> str:
+    """FID prompt: random inference-bank training template, empty legible
+    slot (reference inference.py:165-172)."""
+    rng = rng or random
+    return render_reference_prompt(
+        rng.choice(REFERENCE_INFERENCE_TRAINING_TEMPLATES), False, author,
+        title)
+
+
+def reference_grid_prompts(rows, samples_per_prompt: int,
+                           legible_prompt: bool = False,
+                           include_desc: bool = False,
+                           descriptions: Optional[Sequence[str]] = None,
+                           rng: Optional[random.Random] = None) -> List[str]:
+    """The visualize_prompts grid prompt set (reference inference.py:299-330):
+    per test template i, render samples_per_prompt prompts from the first
+    rows' (author, title) — optionally with the i-th summary placeholder
+    interpolating descriptions[j].  ``rows`` is a sequence of (author, title)
+    pairs.  Placeholders are padded by random choice to the template count
+    (inference.py:147-150)."""
+    rng = rng or random
+    placeholders = list(REFERENCE_INFERENCE_SUMMARY_PLACEHOLDERS)
+    while len(placeholders) < len(REFERENCE_INFERENCE_TEST_TEMPLATES):
+        placeholders.append(rng.choice(REFERENCE_INFERENCE_SUMMARY_PLACEHOLDERS))
+    prompts = []
+    for i, template in enumerate(REFERENCE_INFERENCE_TEST_TEMPLATES):
+        for j in range(samples_per_prompt):
+            author, title = rows[j]
+            if include_desc:
+                desc = descriptions[j] if descriptions else ""
+                prompts.append(render_reference_prompt(
+                    template, legible_prompt, author, title, desc=desc,
+                    placeholder=placeholders[i]))
+            else:
+                prompts.append(render_reference_prompt(
+                    template, legible_prompt, author, title))
+    return prompts
+
+
 def format_training_prompt(author: str, title: str,
                            desc: Optional[str] = None,
                            rng: Optional[random.Random] = None,

@@ -22,7 +22,8 @@ from sdbc_tpu.data import templates
 def get_fid_images(pipeline, save_dir: str, df_test, *, num_imgs: int = 4000,
                    batch_size: int = 4, img_size: int = 512,
                    inference_steps: int = 50, guidance_scale: float = 7.5,
-                   seed: int = 42, verbose: bool = True) -> int:
+                   seed: int = 42, verbose: bool = True,
+                   prompt_bank: str = "native") -> int:
     """Generate up to num_imgs covers; returns the number generated this call."""
     os.makedirs(save_dir, exist_ok=True)
     already = len(os.listdir(save_dir))
@@ -41,9 +42,15 @@ def get_fid_images(pipeline, save_dir: str, df_test, *, num_imgs: int = 4000,
         prompts = []
         for idx in batch_ids:
             row = df_test.loc[idx]
-            prompts.append(templates.format_training_prompt(
-                str(row.get("book_authors", "")),
-                str(row.get("book_title", "")), rng=rng))
+            author = str(row.get("book_authors", ""))
+            title = str(row.get("book_title", ""))
+            if prompt_bank == "reference":
+                # reference FID prompts: inference.py:165-172 bank
+                prompts.append(templates.reference_fid_prompt(
+                    author, title, rng=rng))
+            else:
+                prompts.append(templates.format_training_prompt(
+                    author, title, rng=rng))
         try:
             imgs = pipeline(prompts, height=img_size, width=img_size,
                             num_inference_steps=inference_steps,

@@ -31,30 +31,42 @@ def visualize_prompts(pipeline, *, summarize: bool = False,
                       batch_size: int = 4,
                       save_dir: Optional[str] = None,
                       seed: int = 42,
-                      test_templates: Optional[List[str]] = None):
+                      test_templates: Optional[List[str]] = None,
+                      prompts_override: Optional[List[str]] = None):
     """Generate the qualitative-eval grid; returns (images, prompts).
 
     summarize=True formats summary placeholders with a summarizer over the
     provided descriptions (the reference's DistilBART path,
     inference.py:292-318); otherwise the fixed test templates are used as-is.
+    prompts_override supplies a pre-rendered (template × sample) prompt list
+    (the --prompt_bank reference path) and bypasses the template expansion.
     """
     if summarize and not include_desc:
         raise ValueError("summarize requires include_desc "
                          "(reference assertion, inference.py:248-250)")
-    prompts_base = list(test_templates or templates.TEST_TEMPLATES)
+    if prompts_override is not None:
+        if len(prompts_override) % samples_per_prompt:
+            raise ValueError("len(prompts_override) must be a multiple of "
+                             "samples_per_prompt")
+        prompts = list(prompts_override)
+        n_rows = len(prompts) // samples_per_prompt
+    else:
+        prompts_base = list(test_templates or templates.TEST_TEMPLATES)
 
-    if summarize:
-        if summarizer is None or not descriptions:
-            raise ValueError("summarize=True needs a summarizer and descriptions")
-        placeholders = templates.padded_placeholders(len(prompts_base))
-        summaries = [summarizer(d, max_length=max_length) for d in
-                     descriptions[: len(prompts_base)]]
-        while len(summaries) < len(prompts_base):
-            summaries.append(summaries[-1])
-        prompts_base = [ph.format(summary=s)
-                        for ph, s in zip(placeholders, summaries)]
+        if summarize:
+            if summarizer is None or not descriptions:
+                raise ValueError(
+                    "summarize=True needs a summarizer and descriptions")
+            placeholders = templates.padded_placeholders(len(prompts_base))
+            summaries = [summarizer(d, max_length=max_length) for d in
+                         descriptions[: len(prompts_base)]]
+            while len(summaries) < len(prompts_base):
+                summaries.append(summaries[-1])
+            prompts_base = [ph.format(summary=s)
+                            for ph, s in zip(placeholders, summaries)]
 
-    prompts = [p for p in prompts_base for _ in range(samples_per_prompt)]
+        prompts = [p for p in prompts_base for _ in range(samples_per_prompt)]
+        n_rows = len(prompts_base)
 
     f = pipeline.cfg.vae_scale
     lat_shape = (pipeline.cfg.unet.in_channels, img_size // f, img_size // f)
@@ -76,7 +88,7 @@ def visualize_prompts(pipeline, *, summarize: bool = False,
         path = os.path.join(
             save_dir, f"summerize={summarize},include_desc={include_desc}.png")
         save_grid(images, prompts, path,
-                  cols=samples_per_prompt, rows=len(prompts_base))
+                  cols=samples_per_prompt, rows=n_rows)
         return images, prompts, path
     return images, prompts, None
 
