@@ -55,30 +55,20 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def _build_summarizer(args, ctx_len: int):
+    from sdbc_tpu.data.bart_tokenizer import BartTokenizer
     from sdbc_tpu.models import bart
     from sdbc_tpu.models.port import load_state_dict, port_bart
 
     sd = load_state_dict(args.bart_ckpt)
     params = port_bart(sd)
     cfg = bart.BartConfig.distilbart_cnn()
-    try:
-        from transformers import AutoTokenizer
-
-        tok = AutoTokenizer.from_pretrained(args.bart_ckpt)
-
-        class _Tok:
-            def encode(self, t, n):
-                ids = tok(t, truncation=True, max_length=n,
-                          padding="max_length")["input_ids"]
-                return ids
-
-            def decode(self, ids):
-                return tok.decode(ids, skip_special_tokens=True)
-
-        return bart.Summarizer(params, cfg, _Tok())
-    except Exception as e:
-        raise SystemExit(f"--summarize needs a BART tokenizer in "
-                         f"{args.bart_ckpt}: {e}")
+    # in-repo byte-level BPE (no runtime transformers dependency,
+    # reference inference.py:293-298)
+    if not os.path.exists(os.path.join(args.bart_ckpt, "vocab.json")):
+        raise SystemExit(f"--summarize needs vocab.json + merges.txt in "
+                         f"{args.bart_ckpt}")
+    return bart.Summarizer(params, cfg,
+                           BartTokenizer.from_pretrained(args.bart_ckpt))
 
 
 def main(argv=None):
