@@ -75,10 +75,11 @@ def _init_resnet(key, cin, cout, temb_dim):
 
 
 def _resnet(p, x, temb, groups):
-    h = nn.group_norm(p["norm1"], x, groups, act="silu")
+    # diffusers UNet norm_eps=1e-5 (the transformer GroupNorm stays 1e-6)
+    h = nn.group_norm(p["norm1"], x, groups, eps=1e-5, act="silu")
     h = nn.conv2d(p["conv1"], h)
     h = h + nn.linear(p["temb"], jax.nn.silu(temb))[:, None, None, :]
-    h = nn.group_norm(p["norm2"], h, groups, act="silu")
+    h = nn.group_norm(p["norm2"], h, groups, eps=1e-5, act="silu")
     h = nn.conv2d(p["conv2"], h)
     if "shortcut" in p:
         x = nn.conv2d(p["shortcut"], x)
@@ -137,7 +138,8 @@ def _transformer(p, x, ctx, heads, groups):
     y = y + _mha(p["attn2"], nn.layer_norm(p["ln2"], y), ctx, heads)
     z = nn.linear(p["geglu"], nn.layer_norm(p["ln3"], y))
     val, gate = jnp.split(z, 2, axis=-1)
-    y = y + nn.linear(p["ff_out"], val * jax.nn.gelu(gate))
+    # exact erf GELU (torch F.gelu default) — NOT jax's tanh approximation
+    y = y + nn.linear(p["ff_out"], val * jax.nn.gelu(gate, approximate=False))
 
     y = nn.conv2d(p["proj_out"], y.reshape(n, h, w, c))
     return y + res_spatial
@@ -313,6 +315,6 @@ def apply(params, latents, timesteps, encoder_hidden_states, cfg: UNetConfig,
     for j in range(total_tail - ct, total_tail):
         h = jnp.concatenate([h, shallow_skips.pop()], axis=-1)
         h = run_resnet_j(last_up, j, h)
-    h = nn.group_norm(params["norm_out"], h, g, act="silu")
+    h = nn.group_norm(params["norm_out"], h, g, eps=1e-5, act="silu")
     out = nn.conv2d(params["conv_out"], h)
     return (out, deep) if return_deep else out
