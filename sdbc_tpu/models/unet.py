@@ -97,17 +97,54 @@ def _init_mha(key, dim, kv_dim, heads):
 
 
 def _mha(p, x, ctx, heads):
+    """Multi-head attention with head-major projections.
+
+    The head split/merge is folded INTO the projection einsums — the q/k/v
+    matmuls emit (b, h, s, e) directly and the output matmul consumes it,
+    so XLA never materialises the (b,s,h,e)→(b,h,s,e) transposes that showed
+    up in the round-1 while-body profile (PERF_NOTES lead 2).  Self-attention
+    additionally fuses q/k/v into ONE matmul.  Numerics are unchanged (same
+    contractions, same dtypes).  SDBC_MHA=legacy restores the reshape path
+    for A/B measurements.
+    """
+    import os
+
     b, s, dim = x.shape
     hd = dim // heads
+    dt = x.dtype
 
-    def split(t):
-        return t.reshape(b, -1, heads, hd).transpose(0, 2, 1, 3)
+    if os.environ.get("SDBC_MHA", "fused") == "legacy":
+        def split(t):
+            return t.reshape(b, -1, heads, hd).transpose(0, 2, 1, 3)
 
-    q = split(nn.linear(p["q"], x))
-    k = split(nn.linear(p["k"], ctx))
-    v = split(nn.linear(p["v"], ctx))
-    a = attention(q, k, v).transpose(0, 2, 1, 3).reshape(b, s, dim)
-    return nn.linear(p["o"], a)
+        q = split(nn.linear(p["q"], x))
+        k = split(nn.linear(p["k"], ctx))
+        v = split(nn.linear(p["v"], ctx))
+        a = attention(q, k, v).transpose(0, 2, 1, 3).reshape(b, s, dim)
+        return nn.linear(p["o"], a)
+
+    if x is ctx:  # self-attention: one fused qkv projection
+        w = jnp.concatenate([p["q"]["w"], p["k"]["w"], p["v"]["w"]], axis=1)
+        qkv = jnp.einsum("bsd,dthe->tbhse", x,
+                         w.reshape(dim, 3, heads, hd).astype(dt),
+                         preferred_element_type=dt)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+    else:
+        kv_dim = ctx.shape[-1]
+        q = jnp.einsum("bsd,dhe->bhse", x,
+                       p["q"]["w"].reshape(dim, heads, hd).astype(dt),
+                       preferred_element_type=dt)
+        k = jnp.einsum("bsd,dhe->bhse", ctx,
+                       p["k"]["w"].reshape(kv_dim, heads, hd).astype(dt),
+                       preferred_element_type=dt)
+        v = jnp.einsum("bsd,dhe->bhse", ctx,
+                       p["v"]["w"].reshape(kv_dim, heads, hd).astype(dt),
+                       preferred_element_type=dt)
+    a = attention(q, k, v)
+    return (jnp.einsum("bhse,hed->bsd", a,
+                       p["o"]["w"].reshape(heads, hd, dim).astype(dt),
+                       preferred_element_type=dt)
+            + p["o"]["b"].astype(dt))
 
 
 def _init_transformer(key, dim, ctx_dim, heads):
