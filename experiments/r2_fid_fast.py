@@ -109,7 +109,9 @@ def main():
         sets[name] = gen(pipe, (name, steps, kw), prompts, latents)
         print(f"generated {name}", flush=True)
 
-    icfg = inception.InceptionConfig.tiny()
+    # full-width (2048-d) random-init extractor: tiny-width features are too
+    # weak to separate the sets (first run measured FID ~0 everywhere)
+    icfg = inception.InceptionConfig.fid()
     iparams = inception.init(jax.random.key(2015), icfg)
 
     def stats(imgs):
@@ -126,7 +128,7 @@ def main():
         mae = float(np.abs(imgs - exact).mean())
         m1, s1 = stats(imgs)
         f = fid_mod.calculate_frechet_distance(m0, s0, m1, s1)
-        rows.append(f"| {name} | {mae:.4f} | {f:.3f} |")
+        rows.append(f"| {name} | {mae:.4f} | {f:.5f} |")
         print(rows[-1], flush=True)
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "r2_fid_fast_table.md"), "w") as fh:

@@ -71,7 +71,13 @@ def main():
         key = jax.random.key(0)
         w = jax.random.normal(key, (3, 3, cin, cout), dt) * 0.02
         b = jnp.zeros((cout,), dt)
-        for name, fn in (("xla", conv_xla), ("conv9", conv9)):
+        from sdbc_tpu.ops.pallas_conv import conv3x3_same
+
+        def conv_pallas(x, w, b):
+            return conv3x3_same(x, w, b)
+
+        for name, fn in (("xla", conv_xla), ("conv9", conv9),
+                         ("pallas", conv_pallas)):
             @jax.jit
             def loop(k, _f=fn, _tag=name):
                 x0 = jnp.ones((n, h, wd, cin), dt) * 0.1

@@ -16,6 +16,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _on_tpu() -> bool:
@@ -76,5 +77,14 @@ def _flash_eligible(q, k) -> bool:
     import os
 
     if sk < 256 and os.environ.get("SDBC_ATTN_CROSS", "xla") == "xla":
+        return False
+    # Batch-aware cutoff (round-1 measurement: whole-UNet fwd at 64² flash
+    # wins at CFG batch 8 — 156 vs 188 ms — but LOSES at batch 16 — 268 vs
+    # 241 ms).  The kernel's (batch·head, q-block) grid stops paying once
+    # total query rows grow past ~3e5; above it XLA's fused attention is
+    # faster, which is what training batches hit.  SDBC_FLASH_MAX_ROWS
+    # overrides for re-calibration.
+    rows = int(np.prod(q.shape[:-2])) * sq
+    if rows > int(os.environ.get("SDBC_FLASH_MAX_ROWS", "300000")):
         return False
     return sq >= 128 and d <= 256
