@@ -31,7 +31,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_imgs", type=int, default=4000)
     p.add_argument("--save_dir", type=str, default="./generated")
     p.add_argument("--img_size", type=int, default=512)
-    p.add_argument("--num_inference_steps", type=int, default=50)
+    p.add_argument("--num_inference_steps", type=int, default=50,
+                   help="50-step DDIM is the reference-exact protocol; the "
+                        "recommended fast serving profile is --scheduler dpm "
+                        "--num_inference_steps 25 (~2x faster, full-quality "
+                        "higher-order solver; smallest measured drift from "
+                        "the exact protocol — experiments/PERF_NOTES.md)")
     p.add_argument("--guidance_scale", type=float, default=7.5)
     p.add_argument("--fid_stats_path", type=str, default="./fid_stats.npz")
     p.add_argument("--prompt", type=str, default="")
