@@ -22,8 +22,21 @@ def sync(x):
     return np.asarray(jax.block_until_ready(x)).ravel()[:1]
 
 
+def sync_retry(fn, n, attempts=8):
+    """The axon remote-compile service drops connections under load
+    ('broken pipe'); retrying resubmits the compile."""
+    for a in range(attempts):
+        try:
+            return sync(fn(n))
+        except Exception as e:  # jax.errors.JaxRuntimeError
+            print(f"compile attempt {a}: {type(e).__name__} "
+                  f"{str(e)[:120]}", flush=True)
+            time.sleep(20)
+    raise RuntimeError("remote compile kept failing")
+
+
 def slope(fn, n1=2, n2=12, reps=2):
-    sync(fn(n1))
+    sync_retry(fn, n1)
     t1 = min(
         (lambda t0: (sync(fn(n1)), time.perf_counter() - t0)[1])(time.perf_counter())
         for _ in range(reps))

@@ -24,8 +24,19 @@ def sync(x):
     return np.asarray(jax.block_until_ready(x)).ravel()[:1]
 
 
+def sync_retry(fn, n, attempts=8):
+    for a in range(attempts):
+        try:
+            return sync(fn(n))
+        except Exception as e:
+            print(f"compile attempt {a}: {type(e).__name__} "
+                  f"{str(e)[:120]}", flush=True)
+            time.sleep(20)
+    raise RuntimeError("remote compile kept failing")
+
+
 def slope(fn, n1=2, n2=12, reps=2):
-    sync(fn(n1))
+    sync_retry(fn, n1)
     t1 = min(
         (lambda t0: (sync(fn(n1)), time.perf_counter() - t0)[1])(time.perf_counter())
         for _ in range(reps))
@@ -56,12 +67,10 @@ def conv9(x, w, b):
     return acc.astype(x.dtype) + b
 
 
-SHAPES = [  # decoder tail hot shapes (batch 4)
-    (4, 512, 512, 128, 128),
-    (4, 512, 512, 256, 128),
-    (4, 512, 512, 256, 256),   # up2 upsample conv after nearest-2x
-    (4, 256, 256, 512, 256),
-    (4, 256, 256, 256, 256),
+SHAPES = [  # decoder tail hot shapes (batch 4); kept few: each (shape, impl)
+    # is a separate remote compile on a slow service
+    (4, 512, 512, 128, 128),   # up3 resnet convs — the dominant tail cost
+    (4, 256, 256, 256, 256),   # up2 resnet convs
 ]
 
 

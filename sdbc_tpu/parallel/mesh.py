@@ -26,12 +26,19 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 class MeshConfig:
     data: int = -1   # -1: all remaining devices
     model: int = 1   # tensor-parallel axis (1 for SD-1.x parity workloads)
+    # number of DCN-connected slices (multi-pod scale-out).  >1 builds a
+    # hybrid mesh where the OUTER part of the data axis crosses DCN and the
+    # inner part stays on ICI, so the gradient psum runs hierarchically
+    # (reduce inside each slice over ICI, then across slices over DCN).
+    num_slices: int = 1
 
     def resolve(self, n_devices: int) -> tuple:
         model = self.model
         data = self.data if self.data > 0 else n_devices // model
         assert data * model == n_devices, (
             f"mesh {data}x{model} != {n_devices} devices")
+        assert data % self.num_slices == 0, (
+            f"data axis {data} not divisible by {self.num_slices} slices")
         return data, model
 
 
@@ -39,7 +46,17 @@ def make_mesh(cfg: MeshConfig = MeshConfig(),
               devices: Optional[Sequence] = None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     data, model = cfg.resolve(len(devices))
-    arr = np.array(devices).reshape(data, model)
+    if cfg.num_slices > 1 and hasattr(devices[0], "slice_index"):
+        from jax.experimental import mesh_utils
+
+        # slice-major device order: contiguous data-axis blocks live inside
+        # one slice, so only the outer data reduction rides DCN
+        arr = mesh_utils.create_hybrid_device_mesh(
+            (data // cfg.num_slices, model), (cfg.num_slices, 1),
+            devices=devices)
+        arr = arr.reshape(data, model)
+    else:
+        arr = np.array(devices).reshape(data, model)
     return Mesh(arr, ("data", "model"))
 
 
