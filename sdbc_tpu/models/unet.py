@@ -97,15 +97,16 @@ def _init_mha(key, dim, kv_dim, heads):
 
 
 def _mha(p, x, ctx, heads):
-    """Multi-head attention with head-major projections.
+    """Multi-head attention.
 
-    The head split/merge is folded INTO the projection einsums — the q/k/v
-    matmuls emit (b, h, s, e) directly and the output matmul consumes it,
-    so XLA never materialises the (b,s,h,e)→(b,h,s,e) transposes that showed
-    up in the round-1 while-body profile (PERF_NOTES lead 2).  Self-attention
-    additionally fuses q/k/v into ONE matmul.  Numerics are unchanged (same
-    contractions, same dtypes).  SDBC_MHA=legacy restores the reshape path
-    for A/B measurements.
+    Default is the full-width projection + reshape/transpose path: it MEASURES
+    FASTER on v5e than folding the head split into the projection einsums
+    (round-2 A/B, one 64² layer at b=8: legacy 6.93 ms vs head-major 8.25 ms
+    vs fused-qkv 9.63 ms).  Head-major projections shrink the matmul output
+    width to head_dim=40 — a 3.2× MXU lane-padding waste — which costs more
+    than the transposes save (round-1 profile lead 2 falsified).
+    SDBC_MHA=headmajor|fused keeps the variants for re-measurement on other
+    topologies.
     """
     import os
 
@@ -113,7 +114,7 @@ def _mha(p, x, ctx, heads):
     hd = dim // heads
     dt = x.dtype
 
-    if os.environ.get("SDBC_MHA", "fused") == "legacy":
+    if os.environ.get("SDBC_MHA", "legacy") == "legacy":
         def split(t):
             return t.reshape(b, -1, heads, hd).transpose(0, 2, 1, 3)
 
@@ -123,13 +124,14 @@ def _mha(p, x, ctx, heads):
         a = attention(q, k, v).transpose(0, 2, 1, 3).reshape(b, s, dim)
         return nn.linear(p["o"], a)
 
-    if x is ctx:  # self-attention: one fused qkv projection
+    mode = os.environ.get("SDBC_MHA", "fused")
+    if mode == "fused" and x is ctx:  # self-attention: one qkv projection
         w = jnp.concatenate([p["q"]["w"], p["k"]["w"], p["v"]["w"]], axis=1)
         qkv = jnp.einsum("bsd,dthe->tbhse", x,
                          w.reshape(dim, 3, heads, hd).astype(dt),
                          preferred_element_type=dt)
         q, k, v = qkv[0], qkv[1], qkv[2]
-    else:
+    else:  # "headmajor": separate projections, still head-major output
         kv_dim = ctx.shape[-1]
         q = jnp.einsum("bsd,dhe->bhse", x,
                        p["q"]["w"].reshape(dim, heads, hd).astype(dt),
