@@ -80,13 +80,7 @@ def main():
         key = jax.random.key(0)
         w = jax.random.normal(key, (3, 3, cin, cout), dt) * 0.02
         b = jnp.zeros((cout,), dt)
-        from sdbc_tpu.ops.pallas_conv import conv3x3_same
-
-        def conv_pallas(x, w, b):
-            return conv3x3_same(x, w, b)
-
-        for name, fn in (("xla", conv_xla), ("conv9", conv9),
-                         ("pallas", conv_pallas)):
+        for name, fn in (("xla", conv_xla), ("conv9", conv9)):
             @jax.jit
             def loop(k, _f=fn, _tag=name):
                 x0 = jnp.ones((n, h, wd, cin), dt) * 0.1
@@ -100,7 +94,7 @@ def main():
 
                 return jax.lax.fori_loop(0, k, body, x0)
 
-            per, base = slope(loop, 1, 7)
+            per, base = slope(loop, 4, 64, reps=3)
             gf = 2 * n * h * wd * cin * cout * 9 / 1e9
             print(f"conv {name} ({n},{h},{wd},{cin}->{cout}): "
                   f"{per*1000:.2f} ms  ({gf/per/1000:.0f} TF/s)", flush=True)

@@ -184,21 +184,7 @@ def encode(params, x, key, cfg: VAEConfig):
 
 
 def decode(params, z, cfg: VAEConfig):
-    """z: (N,h,w,latent) (already un-scaled by caller) → (N,8h,8w,3) in [-1,1].
-
-    SDBC_VAE_CONV=pallas routes the large-spatial 3x3 convs through the
-    Pallas row-tiled kernel (decode is inference-only, so no VJP needed).
-    """
-    import contextlib
-    import os
-
-    ctx = nn.pallas_convs() if os.environ.get("SDBC_VAE_CONV", "xla") == \
-        "pallas" else contextlib.nullcontext()
-    with ctx:
-        return _decode(params, z, cfg)
-
-
-def _decode(params, z, cfg: VAEConfig):
+    """z: (N,h,w,latent) (already un-scaled by caller) → (N,8h,8w,3) in [-1,1]."""
     g = cfg.norm_groups
     dec = params["decoder"]
     h = nn.conv2d(params["post_quant_conv"], z)

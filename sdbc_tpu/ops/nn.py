@@ -61,39 +61,13 @@ def init_conv(key, in_ch: int, out_ch: int, kernel: int = 3, use_bias: bool = Tr
     return p
 
 
-_PALLAS_CONVS = False
-
-
-def pallas_convs():
-    """Context manager: route eligible 3x3 convs through the Pallas row-tiled
-    kernel (ops/pallas_conv.py) — inference-only paths (the kernel has no
-    VJP); used by vae.decode for the 512²/256² tail."""
-    import contextlib
-
-    @contextlib.contextmanager
-    def ctx():
-        global _PALLAS_CONVS
-        prev = _PALLAS_CONVS
-        _PALLAS_CONVS = True
-        try:
-            yield
-        finally:
-            _PALLAS_CONVS = prev
-
-    return ctx()
-
-
 def conv2d(p, x, stride: int = 1, padding="SAME"):
-    """NHWC conv. padding: 'SAME' | 'VALID' | int | ((t,b),(l,r))."""
-    if _PALLAS_CONVS and stride == 1 and padding == "SAME":
-        from sdbc_tpu.ops import pallas_conv
+    """NHWC conv. padding: 'SAME' | 'VALID' | int | ((t,b),(l,r)).
 
-        if pallas_conv.eligible(x, p["w"]):
-            b = p.get("b")
-            if b is None:
-                b = jnp.zeros((p["w"].shape[-1],), x.dtype)
-            return pallas_conv.conv3x3_same(x, p["w"].astype(x.dtype),
-                                            b.astype(x.dtype))
+    Stays on XLA's native conv: measured 147 TF/s at the VAE tail shapes
+    (experiments/PERF_NOTES.md round 2) — a Pallas conv cannot beat that,
+    and the shifted-9-matmul formulation measured 3x slower.
+    """
     if isinstance(padding, int):
         padding = ((padding, padding), (padding, padding))
     y = jax.lax.conv_general_dilated(
