@@ -95,7 +95,8 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
     def model_out_fn(lat, t):
         lat2 = jnp.concatenate([lat, lat], axis=0)
         tb = jnp.full((lat2.shape[0],), t, jnp.int32)
-        out = unet_mod.apply(uparams, lat2, tb, context, cfg.unet)
+        out = unet_mod.apply(uparams, lat2, tb, context, cfg.unet,
+                             attn_impl="inference")
         out_u, out_c = jnp.split(out.astype(jnp.float32), 2, axis=0)
         return out_u + gs * (out_c - out_u)
 
@@ -132,12 +133,14 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
                 def full(cache):
                     return unet_mod.apply(uparams, lat2, tb, context,
                                           cfg.unet, return_deep=True,
-                                          cache_tail=cache_tail)
+                                          cache_tail=cache_tail,
+                                          attn_impl="inference")
 
                 def reuse(cache):
                     out = unet_mod.apply(uparams, lat2, tb, context,
                                          cfg.unet, cached_deep=cache,
-                                         cache_tail=cache_tail)
+                                         cache_tail=cache_tail,
+                                         attn_impl="inference")
                     return out, cache
 
                 eps, cache = jax.lax.cond(i % cache_interval == 0, full,

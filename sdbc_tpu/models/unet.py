@@ -19,6 +19,7 @@ transformer via ``remat=True``.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 from typing import Tuple
 
@@ -96,7 +97,7 @@ def _init_mha(key, dim, kv_dim, heads):
     }
 
 
-def _mha(p, x, ctx, heads):
+def _mha(p, x, ctx, heads, impl="auto"):
     """Multi-head attention.
 
     Default is the full-width projection + reshape/transpose path: it MEASURES
@@ -121,7 +122,7 @@ def _mha(p, x, ctx, heads):
         q = split(nn.linear(p["q"], x))
         k = split(nn.linear(p["k"], ctx))
         v = split(nn.linear(p["v"], ctx))
-        a = attention(q, k, v).transpose(0, 2, 1, 3).reshape(b, s, dim)
+        a = attention(q, k, v, impl=impl).transpose(0, 2, 1, 3).reshape(b, s, dim)
         return nn.linear(p["o"], a)
 
     mode = os.environ.get("SDBC_MHA", "fused")
@@ -142,7 +143,7 @@ def _mha(p, x, ctx, heads):
         v = jnp.einsum("bsd,dhe->bhse", ctx,
                        p["v"]["w"].reshape(kv_dim, heads, hd).astype(dt),
                        preferred_element_type=dt)
-    a = attention(q, k, v)
+    a = attention(q, k, v, impl=impl)
     return (jnp.einsum("bhse,hed->bsd", a,
                        p["o"]["w"].reshape(heads, hd, dim).astype(dt),
                        preferred_element_type=dt)
@@ -165,7 +166,7 @@ def _init_transformer(key, dim, ctx_dim, heads):
     }
 
 
-def _transformer(p, x, ctx, heads, groups):
+def _transformer(p, x, ctx, heads, groups, attn_impl="auto"):
     """Spatial transformer: self-attn → cross-attn(CLIP ctx) → GEGLU FF."""
     n, h, w, c = x.shape
     res_spatial = x
@@ -173,8 +174,8 @@ def _transformer(p, x, ctx, heads, groups):
     y = nn.conv2d(p["proj_in"], y).reshape(n, h * w, c)
 
     yn = nn.layer_norm(p["ln1"], y)
-    y = y + _mha(p["attn1"], yn, yn, heads)
-    y = y + _mha(p["attn2"], nn.layer_norm(p["ln2"], y), ctx, heads)
+    y = y + _mha(p["attn1"], yn, yn, heads, attn_impl)
+    y = y + _mha(p["attn2"], nn.layer_norm(p["ln2"], y), ctx, heads, attn_impl)
     z = nn.linear(p["geglu"], nn.layer_norm(p["ln3"], y))
     val, gate = jnp.split(z, 2, axis=-1)
     # exact erf GELU (torch F.gelu default) — NOT jax's tanh approximation
@@ -255,7 +256,7 @@ def init(key, cfg: UNetConfig):
 
 def apply(params, latents, timesteps, encoder_hidden_states, cfg: UNetConfig,
           *, remat: bool = False, cached_deep=None, return_deep: bool = False,
-          cache_tail: int = 0):
+          cache_tail: int = 0, attn_impl: str = "auto"):
     """latents (N,h,w,4), timesteps (N,), CLIP states (N,77,768) → eps (N,h,w,4).
 
     remat=True rematerialises every ResBlock/transformer in the backward pass
@@ -275,8 +276,10 @@ def apply(params, latents, timesteps, encoder_hidden_states, cfg: UNetConfig,
     ctx = encoder_hidden_states
 
     res_fn = _resnet
-    attn_fn = _transformer
+    attn_fn = functools.partial(_transformer, attn_impl=attn_impl)
     if remat:
+        # remat is the training path: the inference-only attn_impl dispatch
+        # stays default there (jax.checkpoint can't trace a string kwarg)
         res_fn = jax.checkpoint(_resnet, static_argnums=(3,))
         attn_fn = jax.checkpoint(_transformer, static_argnums=(3, 4))
 

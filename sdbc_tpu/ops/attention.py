@@ -51,6 +51,14 @@ def attention(q, k, v, *, causal: bool = False, scale: Optional[float] = None,
 
     if impl == "auto":
         impl = os.environ.get("SDBC_ATTN_IMPL", "auto")
+    if impl == "inference":
+        # sampling-path dispatch (set by diffusion.pipeline): fixed-cap Pallas
+        # kernel for the UNet's spatial self-attention, XLA for short-kv
+        # cross attention / the 8² mid block (measured: r2_flash_fixedmax.py)
+        if _on_tpu() and not causal and k.shape[-2] >= 256:
+            from sdbc_tpu.ops.flash_attention import flash_attention_fixed
+            return flash_attention_fixed(q, k, v, scale=scale)
+        return xla_attention(q, k, v, causal=causal, scale=scale)
     if impl == "xla":
         return xla_attention(q, k, v, causal=causal, scale=scale)
     if impl == "flash" or (impl == "auto" and _flash_eligible(q, k)):

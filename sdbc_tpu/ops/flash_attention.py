@@ -132,6 +132,111 @@ def _flash_fwd(q, k, v, scale: float, block_q: int = 512, block_kv: int = 1024):
     return out, lse
 
 
+# ---------------------------------------------------------------------------
+# Fixed-cap inference kernel (round 2)
+#
+# The online-softmax running max costs two extra VPU passes over every score
+# element AND serializes the kv loop (m/alpha are loop-carried), which blocks
+# Mosaic from software-pipelining the next block's QKᵀ against the current
+# block's exp2.  For inference the max is unnecessary: scores live in log2
+# space (q pre-scaled by scale·log2e), and exp2(min(s, CAP)) with CAP=60 is
+# EXACT fp32 softmax for natural logits ≤ 60/log2e ≈ 41.6 — far beyond
+# trained-SD magnitudes (O(10)); sums stay ≪ fp32 max and underflow flushes
+# to exact 0.  The denominator comes from a ones lane appended to V at column
+# D, accumulated by the PV matmul on the MXU — no VPU sum-reduce pass.
+# Measured on v5e at the UNet's 64² shape (8,8,4096,40): 1.0-1.9 ms vs the
+# running-max kernel's 7.9 ms (experiments/r2_flash_fixedmax.py).
+# Training keeps the running-max kernel: its VJP must tolerate arbitrary
+# logit scales mid-training.
+
+_CAP = 60.0  # log2-space clamp; see note above
+
+
+def _fixed_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, block_kv: int,
+                  kv_pad: int, d: int):
+    q = q_ref[0]                                 # (bq, d_pad) log2-prescaled
+    bq = q.shape[0]
+    num_kv = kv_pad // block_kv
+
+    acc = jnp.zeros((bq, q.shape[1]), jnp.float32)
+    for j in range(num_kv):  # static unroll: iterations are independent
+        k = k_ref[0, pl.ds(j * block_kv, block_kv), :]
+        v = v_ref[0, pl.ds(j * block_kv, block_kv), :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (bq, bkv) log2 units
+        if j * block_kv + block_kv > kv_len:     # mask zero-padded kv rows
+            col = j * block_kv + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, block_kv), 1)
+            s = jnp.where(col < kv_len, s, _NEG_INF)
+        p = jnp.exp2(jnp.minimum(s, _CAP))
+        acc = acc + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    l = jnp.maximum(acc[:, d:d + 1], 1e-37)      # denominator from ones lane
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_kv"))
+def _flash_fixed_fwd(q, k, v, scale: float, block_q: int = 0,
+                     block_kv: int = 1024):
+    """Fixed-cap forward: (B,H,Sq,D) → (B,H,Sq,D), no lse. Non-causal."""
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    d_pad = _round_up(d + 1, 128)                # +1: ones lane at column d
+    if block_q == 0:
+        # measured-best q blocks (r2_flash_fixedmax.py): big blocks win at
+        # long sequence — more unrolled kv work per grid step to pipeline
+        block_q = 1024 if sq >= 2048 else 512
+    block_q = min(block_q, _round_up(sq, 128))
+    sq_pad = _round_up(sq, block_q)
+    block_kv = min(block_kv, _round_up(sk, 128))
+    kv_pad = _round_up(sk, block_kv)
+
+    log2e = 1.4426950408889634
+    qp = (q.astype(jnp.float32) * (scale * log2e)).astype(q.dtype)
+    qp = jnp.pad(qp, ((0, 0), (0, 0), (0, sq_pad - sq), (0, d_pad - d)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, kv_pad - sk), (0, d_pad - d)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, kv_pad - sk), (0, d_pad - d)))
+    vp = vp.at[:, :, :sk, d].set(1.0)            # ones lane → denominator
+    qp = qp.reshape(b * h, sq_pad, d_pad)
+    kp = kp.reshape(b * h, kv_pad, d_pad)
+    vp = vp.reshape(b * h, kv_pad, d_pad)
+
+    grid = (b * h, sq_pad // block_q)
+    interpret = jax.default_backend() != "tpu"   # CPU tests run the kernel
+    out = pl.pallas_call(
+        functools.partial(_fixed_kernel, kv_len=sk, block_kv=block_kv,
+                          kv_pad=kv_pad, d=d),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d_pad), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kv_pad, d_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kv_pad, d_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d_pad), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq_pad, d_pad), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * sq_pad * kv_pad * d_pad,
+            bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
+            transcendentals=b * h * sq_pad * kv_pad,
+        ),
+    )(qp, kp, vp)
+    return out.reshape(b, h, sq_pad, d_pad)[:, :, :sq, :d]
+
+
+def flash_attention_fixed(q, k, v, *, scale: Optional[float] = None):
+    """Inference-path flash attention (fixed-cap softmax, no VJP)."""
+    scale = float(scale if scale is not None else q.shape[-1] ** -0.5)
+    return _flash_fixed_fwd(q, k, v, scale)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _flash(q, k, v, scale: float):
     out, _ = _flash_fwd(q, k, v, scale)
