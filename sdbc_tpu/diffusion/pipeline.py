@@ -92,15 +92,15 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
     lat = latents.astype(dt)
     gs = jnp.asarray(guidance_scale, jnp.float32)
 
-    def model_out_fn(lat, t):
+    def model_out_fn(lat, t, tp=None):
         lat2 = jnp.concatenate([lat, lat], axis=0)
         tb = jnp.full((lat2.shape[0],), t, jnp.int32)
         out = unet_mod.apply(uparams, lat2, tb, context, cfg.unet,
-                             attn_impl="inference")
+                             attn_impl="inference", temb_proj=tp)
         out_u, out_c = jnp.split(out.astype(jnp.float32), 2, axis=0)
         return out_u + gs * (out_c - out_u)
 
-    def eps_fn(lat, t):
+    def eps_fn(lat, t, tp=None):
         """Guided model output converted to epsilon parameterisation.
 
         The dpm/pndm/ddpm steps are eps-parameterised; v-prediction
@@ -108,7 +108,7 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
         ddim_step instead).  CFG and the v→eps map are both linear in the
         model output, so guiding first then converting is exact.
         """
-        out = model_out_fn(lat, t)
+        out = model_out_fn(lat, t, tp)
         if cfg.schedule.prediction_type != "epsilon":
             out, _ = sched_mod.to_eps_x0(sched, out, t, lat,
                                          cfg.schedule.prediction_type)
@@ -117,6 +117,9 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
     if cfg.scheduler == "ddim":
         ts = sched_mod.ddim_timesteps(cfg.schedule, num_inference_steps)
         ratio = cfg.schedule.num_train_timesteps // num_inference_steps
+        # hoist the per-ResBlock time projections out of the loop (~3.5 ms/
+        # step of latency-bound (8,1280)-sized matmuls at SD-1.5 shapes)
+        tproj = unet_mod.precompute_temb(uparams, ts, cfg.unet, dtype=dt)
 
         if cache_interval and cache_interval > 1:
             b2 = 2 * lat.shape[0]
@@ -129,18 +132,21 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
             def eps_cached(lat, t, i, cache):
                 lat2 = jnp.concatenate([lat, lat], axis=0)
                 tb = jnp.full((b2,), t, jnp.int32)
+                tp = unet_mod.index_temb(tproj, i)
 
                 def full(cache):
                     return unet_mod.apply(uparams, lat2, tb, context,
                                           cfg.unet, return_deep=True,
                                           cache_tail=cache_tail,
-                                          attn_impl="inference")
+                                          attn_impl="inference",
+                                          temb_proj=tp)
 
                 def reuse(cache):
                     out = unet_mod.apply(uparams, lat2, tb, context,
                                          cfg.unet, cached_deep=cache,
                                          cache_tail=cache_tail,
-                                         attn_impl="inference")
+                                         attn_impl="inference",
+                                         temb_proj=tp)
                     return out, cache
 
                 eps, cache = jax.lax.cond(i % cache_interval == 0, full,
@@ -160,7 +166,7 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
         else:
             def body(i, lat):
                 t = ts[i]
-                out = model_out_fn(lat, t)  # ddim_step converts per prediction_type
+                out = model_out_fn(lat, t, unet_mod.index_temb(tproj, i))
                 return sched_mod.ddim_step(
                     sched, out, t, t - ratio, lat,
                     prediction_type=cfg.schedule.prediction_type)
@@ -172,6 +178,7 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
         # scheduler beyond the reference's three)
         ts = sched_mod.dpm_timesteps(cfg.schedule, num_inference_steps)
         ratio = cfg.schedule.num_train_timesteps // num_inference_steps
+        tproj = unet_mod.precompute_temb(uparams, ts, cfg.unet, dtype=dt)
         # lower-order-final safeguard (diffusers semantics): at small step
         # counts the last step drops to first order for stability
         lower_order_final = num_inference_steps < 15
@@ -179,7 +186,7 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
         def body(i, carry):
             state, lat = carry
             t = ts[i]
-            eps = eps_fn(lat, t)
+            eps = eps_fn(lat, t, unet_mod.index_temb(tproj, i))
             first = jnp.logical_and(lower_order_final,
                                     i == num_inference_steps - 1)
             state, lat = sched_mod.dpm_step(sched, cfg.schedule, state, eps,
@@ -192,11 +199,12 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
 
     elif cfg.scheduler == "pndm":
         ts = sched_mod.pndm_timesteps(cfg.schedule, num_inference_steps)
+        tproj = unet_mod.precompute_temb(uparams, ts, cfg.unet, dtype=dt)
 
         def body(i, carry):
             state, lat = carry
             t = ts[i]
-            eps = eps_fn(lat, t)
+            eps = eps_fn(lat, t, unet_mod.index_temb(tproj, i))
             state, lat = sched_mod.pndm_step(
                 sched, cfg.schedule, state, eps, t, lat, num_inference_steps)
             return state, lat
@@ -207,12 +215,13 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
     elif cfg.scheduler == "ddpm":
         ratio = cfg.schedule.num_train_timesteps // num_inference_steps
         ts = (jnp.arange(num_inference_steps) * ratio)[::-1].astype(jnp.int32)
+        tproj = unet_mod.precompute_temb(uparams, ts, cfg.unet, dtype=dt)
 
         def body(i, carry):
             lat, k = carry
             k, sub = jax.random.split(k)
             t = ts[i]
-            eps = eps_fn(lat, t)
+            eps = eps_fn(lat, t, unet_mod.index_temb(tproj, i))
             return sched_mod.ddpm_step(sched, eps, t, lat, sub,
                                        clip_sample=False), k
 

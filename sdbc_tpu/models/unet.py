@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from sdbc_tpu.ops import nn
+from sdbc_tpu.ops import geglu_ff as geglu_ff_mod
 from sdbc_tpu.ops.attention import attention
 
 
@@ -75,11 +76,17 @@ def _init_resnet(key, cin, cout, temb_dim):
     return p
 
 
-def _resnet(p, x, temb, groups):
+def _resnet(p, x, temb, groups, tproj=None):
     # diffusers UNet norm_eps=1e-5 (the transformer GroupNorm stays 1e-6)
     h = nn.group_norm(p["norm1"], x, groups, eps=1e-5, act="silu")
     h = nn.conv2d(p["conv1"], h)
-    h = h + nn.linear(p["temb"], jax.nn.silu(temb))[:, None, None, :]
+    if tproj is None:
+        # training / per-sample timesteps: project the (N, ted) embedding here
+        tproj = nn.linear(p["temb"], jax.nn.silu(temb))[:, None, None, :]
+    # sampling passes a precomputed (cout,) vector (same t across the batch):
+    # the per-step projection is hoisted out of the denoise loop entirely
+    # (precompute_temb) — (cout,) broadcasts over (N,H,W,cout)
+    h = h + tproj.astype(h.dtype)
     h = nn.group_norm(p["norm2"], h, groups, eps=1e-5, act="silu")
     h = nn.conv2d(p["conv2"], h)
     if "shortcut" in p:
@@ -176,10 +183,15 @@ def _transformer(p, x, ctx, heads, groups, attn_impl="auto"):
     yn = nn.layer_norm(p["ln1"], y)
     y = y + _mha(p["attn1"], yn, yn, heads, attn_impl)
     y = y + _mha(p["attn2"], nn.layer_norm(p["ln2"], y), ctx, heads, attn_impl)
-    z = nn.linear(p["geglu"], nn.layer_norm(p["ln3"], y))
-    val, gate = jnp.split(z, 2, axis=-1)
-    # exact erf GELU (torch F.gelu default) — NOT jax's tanh approximation
-    y = y + nn.linear(p["ff_out"], val * jax.nn.gelu(gate, approximate=False))
+    if attn_impl == "inference" and geglu_ff_mod.ff_fused_eligible(y):
+        # sampling fast path: LN → up-proj → GELU gate → down-proj →
+        # residual in one Pallas pass (hidden stays in VMEM; see ops/geglu_ff)
+        y = geglu_ff_mod.geglu_ff(y, p["ln3"], p["geglu"], p["ff_out"])
+    else:
+        z = nn.linear(p["geglu"], nn.layer_norm(p["ln3"], y))
+        val, gate = jnp.split(z, 2, axis=-1)
+        # exact erf GELU (torch F.gelu default) — NOT jax's tanh approximation
+        y = y + nn.linear(p["ff_out"], val * jax.nn.gelu(gate, approximate=False))
 
     y = nn.conv2d(p["proj_out"], y.reshape(n, h, w, c))
     return y + res_spatial
@@ -251,12 +263,55 @@ def init(key, cfg: UNetConfig):
 
 
 # ---------------------------------------------------------------------------
+# time-embedding hoist (sampling fast path)
+
+
+def _temb_mlp(params, timesteps, c0, dtype):
+    temb = nn.timestep_embedding(timesteps, c0, dtype=dtype)
+    return nn.linear(params["time_mlp"]["fc2"],
+                     jax.nn.silu(nn.linear(params["time_mlp"]["fc1"], temb)))
+
+
+def precompute_temb(params, timesteps, cfg: UNetConfig, dtype=jnp.bfloat16):
+    """Precompute every ResBlock's time projection for a whole timestep grid.
+
+    The denoise loop evaluates ~22 tiny (batch, 1280)→(batch, C) matmuls per
+    step whose inputs depend ONLY on the (statically known) timestep — on TPU
+    these are pure latency, ~3.5 ms/step at SD-1.5 shapes.  This hoists the
+    sinusoidal embedding, the shared MLP, and all per-ResBlock projections
+    into one batched pass over the full grid before the loop.
+
+    timesteps: (T,) int32 sampling grid → pytree mirroring the ResBlock
+    nesting of ``params`` with (T, cout) tables.  ``index_temb(tree, i)``
+    slices step i.  Exact: same math, evaluated once.
+    """
+    temb = _temb_mlp(params, timesteps, cfg.block_out_channels[0], dtype)
+    st = jax.nn.silu(temb)
+
+    def proj(r):
+        return nn.linear(r["temb"], st)  # (T, cout)
+
+    out = {"down": [{"resnets": [proj(r) for r in blk["resnets"]]}
+                    for blk in params["down"]],
+           "mid": {"resnet1": proj(params["mid"]["resnet1"]),
+                   "resnet2": proj(params["mid"]["resnet2"])},
+           "up": [{"resnets": [proj(r) for r in blk["resnets"]]}
+                  for blk in params["up"]]}
+    return out
+
+
+def index_temb(temb_proj, i):
+    """Slice step ``i``'s (cout,) vectors out of a precompute_temb tree."""
+    return jax.tree_util.tree_map(lambda a: a[i], temb_proj)
+
+
+# ---------------------------------------------------------------------------
 # apply
 
 
 def apply(params, latents, timesteps, encoder_hidden_states, cfg: UNetConfig,
           *, remat: bool = False, cached_deep=None, return_deep: bool = False,
-          cache_tail: int = 0, attn_impl: str = "auto"):
+          cache_tail: int = 0, attn_impl: str = "auto", temb_proj=None):
     """latents (N,h,w,4), timesteps (N,), CLIP states (N,77,768) → eps (N,h,w,4).
 
     remat=True rematerialises every ResBlock/transformer in the backward pass
@@ -283,14 +338,23 @@ def apply(params, latents, timesteps, encoder_hidden_states, cfg: UNetConfig,
         res_fn = jax.checkpoint(_resnet, static_argnums=(3,))
         attn_fn = jax.checkpoint(_transformer, static_argnums=(3, 4))
 
-    temb = nn.timestep_embedding(timesteps, cfg.block_out_channels[0],
-                                 dtype=latents.dtype)
-    temb = nn.linear(params["time_mlp"]["fc2"],
-                     jax.nn.silu(nn.linear(params["time_mlp"]["fc1"], temb)))
+    if temb_proj is None:
+        temb = _temb_mlp(params, timesteps, cfg.block_out_channels[0],
+                         latents.dtype)
+        tp_down = [{"resnets": [None] * len(b["resnets"])}
+                   for b in params["down"]]
+        tp_mid = {"resnet1": None, "resnet2": None}
+        tp_up = [{"resnets": [None] * len(b["resnets"])} for b in params["up"]]
+    else:
+        # sampling fast path: per-ResBlock (cout,) projections precomputed
+        # for the whole timestep grid (see precompute_temb); timesteps unused
+        temb = None
+        tp_down, tp_mid, tp_up = (temb_proj["down"], temb_proj["mid"],
+                                  temb_proj["up"])
 
-    def run_block_down(blk, h, skips):
+    def run_block_down(blk, tp, h, skips):
         for j, r in enumerate(blk["resnets"]):
-            h = res_fn(r, h, temb, g)
+            h = res_fn(r, h, temb, g, tp["resnets"][j])
             if blk["attns"]:
                 h = attn_fn(blk["attns"][j], h, ctx, heads, g)
             skips.append(h)
@@ -299,10 +363,10 @@ def apply(params, latents, timesteps, encoder_hidden_states, cfg: UNetConfig,
             skips.append(h)
         return h
 
-    def run_block_up(blk, h, skips):
+    def run_block_up(blk, tp, h, skips):
         for j, r in enumerate(blk["resnets"]):
             h = jnp.concatenate([h, skips.pop()], axis=-1)
-            h = res_fn(r, h, temb, g)
+            h = res_fn(r, h, temb, g, tp["resnets"][j])
             if blk["attns"]:
                 h = attn_fn(blk["attns"][j], h, ctx, heads, g)
         if "upsample" in blk:
@@ -317,8 +381,8 @@ def apply(params, latents, timesteps, encoder_hidden_states, cfg: UNetConfig,
         else total_tail
     head_resnets = ct - 1  # down[0] resnets whose skips the fresh tail pops
 
-    def run_resnet_j(blk, j, h, skips=None):
-        h = res_fn(blk["resnets"][j], h, temb, g)
+    def run_resnet_j(blk, tp, j, h, skips=None):
+        h = res_fn(blk["resnets"][j], h, temb, g, tp["resnets"][j])
         if blk["attns"]:
             h = attn_fn(blk["attns"][j], h, ctx, heads, g)
         if skips is not None:
@@ -329,26 +393,26 @@ def apply(params, latents, timesteps, encoder_hidden_states, cfg: UNetConfig,
     h = nn.conv2d(params["conv_in"], latents)
     shallow_skips = [h]
     for j in range(head_resnets):
-        h = run_resnet_j(blk0, j, h, shallow_skips)
+        h = run_resnet_j(blk0, tp_down[0], j, h, shallow_skips)
 
     if cached_deep is None:
         d, deep_skips = h, []
         for j in range(head_resnets, len(blk0["resnets"])):
-            d = run_resnet_j(blk0, j, d, deep_skips)
+            d = run_resnet_j(blk0, tp_down[0], j, d, deep_skips)
         if "downsample" in blk0:
             d = nn.conv2d(blk0["downsample"], d, stride=2, padding=1)
             deep_skips.append(d)
-        for blk in params["down"][1:]:
-            d = run_block_down(blk, d, deep_skips)
-        d = res_fn(params["mid"]["resnet1"], d, temb, g)
+        for blk, tp in zip(params["down"][1:], tp_down[1:]):
+            d = run_block_down(blk, tp, d, deep_skips)
+        d = res_fn(params["mid"]["resnet1"], d, temb, g, tp_mid["resnet1"])
         d = attn_fn(params["mid"]["attn"], d, ctx, heads, g)
-        d = res_fn(params["mid"]["resnet2"], d, temb, g)
-        for blk in params["up"][:-1]:
-            d = run_block_up(blk, d, deep_skips)
+        d = res_fn(params["mid"]["resnet2"], d, temb, g, tp_mid["resnet2"])
+        for blk, tp in zip(params["up"][:-1], tp_up[:-1]):
+            d = run_block_up(blk, tp, d, deep_skips)
         # deep-owned leading resnets of the last up block
         for j in range(total_tail - ct):
             d = jnp.concatenate([d, deep_skips.pop()], axis=-1)
-            d = run_resnet_j(last_up, j, d)
+            d = run_resnet_j(last_up, tp_up[-1], j, d)
         deep = d
     else:
         deep = cached_deep
@@ -356,7 +420,7 @@ def apply(params, latents, timesteps, encoder_hidden_states, cfg: UNetConfig,
     h = deep
     for j in range(total_tail - ct, total_tail):
         h = jnp.concatenate([h, shallow_skips.pop()], axis=-1)
-        h = run_resnet_j(last_up, j, h)
+        h = run_resnet_j(last_up, tp_up[-1], j, h)
     h = nn.group_norm(params["norm_out"], h, g, eps=1e-5, act="silu")
     out = nn.conv2d(params["conv_out"], h)
     return (out, deep) if return_deep else out

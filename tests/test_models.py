@@ -76,3 +76,24 @@ def test_unet_remat_equivalence(tiny_cfg, tiny_params):
     e1 = unet.apply(tiny_params["unet"], lat, t, ctx, cfg, remat=False)
     e2 = unet.apply(tiny_params["unet"], lat, t, ctx, cfg, remat=True)
     np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), atol=1e-5)
+
+
+def test_unet_temb_hoist_equivalence(tiny_cfg, tiny_params):
+    """precompute_temb + temb_proj == in-graph time-embedding path.
+
+    The sampling fast path hoists the per-ResBlock time projections out of
+    the denoise loop (unet.precompute_temb); the math must be identical to
+    computing them per call from (N,) timesteps.
+    """
+    cfg = tiny_cfg.unet
+    lat = jax.random.normal(jax.random.key(9), (2, 8, 8, cfg.in_channels))
+    ctx = jax.random.normal(jax.random.key(10), (2, 16, cfg.cross_attention_dim))
+    ts = jnp.array([7, 123, 900], jnp.int32)  # a 3-step "grid"
+    tproj = unet.precompute_temb(tiny_params["unet"], ts, cfg,
+                                 dtype=jnp.float32)
+    for i in range(ts.shape[0]):
+        tb = jnp.full((2,), ts[i], jnp.int32)
+        ref = unet.apply(tiny_params["unet"], lat, tb, ctx, cfg)
+        out = unet.apply(tiny_params["unet"], lat, tb, ctx, cfg,
+                         temb_proj=unet.index_temb(tproj, i))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)

@@ -184,3 +184,25 @@ def test_flash_attention_fixed_dispatch():
     np.testing.assert_allclose(
         np.asarray(attention(qq, qq, qq, causal=True, impl="inference")),
         np.asarray(xla_attention(qq, qq, qq, causal=True)), atol=2e-5)
+
+
+def test_geglu_ff_kernel_matches_reference():
+    """Fused FF kernel == LN → GEGLU → down-proj → residual (XLA path)."""
+    from sdbc_tpu.ops import nn
+    from sdbc_tpu.ops.geglu_ff import geglu_ff
+
+    for (b, s, c) in [(1, 512, 320), (2, 256, 640)]:
+        key = jax.random.key(c)
+        ks = jax.random.split(key, 3)
+        y = jax.random.normal(ks[0], (b, s, c), jnp.float32)
+        ln = nn.init_layer_norm(c)
+        gg = nn.init_linear(ks[1], c, 8 * c)
+        fo = nn.init_linear(ks[2], 4 * c, c)
+
+        z = nn.linear(gg, nn.layer_norm(ln, y))
+        val, gate = jnp.split(z, 2, axis=-1)
+        ref = y + nn.linear(fo, val * jax.nn.gelu(gate, approximate=False))
+
+        out = geglu_ff(y, ln, gg, fo)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=5e-4, rtol=1e-4)
