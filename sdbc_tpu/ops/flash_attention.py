@@ -231,9 +231,91 @@ def _flash_fixed_fwd(q, k, v, scale: float, block_q: int = 0,
     return out.reshape(b, h, sq_pad, d_pad)[:, :, :sq, :d]
 
 
+def _fixed_kernel_raw(q_ref, k_ref, v_ref, o_ref, *, block_kv: int,
+                      num_kv: int, qscale: float):
+    """Unpadded fixed-cap kernel: refs carry the NATIVE head dim (e.g. 40).
+
+    Small-minor-dim arrays are already physically 128-lane tiled in HBM, so
+    the padded variant's jnp.pad ops are pure copies (~1.1 ms/step at SD-1.5
+    shapes) — this variant reads q/k/v as-is and lets Mosaic mask the lane
+    tail inside the dots.  The softmax denominator is a VPU row-sum per kv
+    block instead of the ones-lane trick (needs no extra V column); the
+    kernel is MXU-saturated, so the extra VPU pass hides under the matmuls.
+    q is scaled into log2 space in-kernel (kills the pre-scaling pass too).
+    """
+    q32 = q_ref[0].astype(jnp.float32) * qscale
+    q = q32.astype(q_ref.dtype)                  # (bq, d) log2-prescaled
+    bq, d = q.shape
+
+    acc = jnp.zeros((bq, d), jnp.float32)
+    l = jnp.zeros((bq, 1), jnp.float32)
+    for j in range(num_kv):  # static unroll: iterations are independent
+        k = k_ref[0, pl.ds(j * block_kv, block_kv), :]
+        v = v_ref[0, pl.ds(j * block_kv, block_kv), :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (bq, bkv) log2 units
+        p = jnp.exp2(jnp.minimum(s, _CAP))
+        l = l + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    o_ref[0] = (acc / jnp.maximum(l, 1e-37)).astype(o_ref.dtype)
+
+
+def _divisor_block(s: int, prefer: int) -> int:
+    for b in (prefer, 1024, 512, 256, 128):
+        if b <= prefer and s % b == 0:
+            return b
+    return 0
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_kv"))
+def _flash_fixed_fwd_raw(q, k, v, scale: float, block_q: int,
+                         block_kv: int):
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    log2e = 1.4426950408889634
+    qr = q.reshape(b * h, sq, d)                 # bitcast, no copy
+    kr = k.reshape(b * h, sk, d)
+    vr = v.reshape(b * h, sk, d)
+    grid = (b * h, sq // block_q)
+    interpret = jax.default_backend() != "tpu"   # CPU tests run the kernel
+    d_pad = _round_up(d, 128)                    # physical lane footprint
+    out = pl.pallas_call(
+        functools.partial(_fixed_kernel_raw, block_kv=block_kv,
+                          num_kv=sk // block_kv, qscale=scale * log2e),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * sq * sk * d_pad,
+            bytes_accessed=(qr.size + kr.size + vr.size) * qr.dtype.itemsize,
+            transcendentals=b * h * sq * sk,
+        ),
+    )(qr, kr, vr)
+    return out.reshape(b, h, sq, d)
+
+
 def flash_attention_fixed(q, k, v, *, scale: Optional[float] = None):
     """Inference-path flash attention (fixed-cap softmax, no VJP)."""
     scale = float(scale if scale is not None else q.shape[-1] ** -0.5)
+    sq, sk = q.shape[2], k.shape[2]
+    bq = _divisor_block(sq, 1024 if sq >= 2048 else 512)
+    bkv = _divisor_block(sk, 1024)
+    if bq and bkv:
+        return _flash_fixed_fwd_raw(q, k, v, scale, bq, bkv)
     return _flash_fixed_fwd(q, k, v, scale)
 
 

@@ -28,6 +28,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _erf(x):
+    """Abramowitz & Stegun 7.1.26 polynomial erf (|err| < 1.5e-7).
+
+    Pallas TPU has no erf lowering; this approximation's error is ~5 orders
+    of magnitude below bf16 rounding, so the kernel still matches the XLA
+    path's exact-erf GELU to working precision.
+    """
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+               + t * (-1.453152027 + t * 1.061405429))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
 def _kernel(y_ref, g_ref, bl_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
             *, inner: int, eps: float):
     y = y_ref[...]
@@ -39,15 +54,16 @@ def _kernel(y_ref, g_ref, bl_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
     xn = xc * jax.lax.rsqrt(var + eps)
     xn = xn * g_ref[...].astype(jnp.float32) + bl_ref[...].astype(jnp.float32)
 
-    # up-projection; bf16 result matches the XLA path's nn.linear semantics
+    # up-projection; f32 accumulate (Mosaic requires a 32-bit acc), then
+    # round to bf16 — matches the XLA path's nn.linear semantics
     h = jax.lax.dot_general(xn.astype(dt), w1_ref[...],
                             (((1,), (0,)), ((), ())),
-                            preferred_element_type=dt)
+                            preferred_element_type=jnp.float32).astype(dt)
     h = h + b1_ref[...].astype(dt)
     val = h[:, :inner].astype(jnp.float32)
     gate = h[:, inner:].astype(jnp.float32)
-    # exact erf GELU (torch F.gelu default; NOT the tanh approximation)
-    a = val * (0.5 * gate * (1.0 + jax.lax.erf(gate * 0.7071067811865476)))
+    # erf GELU (torch F.gelu default; NOT the tanh approximation)
+    a = val * (0.5 * gate * (1.0 + _erf(gate * 0.7071067811865476)))
 
     o = jax.lax.dot_general(a.astype(dt), w2_ref[...],
                             (((1,), (0,)), ((), ())),

@@ -156,10 +156,14 @@ def test_flash_attention_fixed_matches_xla():
     """
     from sdbc_tpu.ops.flash_attention import flash_attention_fixed
 
+    # covers both the raw (divisible shapes) and padded fallback paths
     for (b, h, sq, d, sk, mag) in [(1, 2, 256, 40, 256, 1.0),
                                    (2, 1, 128, 80, 300, 1.0),
                                    (1, 1, 128, 16, 130, 2.5),
-                                   (1, 2, 140, 40, 256, 1.0)]:
+                                   (1, 2, 140, 40, 256, 1.0),
+                                   (1, 2, 512, 40, 512, 1.0),
+                                   (2, 2, 256, 80, 1024, 1.0),
+                                   (1, 2, 256, 160, 256, 1.0)]:
         q = jax.random.normal(jax.random.key(1), (b, h, sq, d), jnp.float32) * mag
         k = jax.random.normal(jax.random.key(2), (b, h, sk, d), jnp.float32) * mag
         v = jax.random.normal(jax.random.key(3), (b, h, sk, d), jnp.float32)
