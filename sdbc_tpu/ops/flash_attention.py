@@ -308,6 +308,98 @@ def _flash_fixed_fwd_raw(q, k, v, scale: float, block_q: int,
     return out.reshape(b, h, sq, d)
 
 
+# ---------------------------------------------------------------------------
+# int8 QKᵀ experiment (SageAttention-style) — MEASURED SLOWER, not dispatched
+#
+# Hypothesis: v5e's MXU runs int8 matmuls at 2× the bf16 rate, so
+# quantizing Q/K with per-row scales should halve the QKᵀ half of the
+# kernel (P·V stays bf16, the SageAttention split, arXiv:2410.02367).
+# Accuracy holds (~2% of output range, tests/test_ops.py), but on-chip the
+# kernel is SLOWER than the bf16 raw variant (4.28 vs 3.63 ms at
+# (8,8,4096,40), experiments/r2_int8_ab.py): Mosaic does not lower this
+# int8 dot to a faster MXU path today, and the per-row rescale adds a VPU
+# pass over the full score matrix that does not hide under the matmuls.
+# Kept (with its test) for re-evaluation on future Mosaic/hardware; no
+# production code path uses it.
+
+
+def _int8_kernel(q_ref, qs_ref, k_ref, ks_ref, v_ref, o_ref, *,
+                 block_kv: int, num_kv: int):
+    q = q_ref[0]                                 # (bq, d) int8
+    qs = qs_ref[0]                               # (bq, 1) f32, log2e·scale folded
+    bq, d = q.shape
+
+    acc = jnp.zeros((bq, d), jnp.float32)
+    l = jnp.zeros((bq, 1), jnp.float32)
+    for j in range(num_kv):
+        k = k_ref[0, pl.ds(j * block_kv, block_kv), :]
+        ks = ks_ref[0, :, pl.ds(j * block_kv, block_kv)]   # (1, bkv) f32
+        v = v_ref[0, pl.ds(j * block_kv, block_kv), :]
+        s_i = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)    # (bq, bkv) int32
+        s = s_i.astype(jnp.float32) * qs * ks    # log2 units
+        p = jnp.exp2(jnp.minimum(s, _CAP))
+        l = l + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    o_ref[0] = (acc / jnp.maximum(l, 1e-37)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_kv"))
+def _flash_fixed_fwd_int8(q, k, v, scale: float, block_q: int,
+                          block_kv: int):
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    log2e = 1.4426950408889634
+
+    def quant(x):
+        ax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+        s = jnp.maximum(ax, 1e-8) / 127.0
+        xi = jnp.round(x.astype(jnp.float32) / s).astype(jnp.int8)
+        return xi, s
+
+    qi, qs = quant(q)
+    ki, ks = quant(k)
+    qi = qi.reshape(b * h, sq, d)
+    ki = ki.reshape(b * h, sk, d)
+    vr = v.reshape(b * h, sk, d)
+    qs = (qs * (scale * log2e)).reshape(b * h, sq, 1)
+    ks = ks.reshape(b * h, 1, sk)                # row scales, lane-major
+
+    grid = (b * h, sq // block_q)
+    interpret = jax.default_backend() != "tpu"
+    out = pl.pallas_call(
+        functools.partial(_int8_kernel, block_kv=block_kv,
+                          num_kv=sk // block_kv),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, sk), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * sq * sk * _round_up(d, 128),
+            bytes_accessed=(qi.size + ki.size + 2 * vr.size),
+            transcendentals=b * h * sq * sk,
+        ),
+    )(qi, qs, ki, ks, vr)
+    return out.reshape(b, h, sq, d)
+
+
 def flash_attention_fixed(q, k, v, *, scale: Optional[float] = None):
     """Inference-path flash attention (fixed-cap softmax, no VJP)."""
     scale = float(scale if scale is not None else q.shape[-1] ** -0.5)

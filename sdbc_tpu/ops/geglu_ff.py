@@ -44,7 +44,7 @@ def _erf(x):
 
 
 def _kernel(y_ref, g_ref, bl_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
-            *, inner: int, eps: float):
+            *, inner: int, eps: float, split: bool):
     y = y_ref[...]
     dt = y.dtype
     x = y.astype(jnp.float32)
@@ -52,18 +52,28 @@ def _kernel(y_ref, g_ref, bl_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
     xc = x - mu
     var = jnp.mean(xc * xc, axis=1, keepdims=True)
     xn = xc * jax.lax.rsqrt(var + eps)
-    xn = xn * g_ref[...].astype(jnp.float32) + bl_ref[...].astype(jnp.float32)
+    xn = (xn * g_ref[...].astype(jnp.float32)
+          + bl_ref[...].astype(jnp.float32)).astype(dt)
 
     # up-projection; f32 accumulate (Mosaic requires a 32-bit acc), then
     # round to bf16 — matches the XLA path's nn.linear semantics
-    h = jax.lax.dot_general(xn.astype(dt), w1_ref[...],
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32).astype(dt)
-    h = h + b1_ref[...].astype(dt)
-    val = h[:, :inner].astype(jnp.float32)
-    gate = h[:, inner:].astype(jnp.float32)
-    # erf GELU (torch F.gelu default; NOT the tanh approximation)
-    a = val * (0.5 * gate * (1.0 + _erf(gate * 0.7071067811865476)))
+    def up(w, b):
+        r = jax.lax.dot_general(xn, w, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32).astype(dt)
+        return (r + b).astype(jnp.float32)
+
+    if split:
+        # halve the live f32 hidden: gate half first, gelu it, then val half
+        gate = up(w1_ref[:, inner:], b1_ref[:, inner:].astype(dt))
+        gact = 0.5 * gate * (1.0 + _erf(gate * 0.7071067811865476))
+        val = up(w1_ref[:, :inner], b1_ref[:, :inner].astype(dt))
+        a = val * gact
+    else:
+        h = up(w1_ref[...], b1_ref[...].astype(dt))
+        val = h[:, :inner]
+        gate = h[:, inner:]
+        # erf GELU (torch F.gelu default; NOT the tanh approximation)
+        a = val * (0.5 * gate * (1.0 + _erf(gate * 0.7071067811865476)))
 
     o = jax.lax.dot_general(a.astype(dt), w2_ref[...],
                             (((1,), (0,)), ((), ())),
@@ -72,17 +82,31 @@ def _kernel(y_ref, g_ref, bl_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
     o_ref[...] = (y.astype(jnp.float32) + o).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("eps",))
-def _geglu_ff_rows(y, gamma, beta, w1, b1, w2, b2, eps: float):
+def _default_block(c: int) -> int:
+    # measured on v5e (experiments/r2_geglu_tune.py): c=320 block 1024 +
+    # split-gate 1.217 ms vs 512/no-split 1.347 at (32768,320); c=640 keeps
+    # 256/no-split (the split variant's val+gate f32 transients OOM the
+    # 16 MB scoped VMEM next to the 9.8 MB of resident weights)
+    return 1024 if c <= 320 else 256
+
+
+def _default_split(c: int) -> bool:
+    return c <= 320
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "block", "split"))
+def _geglu_ff_rows(y, gamma, beta, w1, b1, w2, b2, eps: float,
+                   block: int = 0, split: bool = False):
     rows, c = y.shape
     wide = w1.shape[1]
     inner = wide // 2
-    block = 512 if c <= 320 else 256
+    block = min(block or _default_block(c), rows)
+    assert rows % block == 0, (rows, block)
     grid = (rows // block,)
     dt = y.dtype
     interpret = jax.default_backend() != "tpu"  # CPU tests run the kernel
     return pl.pallas_call(
-        functools.partial(_kernel, inner=inner, eps=eps),
+        functools.partial(_kernel, inner=inner, eps=eps, split=split),
         grid=grid,
         in_specs=[
             pl.BlockSpec((block, c), lambda i: (i, 0),
@@ -115,9 +139,8 @@ def ff_fused_eligible(y) -> bool:
     and the row count divides the block size."""
     rows = y.shape[0] * y.shape[1]
     c = y.shape[-1]
-    block = 512 if c <= 320 else 256
     return (jax.default_backend() == "tpu" and c <= 640
-            and rows % block == 0)
+            and rows % min(_default_block(c), rows) == 0)
 
 
 def geglu_ff(y, ln_p, geglu_p, out_p, *, eps: float = 1e-5):
@@ -129,5 +152,6 @@ def geglu_ff(y, ln_p, geglu_p, out_p, *, eps: float = 1e-5):
         y.reshape(b * s, c),
         ln_p["scale"].astype(jnp.float32), ln_p["bias"].astype(jnp.float32),
         geglu_p["w"].astype(dt), geglu_p["b"].astype(dt),
-        out_p["w"].astype(dt), out_p["b"].astype(dt), eps)
+        out_p["w"].astype(dt), out_p["b"].astype(dt), eps,
+        split=_default_split(c))
     return out.reshape(b, s, c)

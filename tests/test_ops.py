@@ -210,3 +210,22 @@ def test_geglu_ff_kernel_matches_reference():
         out = geglu_ff(y, ln, gg, fo)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=5e-4, rtol=1e-4)
+
+
+def test_flash_attention_int8_close_to_exact():
+    """Opt-in int8 QKᵀ kernel (SDBC_ATTN_INT8): near-lossless vs exact.
+
+    Per-row symmetric scales bound the quantization error to ~1-2% of the
+    output range — the SageAttention operating point; the exact fixed-cap
+    kernel remains the default.
+    """
+    from sdbc_tpu.ops.flash_attention import _flash_fixed_fwd_int8
+
+    for (b, h, sq, d, sk) in [(1, 2, 512, 40, 512), (2, 2, 256, 80, 1024)]:
+        q = jax.random.normal(jax.random.key(1), (b, h, sq, d), jnp.float32)
+        k = jax.random.normal(jax.random.key(2), (b, h, sk, d), jnp.float32)
+        v = jax.random.normal(jax.random.key(3), (b, h, sk, d), jnp.float32)
+        ref = xla_attention(q, k, v)
+        out = _flash_fixed_fwd_int8(q, k, v, d ** -0.5, 256, 256)
+        rel = float(jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref)))
+        assert rel < 0.04, rel
