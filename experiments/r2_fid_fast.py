@@ -99,6 +99,12 @@ def main():
                                             "cache_tail": 1}),
         ("ddim-50 + cache k=3 tail=1", 50, {"cache_interval": 3,
                                             "cache_tail": 1}),
+        ("dpm-25 + cache k=2 tail=1", 25, {"scheduler": "dpm",
+                                           "cache_interval": 2,
+                                           "cache_tail": 1}),
+        ("dpm-25 + cache k=3 tail=1", 25, {"scheduler": "dpm",
+                                           "cache_interval": 3,
+                                           "cache_tail": 1}),
     ]
 
     sets = {}

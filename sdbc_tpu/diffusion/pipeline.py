@@ -79,9 +79,10 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
       and reused in between (approximate; 0/1 = exact reference sampling)
     Returns (B, H, W, 3) float images in [0, 1] (or raw latents if decode=False).
     """
-    if cache_interval and cache_interval > 1 and cfg.scheduler != "ddim":
+    if cache_interval and cache_interval > 1 and cfg.scheduler not in (
+            "ddim", "dpm"):
         raise ValueError("cache_interval (DeepCache fast mode) is implemented "
-                         "for the ddim scheduler only")
+                         "for the ddim and dpm schedulers only")
     sched = sched_mod.make_schedule(cfg.schedule)
     dt = compute_dtype
 
@@ -114,6 +115,48 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
                                          cfg.schedule.prediction_type)
         return out
 
+    def make_cached_unet(tproj):
+        """DeepCache machinery shared by the ddim and dpm fast paths.
+
+        Returns (cache0, model_out_cached) where model_out_cached(lat, t,
+        i, cache) -> (guided model output, new cache): the UNet's deep
+        trunk is recomputed every ``cache_interval`` steps and reused in
+        between (opt-in approximate sampling; DeepCache, arXiv:2312.00858).
+        """
+        b2 = 2 * lat.shape[0]
+        total_tail = cfg.unet.layers_per_block + 1
+        aggressive = 0 < cache_tail < total_tail
+        deep_ch = cfg.unet.block_out_channels[0] if aggressive \
+            else cfg.unet.block_out_channels[1]
+        cache0 = jnp.zeros((b2,) + lat.shape[1:3] + (deep_ch,), dt)
+
+        def model_out_cached(lat, t, i, cache):
+            lat2 = jnp.concatenate([lat, lat], axis=0)
+            tb = jnp.full((b2,), t, jnp.int32)
+            tp = unet_mod.index_temb(tproj, i)
+
+            def full(cache):
+                return unet_mod.apply(uparams, lat2, tb, context,
+                                      cfg.unet, return_deep=True,
+                                      cache_tail=cache_tail,
+                                      attn_impl="inference",
+                                      temb_proj=tp)
+
+            def reuse(cache):
+                out = unet_mod.apply(uparams, lat2, tb, context,
+                                     cfg.unet, cached_deep=cache,
+                                     cache_tail=cache_tail,
+                                     attn_impl="inference",
+                                     temb_proj=tp)
+                return out, cache
+
+            out, cache = jax.lax.cond(i % cache_interval == 0, full,
+                                      reuse, cache)
+            out_u, out_c = jnp.split(out.astype(jnp.float32), 2, axis=0)
+            return out_u + gs * (out_c - out_u), cache
+
+        return cache0, model_out_cached
+
     if cfg.scheduler == "ddim":
         ts = sched_mod.ddim_timesteps(cfg.schedule, num_inference_steps)
         ratio = cfg.schedule.num_train_timesteps // num_inference_steps
@@ -122,43 +165,13 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
         tproj = unet_mod.precompute_temb(uparams, ts, cfg.unet, dtype=dt)
 
         if cache_interval and cache_interval > 1:
-            b2 = 2 * lat.shape[0]
-            total_tail = cfg.unet.layers_per_block + 1
-            aggressive = 0 < cache_tail < total_tail
-            deep_ch = cfg.unet.block_out_channels[0] if aggressive \
-                else cfg.unet.block_out_channels[1]
-            cache0 = jnp.zeros((b2,) + lat.shape[1:3] + (deep_ch,), dt)
-
-            def eps_cached(lat, t, i, cache):
-                lat2 = jnp.concatenate([lat, lat], axis=0)
-                tb = jnp.full((b2,), t, jnp.int32)
-                tp = unet_mod.index_temb(tproj, i)
-
-                def full(cache):
-                    return unet_mod.apply(uparams, lat2, tb, context,
-                                          cfg.unet, return_deep=True,
-                                          cache_tail=cache_tail,
-                                          attn_impl="inference",
-                                          temb_proj=tp)
-
-                def reuse(cache):
-                    out = unet_mod.apply(uparams, lat2, tb, context,
-                                         cfg.unet, cached_deep=cache,
-                                         cache_tail=cache_tail,
-                                         attn_impl="inference",
-                                         temb_proj=tp)
-                    return out, cache
-
-                eps, cache = jax.lax.cond(i % cache_interval == 0, full,
-                                          reuse, cache)
-                eps_u, eps_c = jnp.split(eps.astype(jnp.float32), 2, axis=0)
-                return eps_u + gs * (eps_c - eps_u), cache
+            cache0, model_out_cached = make_cached_unet(tproj)
 
             def body(i, carry):
                 lat, cache = carry
                 t = ts[i]
-                eps, cache = eps_cached(lat, t, i, cache)
-                return sched_mod.ddim_step(sched, eps, t, t - ratio, lat,
+                out, cache = model_out_cached(lat, t, i, cache)
+                return sched_mod.ddim_step(sched, out, t, t - ratio, lat,
                                            prediction_type=cfg.schedule.prediction_type), cache
 
             lat, _ = jax.lax.fori_loop(0, num_inference_steps, body,
@@ -183,19 +196,43 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
         # counts the last step drops to first order for stability
         lower_order_final = num_inference_steps < 15
 
-        def body(i, carry):
-            state, lat = carry
-            t = ts[i]
-            eps = eps_fn(lat, t, unet_mod.index_temb(tproj, i))
-            first = jnp.logical_and(lower_order_final,
-                                    i == num_inference_steps - 1)
-            state, lat = sched_mod.dpm_step(sched, cfg.schedule, state, eps,
-                                            t, t - ratio, lat,
-                                            first_order=first)
-            return state, lat
-
         state0 = sched_mod.dpm_init_state(lat.shape)
-        _, lat = jax.lax.fori_loop(0, num_inference_steps, body, (state0, lat))
+
+        if cache_interval and cache_interval > 1:
+            # DeepCache over DPM-Solver++: the two fast paths compose — the
+            # solver consumes whatever eps the (cached) UNet produces
+            cache0, model_out_cached = make_cached_unet(tproj)
+
+            def body(i, carry):
+                state, lat, cache = carry
+                t = ts[i]
+                out, cache = model_out_cached(lat, t, i, cache)
+                if cfg.schedule.prediction_type != "epsilon":
+                    out, _ = sched_mod.to_eps_x0(sched, out, t, lat,
+                                                 cfg.schedule.prediction_type)
+                first = jnp.logical_and(lower_order_final,
+                                        i == num_inference_steps - 1)
+                state, lat = sched_mod.dpm_step(sched, cfg.schedule, state,
+                                                out, t, t - ratio, lat,
+                                                first_order=first)
+                return state, lat, cache
+
+            _, lat, _ = jax.lax.fori_loop(0, num_inference_steps, body,
+                                          (state0, lat, cache0))
+        else:
+            def body(i, carry):
+                state, lat = carry
+                t = ts[i]
+                eps = eps_fn(lat, t, unet_mod.index_temb(tproj, i))
+                first = jnp.logical_and(lower_order_final,
+                                        i == num_inference_steps - 1)
+                state, lat = sched_mod.dpm_step(sched, cfg.schedule, state,
+                                                eps, t, t - ratio, lat,
+                                                first_order=first)
+                return state, lat
+
+            _, lat = jax.lax.fori_loop(0, num_inference_steps, body,
+                                       (state0, lat))
 
     elif cfg.scheduler == "pndm":
         ts = sched_mod.pndm_timesteps(cfg.schedule, num_inference_steps)

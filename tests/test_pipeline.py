@@ -119,3 +119,26 @@ def test_cache_interval_requires_ddim(tiny_cfg, tiny_params):
         sample(tiny_params, ids, ids, lat, jax.random.key(0), 7.5, cfg=cfg,
                num_inference_steps=2, compute_dtype=jnp.float32,
                cache_interval=2)
+
+
+def test_cache_interval_dpm(tiny_cfg, tiny_params):
+    """DeepCache composes with DPM-Solver++: runs, deterministic, finite."""
+    import dataclasses
+
+    from sdbc_tpu.diffusion.pipeline import sample
+
+    cfg = dataclasses.replace(tiny_cfg, scheduler="dpm")
+    lat = jnp.zeros((1, 8, 8, 4))
+    ids = jnp.zeros((1, tiny_cfg.clip.ctx), jnp.int32)
+    a = sample(tiny_params, ids, ids, lat, jax.random.key(0), 7.5, cfg=cfg,
+               num_inference_steps=6, compute_dtype=jnp.float32,
+               cache_interval=3, cache_tail=1)
+    b = sample(tiny_params, ids, ids, lat, jax.random.key(0), 7.5, cfg=cfg,
+               num_inference_steps=6, compute_dtype=jnp.float32,
+               cache_interval=3, cache_tail=1)
+    assert np.isfinite(np.asarray(a)).all()
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # exact (uncached) dpm differs — the cache really engages
+    c = sample(tiny_params, ids, ids, lat, jax.random.key(0), 7.5, cfg=cfg,
+               num_inference_steps=6, compute_dtype=jnp.float32)
+    assert not np.allclose(np.asarray(a), np.asarray(c))
