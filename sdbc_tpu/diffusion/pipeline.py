@@ -268,8 +268,17 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
 
     if not decode:
         return lat
-    img = vae_mod.decode(params["vae"], lat.astype(dt) / cfg.vae.scaling_factor,
-                         cfg.vae)
+    lat_s = lat.astype(dt) / cfg.vae.scaling_factor
+    if lat.shape[0] > 1 and lat.shape[1] * lat.shape[2] >= 4096:
+        # decode image-by-image: XLA's spatial tiling of the batch-4 512²
+        # decode is pathological (199.9 ms vs 85.6 chunked on v5e —
+        # experiments/r2_vae_chunk.py); the chip is saturated per image, so
+        # the sequential map costs nothing
+        img = jax.lax.map(
+            lambda l: vae_mod.decode(params["vae"], l[None], cfg.vae)[0],
+            lat_s)
+    else:
+        img = vae_mod.decode(params["vae"], lat_s, cfg.vae)
     return jnp.clip(img.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
 
 
