@@ -69,9 +69,10 @@ def _build_summarizer(args, ctx_len: int):
     cfg = bart.BartConfig.distilbart_cnn()
     # in-repo byte-level BPE (no runtime transformers dependency,
     # reference inference.py:293-298)
-    if not os.path.exists(os.path.join(args.bart_ckpt, "vocab.json")):
-        raise SystemExit(f"--summarize needs vocab.json + merges.txt in "
-                         f"{args.bart_ckpt}")
+    for fname in ("vocab.json", "merges.txt"):
+        if not os.path.exists(os.path.join(args.bart_ckpt, fname)):
+            raise SystemExit(f"--summarize needs vocab.json + merges.txt in "
+                             f"{args.bart_ckpt} (missing {fname})")
     return bart.Summarizer(params, cfg,
                            BartTokenizer.from_pretrained(args.bart_ckpt))
 
@@ -138,7 +139,8 @@ def main(argv=None):
 
             df_test = pd.read_csv(os.path.join(args.data_root, "df_test.csv"),
                                   index_col=0)
-            descriptions = [str(d) for d in df_test["book_desc"].head(16)]
+            n_desc = max(16, args.samples_per_prompt)
+            descriptions = [str(d) for d in df_test["book_desc"].head(n_desc)]
         if args.summarize:
             summarizer = _build_summarizer(args, cfg.clip.ctx)
 

@@ -23,12 +23,22 @@ from sdbc_tpu.data.tokenizer import _bytes_to_unicode, _get_pairs, hash_bucket
 
 @functools.lru_cache()
 def _gpt2_pattern():
-    import regex
+    # the exact GPT-2/RoBERTa pre-tokenization pattern needs \p{L}/\p{N}
+    # classes (third-party `regex`); fall back to an ASCII approximation on
+    # stdlib `re` so --summarize keeps working in minimal environments
+    # (same convention as data/tokenizer.py's CLIP pattern)
+    try:
+        import regex
 
-    # the exact GPT-2/RoBERTa pre-tokenization pattern
-    return regex.compile(
-        r"""'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+|"""
-        r""" ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+""")
+        return regex.compile(
+            r"""'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+|"""
+            r""" ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+""")
+    except ImportError:
+        import re
+
+        return re.compile(
+            r"""'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+|"""
+            r""" ?[^\sa-zA-Z0-9]+|\s+(?!\S)|\s+""")
 
 
 class BartTokenizer:
@@ -76,11 +86,17 @@ class BartTokenizer:
             vocab = json.load(f)
         merges: List[Tuple[str, str]] = []
         with open(os.path.join(path, "merges.txt")) as f:
-            for line in f.read().split("\n"):
-                if line.startswith("#") or not line.strip():
-                    continue
-                a, _, b = line.partition(" ")
-                merges.append((a, b.strip()))
+            lines = f.read().split("\n")
+        # HF's loader skips only the "#version: ..." HEADER line — '#' can
+        # begin a legitimate merge rule (e.g. "# #"), so filtering every
+        # '#'-initial line would drop real merges and break parity
+        if lines and lines[0].startswith("#version"):
+            lines = lines[1:]
+        for line in lines:
+            if not line.strip():
+                continue
+            a, _, b = line.partition(" ")
+            merges.append((a, b.strip()))
         return cls(vocab=vocab, merges=merges)
 
     @classmethod

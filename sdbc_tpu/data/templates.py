@@ -217,12 +217,18 @@ def reference_grid_prompts(rows, samples_per_prompt: int,
     placeholders = list(REFERENCE_INFERENCE_SUMMARY_PLACEHOLDERS)
     while len(placeholders) < len(REFERENCE_INFERENCE_TEST_TEMPLATES):
         placeholders.append(rng.choice(REFERENCE_INFERENCE_SUMMARY_PLACEHOLDERS))
+    if not rows:
+        raise ValueError("reference_grid_prompts needs at least one "
+                         "(author, title) row")
     prompts = []
     for i, template in enumerate(REFERENCE_INFERENCE_TEST_TEMPLATES):
         for j in range(samples_per_prompt):
-            author, title = rows[j]
+            # wrap when samples_per_prompt exceeds the available rows/descs
+            # (the df_test may be shorter than requested)
+            author, title = rows[j % len(rows)]
             if include_desc:
-                desc = descriptions[j] if descriptions else ""
+                desc = descriptions[j % len(descriptions)] \
+                    if descriptions else ""
                 prompts.append(render_reference_prompt(
                     template, legible_prompt, author, title, desc=desc,
                     placeholder=placeholders[i]))

@@ -269,11 +269,14 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
     if not decode:
         return lat
     lat_s = lat.astype(dt) / cfg.vae.scaling_factor
-    if lat.shape[0] > 1 and lat.shape[1] * lat.shape[2] >= 4096:
-        # decode image-by-image: XLA's spatial tiling of the batch-4 512²
-        # decode is pathological (199.9 ms vs 85.6 chunked on v5e —
-        # experiments/r2_vae_chunk.py); the chip is saturated per image, so
-        # the sequential map costs nothing
+    if (lat.shape[0] > 1 and lat.shape[1] * lat.shape[2] >= 4096
+            and jax.device_count() == 1):
+        # single-chip: decode image-by-image — XLA's spatial tiling of the
+        # batch-4 512² decode is pathological (199.9 ms vs 85.6 chunked on
+        # v5e — experiments/r2_vae_chunk.py) and the chip is saturated per
+        # image, so the sequential map costs nothing.  Multi-device keeps
+        # the batch decode: lax.map over the batch axis would serialize
+        # what the data-sharded decode runs in parallel.
         img = jax.lax.map(
             lambda l: vae_mod.decode(params["vae"], l[None], cfg.vae)[0],
             lat_s)

@@ -49,8 +49,11 @@ def attention(q, k, v, *, causal: bool = False, scale: Optional[float] = None,
     """
     import os
 
-    if impl == "auto":
-        impl = os.environ.get("SDBC_ATTN_IMPL", "auto")
+    if impl in ("auto", "inference"):
+        # SDBC_ATTN_IMPL (debug/ablation override) wins over both the auto
+        # heuristic and the pipeline's explicit inference dispatch, so
+        # SDBC_ATTN_IMPL=xla really does force the reference XLA path
+        impl = os.environ.get("SDBC_ATTN_IMPL", impl)
     if impl == "inference":
         # sampling-path dispatch (set by diffusion.pipeline): fixed-cap Pallas
         # kernel for the UNet's spatial self-attention, XLA for short-kv

@@ -108,6 +108,11 @@ def host_local_batch_indices(global_batch: int, mesh: Mesh) -> np.ndarray:
     sets correctly (round-1 VERDICT weakness 3).
     """
     n_data = mesh.shape["data"]
+    if global_batch % n_data:
+        # a silent floor here would drop rows from every assembled batch
+        raise ValueError(
+            f"global batch {global_batch} must divide evenly over the "
+            f"mesh's data axis ({n_data} shards)")
     per_shard = global_batch // n_data
     coords = host_local_data_coords(mesh)
     return np.concatenate([

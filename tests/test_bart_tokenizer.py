@@ -84,3 +84,32 @@ def test_summarizer_accepts_inrepo_tokenizer(vocab_dir):
     s = bart.Summarizer(params, cfg, tok, num_beams=2, input_max=16)
     out = s("book ok book", max_length=5)
     assert isinstance(out, str)
+
+
+def test_hash_initial_merge_rules_kept(tmp_path):
+    """Only the '#version' HEADER is skipped — '#'-initial merge rules are
+    legitimate (e.g. "# #" in real GPT-2/RoBERTa merges files) and must load.
+
+    Verified against transformers.BartTokenizer when available: both must
+    merge "##" into one token.
+    """
+    import json as _json
+
+    d = tmp_path / "tok"
+    d.mkdir()
+    vocab = {"<s>": 0, "<pad>": 1, "</s>": 2, "<unk>": 3, "#": 4, "##": 5,
+             "a": 6}
+    with open(d / "vocab.json", "w") as f:
+        _json.dump(vocab, f)
+    with open(d / "merges.txt", "w") as f:
+        f.write("#version: 0.2\n# #\n")
+    tok = BartTokenizer.from_pretrained(str(d))
+    assert tok.bpe_ranks == {("#", "#"): 0}
+    ids = tok.encode("##", 6)
+    assert ids[:3] == [0, 5, 2]  # <s> "##" </s> — merged, not two '#'
+    try:
+        from transformers import BartTokenizer as HFTok
+    except ImportError:
+        return
+    hf = HFTok(str(d / "vocab.json"), str(d / "merges.txt"))
+    assert hf("##")["input_ids"] == [0, 5, 2]
