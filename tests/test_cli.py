@@ -112,3 +112,18 @@ def test_preprocess_cli(tmp_path):
     pp.main(["--data_root", root, "--n_test", "3"])
     assert os.path.exists(os.path.join(root, "df_train.csv"))
     assert os.path.exists(os.path.join(root, "df_test.csv"))
+
+
+def test_enter_prompt_serving_profile(env, trained_ckpt):
+    """The recommended fast serving profile composes through the CLI:
+    --scheduler dpm --cache_interval 2 --cache_tail 1."""
+    import sdbc_tpu.cli.inference as inf
+
+    inf.main(["--mode", "enter_prompt", "--prompt", "a fast cover",
+              "--tiny", "--ckpt", trained_ckpt, "--img_size", "32",
+              "--num_inference_steps", "4", "--no-bf16",
+              "--scheduler", "dpm", "--cache_interval", "2",
+              "--cache_tail", "1",
+              "--save_dir", env["out"] + "/gen", "--run_id", "servetest"])
+    outdir = os.path.join(env["out"], "gen", "servetest inference")
+    assert any(f.endswith(".png") for f in os.listdir(outdir))
