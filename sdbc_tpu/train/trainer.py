@@ -141,7 +141,22 @@ def diffusion_loss(trainable, frozen, batch, key, cfg: PipelineConfig,
     ids = batch["input_ids"]                           # (B, ctx) int32
 
     kvae, knoise, kt = jax.random.split(key, 3)
-    mean, logvar = vae_mod.encode_moments(params["vae"], pixels, cfg.vae)
+    if (pixels.shape[0] > 1 and pixels.shape[1] * pixels.shape[2] >= 262144
+            and jax.device_count() == 1):
+        # (single-device only: under a data-sharded mesh the map over the
+        # batch axis would serialize what the sharded encode runs in
+        # parallel — same reasoning as the pipeline's chunked decode)
+        # encode image-by-image at 512²-class sizes: XLA's spatial tiling
+        # of the batched encode is pathological (43.7 ms vs 22.0 chunked at
+        # micro-batch 2 on v5e — experiments/r2_vae_enc_chunk.py); encode
+        # is stop-gradient so the map adds no autodiff cost
+        mean, logvar = jax.lax.map(
+            lambda p: tuple(
+                m[0] for m in vae_mod.encode_moments(params["vae"], p[None],
+                                                     cfg.vae)),
+            pixels)
+    else:
+        mean, logvar = vae_mod.encode_moments(params["vae"], pixels, cfg.vae)
     latents = vae_mod.sample(mean, logvar, kvae) * cfg.vae.scaling_factor
     latents = jax.lax.stop_gradient(latents.astype(jnp.float32))
 
