@@ -93,7 +93,9 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_kv"))
 def flash_bwd(q, k, v, o, do, lse, scale: float,
-              block_q: int = 256, block_kv: int = 512):
+              block_q: int = 512, block_kv: int = 1024):
+    # block defaults measured on v5e at the training 64^2 shape
+    # (experiments/r2_bwd_tune.py): 512/1024 = 2.02 ms vs 256/512's 2.20
     """(dq, dk, dv) for non-causal flash attention.
 
     q/k/v/o/do: (B,H,S,D); lse: (B,H,Sq) fp32 from the forward kernel.
