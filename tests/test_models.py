@@ -97,3 +97,23 @@ def test_unet_temb_hoist_equivalence(tiny_cfg, tiny_params):
         out = unet.apply(tiny_params["unet"], lat, tb, ctx, cfg,
                          temb_proj=unet.index_temb(tproj, i))
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_vae_chunked_encode_decode_equivalence(tiny_cfg, tiny_params):
+    """Per-image lax.map VAE encode/decode == whole-batch (the single-chip
+    fast path in pipeline.sample / trainer.diffusion_loss; the dispatch
+    itself only triggers at device_count==1, so the math is pinned here).
+    """
+    cfg = tiny_cfg.vae
+    p = tiny_params["vae"]
+    x = jax.random.normal(jax.random.key(11), (3, 16, 16, 3))
+    m_ref, lv_ref = vae.encode_moments(p, x, cfg)
+    m_c, lv_c = jax.lax.map(
+        lambda i: tuple(m[0] for m in vae.encode_moments(p, i[None], cfg)), x)
+    np.testing.assert_allclose(np.asarray(m_c), np.asarray(m_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lv_c), np.asarray(lv_ref), atol=1e-5)
+
+    lat = jax.random.normal(jax.random.key(12), (3, 4, 4, cfg.latent_channels))
+    d_ref = vae.decode(p, lat, cfg)
+    d_c = jax.lax.map(lambda l: vae.decode(p, l[None], cfg)[0], lat)
+    np.testing.assert_allclose(np.asarray(d_c), np.asarray(d_ref), atol=1e-5)
