@@ -31,7 +31,12 @@ class ScheduleConfig:
     # DDIM flags pinned by the reference (inference.py:386-387)
     clip_sample: bool = False
     set_alpha_to_one: bool = False
-    steps_offset: int = 1  # SD-1.x pipelines use steps_offset=1
+    # diffusers-0.7.2 scheduler-class default is 0, and the reference builds
+    # its inference schedulers explicitly WITHOUT steps_offset
+    # (inference.py:386-387 DDIM, utils.py:222-224 PNDM), so its sampled grid
+    # is offset-0.  (Shipped SD checkpoint *configs* carry steps_offset=1,
+    # but the reference overrides them — parity requires 0 here.)
+    steps_offset: int = 0
     # "epsilon" (SD-1.x, the reference) or "v_prediction" (SD-2.x-style
     # checkpoints); converted to (eps, x0) at each step via to_eps_x0
     prediction_type: str = "epsilon"

@@ -4,8 +4,9 @@ The reference's de-facto regression test is fixed-seed image grids
 (SURVEY.md §4 "golden-eyeball evaluation"); here the same idea is made
 numeric: recorded activations of every model (tiny config, fixed init seed 0)
 plus a full fixed-latent 4-step pipeline image.  Any refactor that changes
-model math breaks these.  Regenerate intentionally with the snippet in the
-git history if semantics change on purpose.
+model math breaks these.  Regenerate intentionally with
+`python tests/gen_goldens.py` if semantics change on purpose (last regen:
+steps_offset 1→0 parity fix, which shifts the sampled timestep grid).
 """
 import os
 

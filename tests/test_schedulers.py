@@ -58,8 +58,38 @@ def test_ddim_step_recovers_x0_with_true_eps():
 def test_ddim_timesteps_sequence():
     ts = np.asarray(S.ddim_timesteps(CFG, 50))
     assert ts.shape == (50,)
-    assert ts[0] == 981 and ts[-1] == 1  # 1000/50=20 ratio, +1 offset, descending
+    assert ts[0] == 980 and ts[-1] == 0  # 1000/50=20 ratio, offset 0, descending
     assert np.all(np.diff(ts) == -20)
+
+
+def test_ddim_timesteps_match_diffusers_072_reference_construction():
+    """The reference builds DDIMScheduler WITHOUT steps_offset
+    (/root/reference/inference.py:386-387), which defaults to 0 in
+    diffusers 0.7.2.  Its set_timesteps formula is
+    (arange(N) * (T // N)).round()[::-1] + steps_offset."""
+    for n in (50, 25, 10, 4):
+        ratio = 1000 // n
+        expect = (np.arange(0, n) * ratio).round()[::-1].astype(np.int64)
+        got = np.asarray(S.ddim_timesteps(CFG, n))
+        np.testing.assert_array_equal(got, expect)
+    # a checkpoint config carrying steps_offset=1 still shifts the grid
+    cfg1 = S.ScheduleConfig(steps_offset=1)
+    np.testing.assert_array_equal(np.asarray(S.ddim_timesteps(cfg1, 50)),
+                                  (np.arange(50) * 20)[::-1] + 1)
+
+
+def test_pndm_timesteps_match_diffusers_072_reference_construction():
+    """The reference's PNDM fallback (/root/reference/utils.py:222-224) uses
+    skip_prk_steps=True and no steps_offset.  diffusers-0.7.2 plms_timesteps =
+    concat(_ts[:-1], _ts[-2:-1], _ts[-1:])[::-1] with
+    _ts = arange(N) * (T // N) + steps_offset (ascending)."""
+    for n in (50, 10):
+        ratio = 1000 // n
+        asc = np.arange(0, n) * ratio
+        expect = np.concatenate(
+            [asc[:-1], asc[-2:-1], asc[-1:]])[::-1].astype(np.int64)
+        got = np.asarray(S.pndm_timesteps(CFG, n))
+        np.testing.assert_array_equal(got, expect)
 
 
 def test_ddpm_step_no_noise_at_t0():
@@ -73,7 +103,7 @@ def test_ddpm_step_no_noise_at_t0():
 def test_pndm_timesteps_and_warmup():
     ts = np.asarray(S.pndm_timesteps(CFG, 50))
     assert ts.shape == (51,)
-    assert ts[0] == 981 and ts[1] == ts[2] == 961  # doubled second step
+    assert ts[0] == 980 and ts[1] == ts[2] == 960  # doubled second step
     state = S.pndm_init_state((1, 2, 2, 1))
     assert int(state.count) == 0
 
