@@ -18,6 +18,7 @@ import concurrent.futures as cf
 import dataclasses
 import os
 import random
+import threading
 import time
 from typing import Iterator, Optional
 
@@ -61,13 +62,29 @@ class GoodreadsDataset:
                       f"has {len(self.df)}; using all of them")
             self.df = self.df.iloc[: cfg.size]
         self.image_dir = os.path.join(cfg.data_root, "images", "images")
-        self._rng = random.Random(cfg.seed)
+        # Prompt draws are keyed on (seed, idx, per-idx visit count) so the
+        # prompt↔image pairing is independent of thread scheduling in the
+        # loader (the reference's shared torch RNG stream is worker-order
+        # dependent, utils.py:130-146; here both the native and thread-pool
+        # paths produce identical, reproducible prompts) while still varying
+        # across epochs via the visit count.
+        self._visit_lock = threading.Lock()
+        self._visit_counts: dict = {}
 
     def __len__(self) -> int:
         return len(self.df)
 
     def image_path(self, idx: int) -> str:
         return os.path.join(self.image_dir, f"{self.df.index[idx]}.jpg")
+
+    def _prompt_rng(self, idx: int) -> random.Random:
+        """Deterministic per-(seed, idx, visit) RNG for template draws."""
+        with self._visit_lock:
+            visit = self._visit_counts.get(idx, 0)
+            self._visit_counts[idx] = visit + 1
+        # tuple-of-ints hash is deterministic across processes (only str/bytes
+        # hashing is randomized by PYTHONHASHSEED)
+        return random.Random(hash((self.cfg.seed, idx, visit)))
 
     def prompt_for(self, idx: int, rng: Optional[random.Random] = None) -> str:
         row = self.df.iloc[idx]
@@ -77,13 +94,15 @@ class GoodreadsDataset:
             desc = row["book_desc"]
         author = str(row.get("book_authors", ""))
         title = str(row.get("book_title", ""))
+        if rng is None:
+            rng = self._prompt_rng(idx)
         if self.cfg.prompt_bank == "reference":
             return templates.format_reference_training_prompt(
-                author, title, desc=desc, rng=rng or self._rng,
+                author, title, desc=desc, rng=rng,
                 legible_text_prob=self.cfg.legible_text_prob,
                 include_desc=self.cfg.include_desc)
         return templates.format_training_prompt(
-            author, title, desc=desc, rng=rng or self._rng,
+            author, title, desc=desc, rng=rng,
             legible_text_prob=self.cfg.legible_text_prob)
 
     def __getitem__(self, idx: int) -> dict:

@@ -54,6 +54,41 @@ def test_dataloader_epoch_shuffling(dataset):
     assert not np.array_equal(b1["pixel_values"], b2["pixel_values"])
 
 
+def _fresh_batches(data_root, workers, use_native, seed=3):
+    cfg = DatasetConfig(data_root=data_root, img_size=32, max_length=16,
+                        legible_text_prob=0.5, use_native=use_native)
+    ds = GoodreadsDataset(cfg, CLIPTokenizer.fallback(1000))
+    return list(make_dataloader(ds, micro_batch=2, grad_accum=2,
+                                num_workers=workers, seed=seed))
+
+
+def test_prompt_pairing_thread_order_independent(data_root):
+    """Prompt↔image pairing must not depend on thread scheduling: 4-worker
+    and 1-worker loaders (and the native batch path) yield identical ids."""
+    a = _fresh_batches(data_root, workers=4, use_native=False)
+    b = _fresh_batches(data_root, workers=1, use_native=False)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x["input_ids"], y["input_ids"])
+        np.testing.assert_array_equal(x["pixel_values"], y["pixel_values"])
+    from sdbc_tpu.data import native_loader as nl
+
+    if nl.available():
+        c = _fresh_batches(data_root, workers=4, use_native=True)
+        for x, y in zip(a, c):
+            np.testing.assert_array_equal(x["input_ids"], y["input_ids"])
+
+
+def test_prompt_draws_reproduce_and_vary_by_epoch(data_root):
+    cfg = DatasetConfig(data_root=data_root, img_size=32, max_length=16,
+                        legible_text_prob=0.5)
+    ds = GoodreadsDataset(cfg, CLIPTokenizer.fallback(1000))
+    epoch1 = [ds.prompt_for(i) for i in range(len(ds))]
+    epoch2 = [ds.prompt_for(i) for i in range(len(ds))]
+    assert epoch1 != epoch2  # visit count advances the draw stream
+    ds2 = GoodreadsDataset(cfg, CLIPTokenizer.fallback(1000))
+    assert [ds2.prompt_for(i) for i in range(len(ds2))] == epoch1
+
+
 def test_english_keep_ratio():
     assert english_keep_ratio("A normal English sentence.") == 1.0
     assert english_keep_ratio("Полностью русский текст") < 0.5
