@@ -92,11 +92,15 @@ def resolve_params_cfg(args):
         return params, dataclasses.replace(cfg, scheduler=args.scheduler)
 
     if getattr(args, "diffusers_ckpt", ""):
-        from sdbc_tpu.models.port import port_diffusers_checkpoint
+        from sdbc_tpu.models.port import (pipeline_config_from_diffusers,
+                                          port_diffusers_checkpoint)
 
         params = port_diffusers_checkpoint(args.diffusers_ckpt)
-        cfg = (PipelineConfig.tiny(args.scheduler) if args.tiny
-               else PipelineConfig.sd15(args.scheduler))
+        # shapes come from the dir's own config.json files (the reference's
+        # load_model reconstructs from any save_pretrained dir,
+        # utils.py:181-230) — not assumed SD-1.5
+        cfg = pipeline_config_from_diffusers(args.diffusers_ckpt,
+                                             args.scheduler)
         return params, cfg
 
     if args.ckpt:

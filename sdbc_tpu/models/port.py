@@ -258,6 +258,133 @@ def port_clip_text(sd: Dict[str, np.ndarray]) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# config inference from the dir's config.json files
+
+
+def _read_json(path: str) -> dict:
+    import json
+
+    with open(path) as f:
+        return json.load(f)
+
+
+def unet_config_from_diffusers(cfg: dict):
+    """diffusers UNet2DConditionModel config.json → models/unet.UNetConfig.
+
+    Mirrors the reference's ``load_model`` reconstructing a pipeline from any
+    save_pretrained dir (utils.py:181-230) instead of assuming SD-1.5 shapes.
+    Errors clearly on layouts this framework does not implement.
+    """
+    from sdbc_tpu.models.unet import UNetConfig
+
+    down = cfg.get("down_block_types",
+                   ["CrossAttnDownBlock2D"] * 3 + ["DownBlock2D"])
+    up = cfg.get("up_block_types",
+                 ["UpBlock2D"] + ["CrossAttnUpBlock2D"] * 3)
+    for t in down:
+        if t not in ("CrossAttnDownBlock2D", "DownBlock2D"):
+            raise ValueError(f"unsupported UNet down block type {t!r}")
+    cross = tuple(t == "CrossAttnDownBlock2D" for t in down)
+    expect_up = ["CrossAttnUpBlock2D" if c else "UpBlock2D"
+                 for c in reversed(cross)]
+    if list(up) != expect_up:
+        raise ValueError(
+            f"up_block_types {up} are not the mirror of down_block_types "
+            f"{down}; this UNet layout is unsupported")
+    heads = cfg.get("attention_head_dim", 8)
+    if isinstance(heads, (list, tuple)):
+        if len(set(heads)) != 1:
+            raise ValueError(
+                f"per-block attention_head_dim {heads} unsupported")
+        heads = heads[0]
+    # diffusers-0.7.2 passes attention_head_dim as Transformer2DModel's
+    # num_attention_heads (the SD-1.x value 8 is a head COUNT)
+    return UNetConfig(
+        in_channels=cfg.get("in_channels", 4),
+        out_channels=cfg.get("out_channels", 4),
+        block_out_channels=tuple(cfg.get("block_out_channels",
+                                         (320, 640, 1280, 1280))),
+        layers_per_block=cfg.get("layers_per_block", 2),
+        cross_attention_dim=cfg.get("cross_attention_dim", 768),
+        attention_heads=heads,
+        norm_groups=cfg.get("norm_num_groups", 32),
+        cross_attn_blocks=cross,
+    )
+
+
+def vae_config_from_diffusers(cfg: dict):
+    from sdbc_tpu.models.vae import VAEConfig
+
+    for t in cfg.get("down_block_types", ["DownEncoderBlock2D"]):
+        if t != "DownEncoderBlock2D":
+            raise ValueError(f"unsupported VAE down block type {t!r}")
+    for t in cfg.get("up_block_types", ["UpDecoderBlock2D"]):
+        if t != "UpDecoderBlock2D":
+            raise ValueError(f"unsupported VAE up block type {t!r}")
+    return VAEConfig(
+        in_channels=cfg.get("in_channels", 3),
+        latent_channels=cfg.get("latent_channels", 4),
+        block_out_channels=tuple(cfg.get("block_out_channels",
+                                         (128, 256, 512, 512))),
+        layers_per_block=cfg.get("layers_per_block", 2),
+        norm_groups=cfg.get("norm_num_groups", 32),
+        scaling_factor=cfg.get("scaling_factor", 0.18215),
+    )
+
+
+def clip_config_from_diffusers(cfg: dict):
+    """transformers CLIPTextConfig json → models/clip.CLIPTextConfig."""
+    from sdbc_tpu.models.clip import CLIPTextConfig
+
+    return CLIPTextConfig(
+        vocab_size=cfg.get("vocab_size", 49408),
+        hidden=cfg.get("hidden_size", 768),
+        layers=cfg.get("num_hidden_layers", 12),
+        heads=cfg.get("num_attention_heads", 12),
+        mlp=cfg.get("intermediate_size", 3072),
+        ctx=cfg.get("max_position_embeddings", 77),
+        eps=cfg.get("layer_norm_eps", 1e-5),
+    )
+
+
+def pipeline_config_from_diffusers(root: str, scheduler: str = "ddim"):
+    """Build a PipelineConfig from a diffusers dir's component config.json
+    files, falling back to SD-1.5 defaults for components without one.
+
+    The schedule follows the reference's behavior of HARDCODING its scaled
+    -linear 0.00085→0.012 construction at load time (utils.py:222-224,
+    inference.py:386-387) rather than reading scheduler_config.json; only
+    prediction_type is honored from the saved scheduler config since it
+    changes the model's output semantics.
+    """
+    import dataclasses
+
+    from sdbc_tpu.diffusion.pipeline import PipelineConfig
+    from sdbc_tpu.diffusion.schedulers import ScheduleConfig
+
+    base = PipelineConfig.sd15(scheduler)
+    unet_cfg, vae_cfg, clip_cfg = base.unet, base.vae, base.clip
+    p = os.path.join(root, "unet", "config.json")
+    if os.path.exists(p):
+        unet_cfg = unet_config_from_diffusers(_read_json(p))
+    p = os.path.join(root, "vae", "config.json")
+    if os.path.exists(p):
+        vae_cfg = vae_config_from_diffusers(_read_json(p))
+    p = os.path.join(root, "text_encoder", "config.json")
+    if os.path.exists(p):
+        clip_cfg = clip_config_from_diffusers(_read_json(p))
+    schedule = ScheduleConfig.sd15()
+    p = os.path.join(root, "scheduler", "scheduler_config.json")
+    if os.path.exists(p):
+        sc = _read_json(p)
+        if "prediction_type" in sc:
+            schedule = dataclasses.replace(
+                schedule, prediction_type=sc["prediction_type"])
+    return PipelineConfig(clip=clip_cfg, unet=unet_cfg, vae=vae_cfg,
+                          schedule=schedule, scheduler=scheduler)
+
+
+# ---------------------------------------------------------------------------
 # top level
 
 

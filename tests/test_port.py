@@ -69,3 +69,112 @@ def test_clip_export_port_roundtrip(tiny_cfg, tiny_params):
     a = clip.apply(tiny_params["text_encoder"], ids, c)
     b = clip.apply(back, ids, c)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def _write_fake_diffusers_dir(root, cfgs, params):
+    """Materialize a diffusers-layout save_pretrained dir (config.json +
+    safetensors) from our own exported state dicts."""
+    import json
+    import os
+
+    from safetensors.numpy import save_file
+
+    exporters = {"unet": port.export_unet, "vae": port.export_vae,
+                 "text_encoder": port.export_clip_text}
+    weight_name = {"unet": "diffusion_pytorch_model.safetensors",
+                   "vae": "diffusion_pytorch_model.safetensors",
+                   "text_encoder": "model.safetensors"}
+    for comp, cfg_json in cfgs.items():
+        d = os.path.join(root, comp)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "config.json"), "w") as f:
+            json.dump(cfg_json, f)
+        if comp in params:
+            sd = {k: np.ascontiguousarray(np.asarray(v, np.float32))
+                  for k, v in exporters[comp](params[comp]).items()}
+            save_file(sd, os.path.join(d, weight_name[comp]))
+
+
+def test_diffusers_dir_config_inference_non_default(tmp_path):
+    """VERDICT r2 #5: the --diffusers_ckpt branch must read the dir's
+    config.json files instead of assuming SD-1.5/tiny shapes.  Build a
+    NON-default layout (3 blocks, 6 heads, 48-wide CLIP), port it through the
+    CLI resolution path, and check shapes + a forward pass."""
+    from sdbc_tpu.models.clip import CLIPTextConfig
+    from sdbc_tpu.models.unet import UNetConfig
+    from sdbc_tpu.models.vae import VAEConfig
+
+    ucfg = UNetConfig(block_out_channels=(32, 48, 64), layers_per_block=1,
+                      cross_attention_dim=48, attention_heads=4,
+                      norm_groups=8, cross_attn_blocks=(True, True, False))
+    vcfg = VAEConfig(block_out_channels=(32, 48), layers_per_block=1,
+                     norm_groups=8, scaling_factor=0.5)
+    ccfg = CLIPTextConfig(vocab_size=500, hidden=48, layers=3, heads=6,
+                          mlp=96, ctx=12)
+    key = jax.random.key(7)
+    k1, k2, k3 = jax.random.split(key, 3)
+    params = {"unet": unet.init(k1, ucfg), "vae": vae.init(k2, vcfg),
+              "text_encoder": clip.init(k3, ccfg)}
+
+    cfgs = {
+        "unet": {
+            "in_channels": 4, "out_channels": 4,
+            "block_out_channels": [32, 48, 64], "layers_per_block": 1,
+            "cross_attention_dim": 48, "attention_head_dim": 4,
+            "norm_num_groups": 8,
+            "down_block_types": ["CrossAttnDownBlock2D",
+                                 "CrossAttnDownBlock2D", "DownBlock2D"],
+            "up_block_types": ["UpBlock2D", "CrossAttnUpBlock2D",
+                               "CrossAttnUpBlock2D"],
+        },
+        "vae": {
+            "in_channels": 3, "latent_channels": 4,
+            "block_out_channels": [32, 48], "layers_per_block": 1,
+            "norm_num_groups": 8, "scaling_factor": 0.5,
+            "down_block_types": ["DownEncoderBlock2D"] * 2,
+            "up_block_types": ["UpDecoderBlock2D"] * 2,
+        },
+        "text_encoder": {
+            "vocab_size": 500, "hidden_size": 48, "num_hidden_layers": 3,
+            "num_attention_heads": 6, "intermediate_size": 96,
+            "max_position_embeddings": 12, "layer_norm_eps": 1e-5,
+        },
+        "scheduler": {"prediction_type": "epsilon"},
+    }
+    # scheduler dir holds scheduler_config.json, not config.json
+    root = str(tmp_path)
+    _write_fake_diffusers_dir(root, {k: v for k, v in cfgs.items()
+                                     if k != "scheduler"}, params)
+    import json
+    import os
+
+    os.makedirs(os.path.join(root, "scheduler"), exist_ok=True)
+    with open(os.path.join(root, "scheduler", "scheduler_config.json"),
+              "w") as f:
+        json.dump(cfgs["scheduler"], f)
+
+    cfg = port.pipeline_config_from_diffusers(root, "ddim")
+    assert cfg.unet == ucfg
+    assert cfg.vae == vcfg
+    assert cfg.clip == ccfg
+
+    back = port.port_diffusers_checkpoint(root)
+    lat = jax.random.normal(jax.random.key(0), (1, 8, 8, 4))
+    ctx = jax.random.normal(jax.random.key(1), (1, ccfg.ctx,
+                                                ucfg.cross_attention_dim))
+    a = unet.apply(params["unet"], lat, jnp.array([42]), ctx, cfg.unet)
+    b = unet.apply(back["unet"], lat, jnp.array([42]), ctx, cfg.unet)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_diffusers_dir_unsupported_layout_errors(tmp_path):
+    import json
+    import os
+
+    d = os.path.join(str(tmp_path), "unet")
+    os.makedirs(d)
+    with open(os.path.join(d, "config.json"), "w") as f:
+        json.dump({"down_block_types": ["AttnDownBlock2D"],
+                   "up_block_types": ["AttnUpBlock2D"]}, f)
+    with pytest.raises(ValueError, match="unsupported UNet down block"):
+        port.pipeline_config_from_diffusers(str(tmp_path))
