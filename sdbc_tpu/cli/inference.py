@@ -52,10 +52,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "ResNets run fresh on cached steps (1=aggressive, "
                         "0=conservative default)")
     common.bool_flag(p, "batch_generate", True)
-    common.bool_flag(p, "summarize", False,
-                     "summarize book descriptions into prompts (needs "
-                     "--bart_ckpt and --include_desc)")
-    common.bool_flag(p, "include_desc", False)
+    # tri-state: unset → auto (default mode runs the reference's full
+    # 3-config matrix, skipping configs whose inputs are unavailable);
+    # --summarize forces (errors if inputs missing); --no-summarize drops it
+    p.add_argument("--summarize", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="summarize book descriptions into prompts (needs "
+                        "--bart_ckpt; default-mode auto-runs it when "
+                        "available, reference inference.py:463-466)")
+    p.add_argument("--include_desc", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="append book descriptions to prompts (needs "
+                        "df_test.csv under --data_root; default-mode "
+                        "auto-runs it when available)")
     return p
 
 
@@ -133,22 +142,40 @@ def main(argv=None):
         with open(os.path.join(save_dir, "hyperparams.json"), "w") as f:
             json.dump(vars(args), f, indent=2, default=str)
 
+        # availability of each optional input (graceful-skip in auto mode)
+        test_csv = os.path.join(args.data_root, "df_test.csv")
+        want_desc = args.include_desc is not False
+        want_sum = args.summarize is not False and args.include_desc is not False
+        if args.include_desc and not os.path.exists(test_csv):
+            raise SystemExit(f"--include_desc needs {test_csv}")
+        if args.summarize and not args.bart_ckpt:
+            raise SystemExit("--summarize needs --bart_ckpt")
+        have_desc = want_desc and os.path.exists(test_csv)
+        have_sum = want_sum and bool(args.bart_ckpt) and have_desc
+
         summarizer, descriptions, df_test = None, None, None
-        if args.summarize or args.prompt_bank == "reference":
+        if have_desc or args.prompt_bank == "reference":
             import pandas as pd
 
-            df_test = pd.read_csv(os.path.join(args.data_root, "df_test.csv"),
-                                  index_col=0)
+            df_test = pd.read_csv(test_csv, index_col=0)
             n_desc = max(16, args.samples_per_prompt)
             descriptions = [str(d) for d in df_test["book_desc"].head(n_desc)]
-        if args.summarize:
+        if have_sum:
             summarizer = _build_summarizer(args, cfg.clip.ctx)
 
+        # the reference's default mode always renders 3 configurations in
+        # this order: (summarize, include_desc) = (F,F), (T,T), (F,T)
+        # (inference.py:458-471); unavailable ones are skipped with a log
         configs = [(False, False)]
-        if args.include_desc:
-            configs.append((False, True))
-        if args.summarize:
+        if have_sum:
             configs.append((True, True))
+        elif want_sum:
+            print("skipping summarize grid config "
+                  "(needs --bart_ckpt and df_test.csv)")
+        if have_desc:
+            configs.append((False, True))
+        elif want_desc:
+            print(f"skipping include_desc grid config (no {test_csv})")
         for summarize, include_desc in configs:
             prompts_override = None
             if args.prompt_bank == "reference":

@@ -83,12 +83,34 @@ def test_default_mode_grid(env, trained_ckpt):
     inf.main(["--mode", "default", "--tiny", "--ckpt", trained_ckpt,
               "--img_size", "32", "--num_inference_steps", "2",
               "--batch_size", "4", "--samples_per_prompt", "1",
+              "--data_root", env["root"],
               "--save_dir", env["out"] + "/grids", "--no-bf16",
               "--run_id", "clitest"])
     outdir = os.path.join(env["out"], "grids", "clitest inference")
+    # reference default mode renders the full config matrix
+    # (inference.py:458-471); summarize is skipped (no --bart_ckpt)
     assert os.path.exists(os.path.join(
         outdir, "summerize=False,include_desc=False.png"))
+    assert os.path.exists(os.path.join(
+        outdir, "summerize=False,include_desc=True.png"))
+    assert not os.path.exists(os.path.join(
+        outdir, "summerize=True,include_desc=True.png"))
     assert os.path.exists(os.path.join(outdir, "hyperparams.json"))
+
+
+def test_default_mode_single_grid_without_dataset(env, trained_ckpt, tmp_path):
+    """No df_test.csv → desc/summarize configs skip gracefully."""
+    import sdbc_tpu.cli.inference as inf
+
+    inf.main(["--mode", "default", "--tiny", "--ckpt", trained_ckpt,
+              "--img_size", "32", "--num_inference_steps", "2",
+              "--batch_size", "4", "--samples_per_prompt", "1",
+              "--data_root", str(tmp_path),
+              "--save_dir", env["out"] + "/grids2", "--no-bf16",
+              "--run_id", "clitest"])
+    outdir = os.path.join(env["out"], "grids2", "clitest inference")
+    pngs = [f for f in os.listdir(outdir) if f.endswith(".png")]
+    assert pngs == ["summerize=False,include_desc=False.png"]
 
 
 def test_resume_training(env, trained_ckpt):
