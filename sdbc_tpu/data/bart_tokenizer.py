@@ -35,7 +35,16 @@ def _gpt2_pattern():
             r""" ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+""")
     except ImportError:
         import re
+        import warnings
 
+        # non-ASCII text (accented author names, curly quotes — common in
+        # book descriptions) tokenizes differently under this approximation,
+        # silently degrading --summarize output vs the trained checkpoint
+        warnings.warn(
+            "third-party 'regex' not available: BART pre-tokenization falls "
+            "back to an ASCII approximation of the GPT-2 pattern; summaries "
+            "of non-ASCII text will diverge from the trained checkpoint",
+            stacklevel=2)
         return re.compile(
             r"""'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+|"""
             r""" ?[^\sa-zA-Z0-9]+|\s+(?!\S)|\s+""")
@@ -87,9 +96,13 @@ class BartTokenizer:
         merges: List[Tuple[str, str]] = []
         with open(os.path.join(path, "merges.txt")) as f:
             lines = f.read().split("\n")
-        # HF's loader skips only the "#version: ..." HEADER line — '#' can
-        # begin a legitimate merge rule (e.g. "# #"), so filtering every
-        # '#'-initial line would drop real merges and break parity
+        # INTENTIONAL divergence from HF, which drops the FIRST line of
+        # merges.txt unconditionally ([1:-1]): we skip line 0 only when it is
+        # the "#version: ..." header.  All published merges files carry the
+        # header (identical behavior); only a hand-built headerless file
+        # differs, where keeping line 0 as a real merge is the safer reading
+        # ('#' can begin a legitimate rule like "# #").  See
+        # tests/test_bart_tokenizer.py::test_headerless_merges_divergence.
         if lines and lines[0].startswith("#version"):
             lines = lines[1:]
         for line in lines:

@@ -16,6 +16,7 @@ Replaces the torch CUDA attention the reference uses via diffusers
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -393,7 +394,9 @@ def _flash_fixed_fwd_int8(q, k, v, scale: float, block_q: int,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * sq * sk * _round_up(d, 128),
-            bytes_accessed=(qi.size + ki.size + 2 * vr.size),
+            bytes_accessed=(qi.size * qi.dtype.itemsize
+                            + ki.size * ki.dtype.itemsize
+                            + 2 * vr.size * vr.dtype.itemsize),
             transcendentals=b * h * sq * sk,
         ),
     )(qi, qs, ki, ks, vr)
@@ -401,8 +404,25 @@ def _flash_fixed_fwd_int8(q, k, v, scale: float, block_q: int,
 
 
 def flash_attention_fixed(q, k, v, *, scale: Optional[float] = None):
-    """Inference-path flash attention (fixed-cap softmax, no VJP)."""
+    """Inference-path flash attention (fixed-cap softmax, no VJP).
+
+    EXACTNESS BOUND: the kernel computes softmax as exp2(min(s, 60)) in log2
+    space, which is exact fp32 softmax only while natural logits stay ≤
+    60/log2e ≈ 41.6.  Beyond that, relative weights between clamped scores
+    are compressed (a distorted, not merely clipped, softmax).  Trained
+    SD-class models measure O(10) (experiments/r2_flash_fixedmax.py), but a
+    checkpoint or scale producing larger logits is silently wrong — set
+    SDBC_ATTN_DEBUG=1 to emit a per-call upper-bound estimate
+    (scale·max‖q‖·max‖k‖), or SDBC_ATTN_IMPL=xla to bypass the kernel.
+    """
     scale = float(scale if scale is not None else q.shape[-1] ** -0.5)
+    if os.environ.get("SDBC_ATTN_DEBUG") == "1":
+        qn = jnp.sqrt((q.astype(jnp.float32) ** 2).sum(-1)).max()
+        kn = jnp.sqrt((k.astype(jnp.float32) ** 2).sum(-1)).max()
+        jax.debug.print(
+            "[sdbc flash-fixed] logit upper bound {b:.1f} "
+            "(exact while <= 41.6; if larger use SDBC_ATTN_IMPL=xla)",
+            b=scale * qn * kn)
     sq, sk = q.shape[2], k.shape[2]
     bq = _divisor_block(sq, 1024 if sq >= 2048 else 512)
     bkv = _divisor_block(sk, 1024)

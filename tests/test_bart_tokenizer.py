@@ -113,3 +113,22 @@ def test_hash_initial_merge_rules_kept(tmp_path):
         return
     hf = HFTok(str(d / "vocab.json"), str(d / "merges.txt"))
     assert hf("##")["input_ids"] == [0, 5, 2]
+
+
+def test_headerless_merges_divergence(tmp_path):
+    """Documented intentional divergence from HF: for a HEADERLESS merges.txt
+    (never produced by HF's save_pretrained) we keep line 0 as a real merge,
+    while HF drops the first line unconditionally ([1:-1])."""
+    import json as _json
+
+    d = tmp_path / "tok"
+    d.mkdir()
+    vocab = {"<s>": 0, "<pad>": 1, "</s>": 2, "<unk>": 3, "a": 4, "b": 5,
+             "ab": 6}
+    with open(d / "vocab.json", "w") as f:
+        _json.dump(vocab, f)
+    with open(d / "merges.txt", "w") as f:
+        f.write("a b\n")  # no #version header
+    tok = BartTokenizer.from_pretrained(str(d))
+    assert tok.bpe_ranks == {("a", "b"): 0}  # kept (HF would drop it)
+    assert tok.encode("ab", 6)[:3] == [0, 6, 2]
