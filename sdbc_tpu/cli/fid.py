@@ -15,8 +15,17 @@ def main(argv=None):
                    help="two image dirs or .npz stats files")
     p.add_argument("--batch_size", type=int, default=50)
     p.add_argument("--img_size", type=int, default=512)
+    p.add_argument("--inception_weights", type=str, default="",
+                   help="pt_inception-2015-12-05*.pth (pytorch-fid) or "
+                        "ported .npz — same resolution as "
+                        "SDBC_INCEPTION_WEIGHTS (docs/REAL_WEIGHTS.md)")
     common.bool_flag(p, "tiny", False, "tiny Inception config (tests)")
     args = p.parse_args(argv)
+
+    import os
+
+    if args.inception_weights:
+        os.environ["SDBC_INCEPTION_WEIGHTS"] = args.inception_weights
 
     from sdbc_tpu.eval.fid import calculate_fid_given_paths, default_params
     from sdbc_tpu.models.inception import InceptionConfig
