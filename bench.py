@@ -80,7 +80,7 @@ def main():
     t_compile = time.perf_counter() - t0
     print(f"[bench] warmup done in {t_compile:.1f}s", file=sys.stderr, flush=True)
 
-    reps = 3
+    reps = int(os.environ.get("SDBC_BENCH_REPS", "3"))
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -105,6 +105,25 @@ def main():
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / target, 4),
     }))
+
+    # recorded run matrix (batch/scheduler/variance) — experiments/bench_log.jsonl
+    try:
+        rec = {
+            "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            "backend": jax.default_backend(),
+            "batch": batch, "steps": steps, "scheduler": cfg.scheduler,
+            "cache_interval": cache_interval, "cache_tail": cache_tail,
+            "times_s": [round(t, 4) for t in times],
+            "img_per_s_best": round(ips, 4),
+            "img_per_s_mean": round(batch * reps / sum(times), 4),
+        }
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "experiments", "bench_log.jsonl"),
+                  "a") as fh:
+            fh.write(json.dumps(rec) + "\n")
+    except OSError as e:
+        print(f"[bench] could not append bench_log.jsonl: {e}",
+              file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -37,6 +37,8 @@ def arg(name, default):
 def main():
     steps = int(arg("--steps", 50))
     b = int(arg("--batch", 4))
+    if "--parse_only" in sys.argv:  # re-parse an existing trace dir
+        return parse(b, steps)
     cfg = pl_mod.PipelineConfig.sd15()
 
     @jax.jit
@@ -66,6 +68,11 @@ def main():
     call()
     jax.profiler.stop_trace()
 
+    parse(b, steps)
+
+
+def parse(b, steps):
+    log_dir = f"/tmp/sdbc_trace_b{b}"
     paths = glob.glob(f"{log_dir}/**/*.xplane.pb", recursive=True)
     if not paths:
         print("[profile] no xplane captured")
@@ -80,19 +87,34 @@ def main():
             data = data.decode()
     tbl = json.loads(data)
     cols = [c.get("label") or c.get("id") for c in tbl["cols"]]
+    print("[profile] cols:", cols, flush=True)
+    with open(f"/tmp/sdbc_hlo_stats_b{b}.json", "w") as fh:
+        fh.write(data)
     cat_time = collections.Counter()
     name_time = collections.Counter()
+    cat_keys = [c for c in cols if "categ" in str(c).lower()]
+    self_keys = [c for c in cols if "self" in str(c).lower()
+                 and "%" not in str(c)]
     for r in tbl.get("rows") or tbl.get("data") or []:
         vals = [c.get("v") for c in r["c"]] if isinstance(r, dict) and "c" in r else r
         row = dict(zip(cols, vals))
-        cat = row.get("HLO category") or "?"
+        cat = next((row[k] for k in cat_keys if row.get(k)), None)
+        nm = (row.get("HLO op expression") or row.get("HLO op name")
+              or row.get("hlo_op_expression") or "?")
+        if not cat:  # fall back to op-name classification
+            n = str(nm)
+            cat = ("custom-call" if ("custom-call" in n or n.startswith("_"))
+                   else "convolution fusion" if "convolution" in n
+                   else "fusion" if n.startswith("fusion")
+                   else "formatting" if any(x in n for x in
+                                            ("copy", "transpose", "pad",
+                                             "bitcast", "reshape"))
+                   else n.split(".")[0][:24])
         t = 0.0
-        for key in ("Total self time (us)", "Self time (us)",
-                    "occurrences_self_time_us"):
+        for key in self_keys or ("Total self time (us)",):
             if row.get(key):
                 t = float(row[key])
                 break
-        nm = (row.get("HLO op expression") or row.get("HLO op name") or "?")
         cat_time[cat] += t
         name_time[str(nm)[:110]] += t
     tot = sum(cat_time.values())
