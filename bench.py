@@ -111,6 +111,8 @@ def main():
         rec = {
             "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
             "backend": jax.default_backend(),
+            "note": os.environ.get("SDBC_BENCH_NOTE", ""),
+            "xla_flags": os.environ.get("XLA_FLAGS", ""),
             "batch": batch, "steps": steps, "scheduler": cfg.scheduler,
             "cache_interval": cache_interval, "cache_tail": cache_tail,
             "times_s": [round(t, 4) for t in times],

@@ -45,12 +45,12 @@ def bench(q, k, v, o, do, lse, scale, iters, bq, bkv):
 
 
 def main():
-    shapes = [(2, 8, 1024, 80), (2, 8, 4096, 40), (2, 8, 256, 160)]
+    # trimmed: remote compiles cost ~10+ min per new kernel variant, so only
+    # the regressed shape is swept; (512,1024) is the measured default from
+    # r3_bwd_ab.py (0.48 ms new vs 0.41 ms round-2 kernel)
+    shapes = [(2, 8, 1024, 80)]
     grids = {
-        (2, 8, 1024, 80): [(128, 1024), (256, 1024), (512, 1024), (1024, 1024),
-                           (256, 512), (512, 512), (1024, 512), (512, 256)],
-        (2, 8, 4096, 40): [(512, 1024), (1024, 1024), (512, 2048), (1024, 2048)],
-        (2, 8, 256, 160): [(256, 256), (128, 256), (256, 128)],
+        (2, 8, 1024, 80): [(1024, 1024), (256, 1024), (512, 512), (1024, 512)],
     }
     for (b, h, s, d) in shapes:
         key = jax.random.key(0)
