@@ -104,6 +104,28 @@ def test_flash_attention_grads_match_xla():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+def test_flash_bwd_odd_shapes_match_xla():
+    """flash_bwd agrees with XLA autodiff on non-square/odd shapes: the
+    block-divisible case, masked 77-token cross-attention kv, and a
+    non-block-multiple q length with a tiny head dim."""
+    for (sq, sk, d) in [(256, 256, 40), (256, 77, 40), (140, 256, 8)]:
+        q = jax.random.normal(jax.random.key(21), (1, 2, sq, d), jnp.float32)
+        k = jax.random.normal(jax.random.key(22), (1, 2, sk, d), jnp.float32)
+        v = jax.random.normal(jax.random.key(23), (1, 2, sk, d), jnp.float32)
+
+        def loss_flash(q, k, v):
+            return jnp.sum(flash_attention(q, k, v) ** 2)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(xla_attention(q, k, v) ** 2)
+
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4)
+
+
 def test_flash_tt_matches_xla():
     from sdbc_tpu.ops.flash_attention_tt import flash_attention_tt
 
