@@ -37,6 +37,12 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 _LOG2E = math.log2(math.e)
 
+# Full-operand VMEM residency (K/V for dq, Q/dO for dkv) is the fast layout;
+# Mosaic double-buffers the resident pair across grid dim 0, so the pair must
+# fit in roughly half of scoped VMEM (~16 MB).  At bf16 d_pad=128 that bounds
+# the sequence at ~8k tokens — 2× the UNet's largest spatial attention (64²=
+# 4096, SURVEY.md §7 hard part 2), so no streamed fallback is needed here.
+
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
