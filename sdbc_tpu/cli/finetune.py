@@ -54,6 +54,11 @@ def build_parser() -> argparse.ArgumentParser:
                      "gradient checkpointing (forced on with --train_unet, "
                      "as in the reference finetune_sd.py:146-149)")
     common.bool_flag(p, "include_desc", False)
+    common.bool_flag(p, "cache_latents", False,
+                     "precompute VAE posterior moments once per dataset and "
+                     "train from the cache — exact same objective (the VAE "
+                     "is frozen; encode is deterministic), skips the whole "
+                     "in-step encode (PERF_NOTES round-3 lead 4)")
     common.bool_flag(p, "resume", False, "resume from run's latest checkpoint")
     common.bool_flag(p, "final_grids", False, "render prompt grids after training")
     p.add_argument("--profile_dir", type=str, default="",
@@ -124,9 +129,19 @@ def main(argv=None):
             state = state._replace(
                 opt_state=opt_state,
                 step=jnp.asarray(int(resume_meta.get("step", 0)), jnp.int32))
+    latents_mm = None
+    if args.cache_latents:
+        from sdbc_tpu.train import latent_cache as lc
+
+        cache_path = lc.build_latent_cache(
+            ds, params["vae"], cfg.vae, dt,
+            batch=max(args.batch_size, 8), num_workers=args.num_workers)
+        latents_mm = lc.open_latent_cache(cache_path)
+
     state = replicate_tree(state, mesh)
     step_fn = make_train_step(cfg, tcfg, mesh=mesh, dp_size=dp,
-                              compute_dtype=dt, donate=True)
+                              compute_dtype=dt, donate=True,
+                              cached_latents=latents_mm is not None)
 
     tracker = Tracker(args.output_dir, args.run_id,
                       config={**vars(args), "total_steps": total_steps,
@@ -157,7 +172,8 @@ def main(argv=None):
                                  grad_accum=args.grad_acc_steps,
                                  seed=args.seed + epoch,
                                  num_workers=args.num_workers,
-                                 mesh=mesh)  # per-host input sharding
+                                 mesh=mesh,  # per-host input sharding
+                                 latent_cache=latents_mm)
         running, running_n = 0.0, 0
         t0 = time.perf_counter()
         for batch in loader:

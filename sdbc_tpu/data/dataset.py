@@ -119,7 +119,8 @@ class GoodreadsDataset:
 def make_dataloader(dataset: GoodreadsDataset, micro_batch: int,
                     grad_accum: int = 1, shuffle: bool = True,
                     seed: int = 42, num_workers: int = 4,
-                    drop_last: bool = True, mesh=None) -> Iterator[dict]:
+                    drop_last: bool = True, mesh=None,
+                    latent_cache=None) -> Iterator[dict]:
     """Yield {"pixel_values": (A, B, H, W, 3), "input_ids": (A, B, 77)} batches.
 
     Thread-pool decode with one-batch lookahead prefetch (the torch
@@ -129,6 +130,11 @@ def make_dataloader(dataset: GoodreadsDataset, micro_batch: int,
     devices (accelerate's per-process dataloader sharding,
     finetune_sd.py:363-364) and batches are assembled into global jax.Arrays
     sharded over the ``data`` axis.  micro_batch stays the GLOBAL micro batch.
+
+    With ``latent_cache`` (a (mean, logvar) pair of (N, h, w, c) arrays from
+    train.latent_cache.open_latent_cache), image decode and the in-step VAE
+    encode are skipped entirely: batches carry "latent_mean"/"latent_logvar"
+    instead of "pixel_values" (prompts are still drawn per visit as usual).
     """
     step = micro_batch * grad_accum
     order = list(range(len(dataset)))
@@ -154,6 +160,25 @@ def make_dataloader(dataset: GoodreadsDataset, micro_batch: int,
     def load_batch(batch_indices):
         if local_sel is not None:
             batch_indices = [batch_indices[i] for i in local_sel]
+        if latent_cache is not None:
+            cmean, clogvar = latent_cache
+            idx = np.asarray(batch_indices)
+            ids = np.stack([
+                np.asarray(dataset.tokenizer.encode(
+                    dataset.prompt_for(i), dataset.cfg.max_length), np.int32)
+                for i in batch_indices])
+            mb_ = micro_batch if local_sel is None else n_micro_local
+            a_ = len(batch_indices) // mb_
+            out = {
+                "latent_mean": np.ascontiguousarray(cmean[idx]).reshape(
+                    a_, mb_, *cmean.shape[1:]),
+                "latent_logvar": np.ascontiguousarray(clogvar[idx]).reshape(
+                    a_, mb_, *clogvar.shape[1:]),
+                "input_ids": ids.reshape(a_, mb_, *ids.shape[1:]),
+            }
+            if mesh is not None:
+                out = make_global_batch(out, mesh, batch_dim=1)
+            return out
         if use_native:
             # one native call decodes the whole batch (C++ thread pool)
             paths = [dataset.image_path(i) for i in batch_indices]

@@ -137,26 +137,36 @@ def diffusion_loss(trainable, frozen, batch, key, cfg: PipelineConfig,
     params = dict(frozen)
     params.update(trainable)
     dt = compute_dtype
-    pixels = batch["pixel_values"].astype(dt)          # (B, H, W, 3) in [-1,1]
     ids = batch["input_ids"]                           # (B, ctx) int32
 
     kvae, knoise, kt = jax.random.split(key, 3)
-    if (pixels.shape[0] > 1 and pixels.shape[1] * pixels.shape[2] >= 262144
-            and jax.device_count() == 1):
-        # (single-device only: under a data-sharded mesh the map over the
-        # batch axis would serialize what the sharded encode runs in
-        # parallel — same reasoning as the pipeline's chunked decode)
-        # encode image-by-image at 512²-class sizes: XLA's spatial tiling
-        # of the batched encode is pathological (43.7 ms vs 22.0 chunked at
-        # micro-batch 2 on v5e — experiments/r2_vae_enc_chunk.py); encode
-        # is stop-gradient so the map adds no autodiff cost
-        mean, logvar = jax.lax.map(
-            lambda p: tuple(
-                m[0] for m in vae_mod.encode_moments(params["vae"], p[None],
-                                                     cfg.vae)),
-            pixels)
+    if "latent_mean" in batch:
+        # --cache_latents mode: posterior moments were precomputed once per
+        # dataset (train/latent_cache.py) — the encode is deterministic and
+        # stop-gradient so sampling from cached moments with fresh noise is
+        # exactly the on-the-fly objective, minus the whole VAE forward.
+        # fp32-stored moments cast back to dt: lossless bf16 round trip.
+        mean = batch["latent_mean"].astype(dt)
+        logvar = batch["latent_logvar"].astype(dt)
     else:
-        mean, logvar = vae_mod.encode_moments(params["vae"], pixels, cfg.vae)
+        pixels = batch["pixel_values"].astype(dt)      # (B, H, W, 3) in [-1,1]
+        if (pixels.shape[0] > 1 and pixels.shape[1] * pixels.shape[2] >= 262144
+                and jax.device_count() == 1):
+            # (single-device only: under a data-sharded mesh the map over the
+            # batch axis would serialize what the sharded encode runs in
+            # parallel — same reasoning as the pipeline's chunked decode)
+            # encode image-by-image at 512²-class sizes: XLA's spatial tiling
+            # of the batched encode is pathological (43.7 ms vs 22.0 chunked at
+            # micro-batch 2 on v5e — experiments/r2_vae_enc_chunk.py); encode
+            # is stop-gradient so the map adds no autodiff cost
+            mean, logvar = jax.lax.map(
+                lambda p: tuple(
+                    m[0] for m in vae_mod.encode_moments(params["vae"],
+                                                         p[None], cfg.vae)),
+                pixels)
+        else:
+            mean, logvar = vae_mod.encode_moments(params["vae"], pixels,
+                                                  cfg.vae)
     latents = vae_mod.sample(mean, logvar, kvae) * cfg.vae.scaling_factor
     latents = jax.lax.stop_gradient(latents.astype(jnp.float32))
 
@@ -179,7 +189,7 @@ def diffusion_loss(trainable, frozen, batch, key, cfg: PipelineConfig,
 
 def make_train_step(cfg: PipelineConfig, tcfg: TrainConfig, mesh=None,
                     dp_size: int = 1, compute_dtype=jnp.bfloat16,
-                    donate: bool = False):
+                    donate: bool = False, cached_latents: bool = False):
     """Build the jitted train step.
 
     The step consumes a *global* batch shaped (grad_accum, micro_bsz, ...)
@@ -224,8 +234,10 @@ def make_train_step(cfg: PipelineConfig, tcfg: TrainConfig, mesh=None,
 
     repl = NamedSharding(mesh, P())
     # batch leading dims: (accum, micro) — shard micro over data axis
-    batch_sh = {"pixel_values": NamedSharding(mesh, P(None, "data")),
-                "input_ids": NamedSharding(mesh, P(None, "data"))}
+    sh = NamedSharding(mesh, P(None, "data"))
+    data_keys = (("latent_mean", "latent_logvar") if cached_latents
+                 else ("pixel_values",)) + ("input_ids",)
+    batch_sh = {k: sh for k in data_keys}
     return jax.jit(
         step_fn,
         in_shardings=(None, batch_sh, repl),
