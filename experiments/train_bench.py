@@ -2,7 +2,11 @@
 
   config A: text-encoder-only (reference --train_text_encoder default)
   config B: UNet fine-tune with gradient checkpointing (+8-bit Adam)
-Run: python experiments/train_bench.py [A|B]
+Run: python experiments/train_bench.py [A|B|C] [cached]
+
+With the optional second arg "cached", the step consumes precomputed VAE
+posterior moments (--cache_latents mode, train/latent_cache.py) instead of
+pixels — measures the uplift from skipping the in-step VAE encode.
 """
 import os
 import sys
@@ -53,14 +57,27 @@ def main():
                            grad_accum=4, num_examples=1000)
         micro = 2
 
+    cached = len(sys.argv) > 2 and sys.argv[2].lower() == "cached"
     state = init_train_state(params, tcfg, compute_dtype=jnp.bfloat16)
     del params
-    step = make_train_step(cfg, tcfg, compute_dtype=jnp.bfloat16, donate=True)
-    batch = {
-        "pixel_values": jnp.zeros((tcfg.grad_accum, micro, 512, 512, 3),
-                                  jnp.bfloat16),
-        "input_ids": jnp.ones((tcfg.grad_accum, micro, 77), jnp.int32),
-    }
+    step = make_train_step(cfg, tcfg, compute_dtype=jnp.bfloat16, donate=True,
+                           cached_latents=cached)
+    if cached:
+        f = 2 ** (len(cfg.vae.block_out_channels) - 1)
+        hw, c = 512 // f, cfg.vae.latent_channels
+        batch = {
+            "latent_mean": jnp.zeros((tcfg.grad_accum, micro, hw, hw, c),
+                                     jnp.float32),
+            "latent_logvar": jnp.zeros((tcfg.grad_accum, micro, hw, hw, c),
+                                       jnp.float32),
+            "input_ids": jnp.ones((tcfg.grad_accum, micro, 77), jnp.int32),
+        }
+    else:
+        batch = {
+            "pixel_values": jnp.zeros((tcfg.grad_accum, micro, 512, 512, 3),
+                                      jnp.bfloat16),
+            "input_ids": jnp.ones((tcfg.grad_accum, micro, 77), jnp.int32),
+        }
     key = jax.random.key(1)
     print("compiling train step...", flush=True)
     t0 = time.perf_counter()
@@ -75,7 +92,8 @@ def main():
         times.append(time.perf_counter() - t0)
     dt = min(times)
     imgs = tcfg.grad_accum * micro
-    print(f"mode {mode}: {dt:.3f}s/step, {imgs/dt:.2f} train imgs/s/chip "
+    tag = f"{mode}+cached" if cached else mode
+    print(f"mode {tag}: {dt:.3f}s/step, {imgs/dt:.2f} train imgs/s/chip "
           f"(micro {micro} x accum {tcfg.grad_accum})", flush=True)
 
 
