@@ -2,11 +2,14 @@
 
   config A: text-encoder-only (reference --train_text_encoder default)
   config B: UNet fine-tune with gradient checkpointing (+8-bit Adam)
-Run: python experiments/train_bench.py [A|B|C] [cached]
+Run: python experiments/train_bench.py [A|B|C] [cached] [noremat|selective]
 
 With the optional second arg "cached", the step consumes precomputed VAE
 posterior moments (--cache_latents mode, train/latent_cache.py) instead of
 pixels — measures the uplift from skipping the in-step VAE encode.
+Optional third arg overrides the UNet gradient-checkpointing strategy for
+modes B/C: "noremat" disables it entirely, "selective" keeps flash
+attention outside the checkpoint regions (models/unet.py remat_mode).
 """
 import os
 import sys
@@ -58,6 +61,11 @@ def main():
         micro = 2
 
     cached = len(sys.argv) > 2 and sys.argv[2].lower() == "cached"
+    remat = sys.argv[3].lower() if len(sys.argv) > 3 else ""
+    if remat == "noremat":
+        tcfg = TrainConfig(**{**tcfg.__dict__, "grad_ckpt": False})
+    elif remat == "selective":
+        tcfg = TrainConfig(**{**tcfg.__dict__, "remat_mode": "selective"})
     state = init_train_state(params, tcfg, compute_dtype=jnp.bfloat16)
     del params
     step = make_train_step(cfg, tcfg, compute_dtype=jnp.bfloat16, donate=True,
@@ -93,6 +101,8 @@ def main():
     dt = min(times)
     imgs = tcfg.grad_accum * micro
     tag = f"{mode}+cached" if cached else mode
+    if remat:
+        tag += f"+{remat}"
     print(f"mode {tag}: {dt:.3f}s/step, {imgs/dt:.2f} train imgs/s/chip "
           f"(micro {micro} x accum {tcfg.grad_accum})", flush=True)
 

@@ -50,9 +50,20 @@ def build_parser() -> argparse.ArgumentParser:
                      "opt-in scale_lr branch, finetune_sd.py:367-371)")
     common.bool_flag(p, "train_unet", False)
     common.bool_flag(p, "train_text_encoder", True)
-    common.bool_flag(p, "grad_ckpt", False,
-                     "gradient checkpointing (forced on with --train_unet, "
-                     "as in the reference finetune_sd.py:146-149)")
+    p.add_argument("--grad_ckpt", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="gradient checkpointing (default: on with "
+                        "--train_unet, as in the reference "
+                        "finetune_sd.py:146-149; an explicit --no-grad_ckpt "
+                        "overrides the force — on TPU full-UNet training "
+                        "fits without remat at micro-batch 2 and runs ~23% "
+                        "faster, PERF_NOTES round 3)")
+    p.add_argument("--remat_mode", type=str, default="block",
+                   choices=["block", "selective"],
+                   help="grad-ckpt granularity: 'block' remats whole "
+                        "ResBlocks/transformers; 'selective' keeps flash "
+                        "attention outside the checkpoint regions (faster, "
+                        "slightly more memory)")
     common.bool_flag(p, "include_desc", False)
     common.bool_flag(p, "cache_latents", False,
                      "precompute VAE posterior moments once per dataset and "
@@ -77,7 +88,9 @@ def main(argv=None):
     from sdbc_tpu.utils import checkpoint as ckpt_mod
     from sdbc_tpu.utils.tracking import Tracker
 
-    grad_ckpt = args.grad_ckpt or args.train_unet  # reference forces this
+    # the reference forces grad-ckpt on with train_unet (finetune_sd.py:
+    # 146-149); an explicit --no-grad_ckpt overrides (tri-state default None)
+    grad_ckpt = (args.train_unet if args.grad_ckpt is None else args.grad_ckpt)
     dt = common.compute_dtype(args)
 
     params, cfg = common.resolve_params_cfg(args)
@@ -108,6 +121,7 @@ def main(argv=None):
         grad_accum=args.grad_acc_steps, micro_batch=args.batch_size,
         train_unet=args.train_unet,
         train_text_encoder=args.train_text_encoder, grad_ckpt=grad_ckpt,
+        remat_mode=args.remat_mode,
         use_8bit_adam=args.use_8bit_adam, lr_scale_by_dp=args.scale_lr,
         seed=args.seed)
 

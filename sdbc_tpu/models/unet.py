@@ -197,6 +197,45 @@ def _transformer(p, x, ctx, heads, groups, attn_impl="auto"):
     return y + res_spatial
 
 
+def _tfm_in(p, x, groups):
+    n, h, w, c = x.shape
+    y = nn.group_norm(p["norm"], x, groups, eps=1e-6)
+    return nn.conv2d(p["proj_in"], y).reshape(n, h * w, c)
+
+
+def _tfm_ff(p, y):
+    z = nn.linear(p["geglu"], nn.layer_norm(p["ln3"], y))
+    val, gate = jnp.split(z, 2, axis=-1)
+    return y + nn.linear(p["ff_out"], val * jax.nn.gelu(gate, approximate=False))
+
+
+def _tfm_out(p, y, x):
+    n, h, w, c = x.shape
+    return nn.conv2d(p["proj_out"], y.reshape(n, h, w, c)) + x
+
+
+def _transformer_selective(p, x, ctx, heads, groups, attn_impl="auto"):
+    """_transformer with remat everywhere EXCEPT the flash attention calls.
+
+    Flash attention already has an O(s·d)-memory backward (its residuals are
+    q/k/v/out/lse — never S×S), so wrapping it in jax.checkpoint buys no
+    memory and costs one full extra kernel run per backward.  Selective mode
+    keeps the attention calls (and their projections, whose outputs are the
+    kernel's residuals anyway) outside the checkpoint regions and remats only
+    the GN/conv/FF surroundings; dots_saveable additionally keeps the FF
+    matmul outputs so their backward replays elementwise work only.
+    Bit-identical forward to _transformer (same ops, same order) for the
+    training attn_impl path.
+    """
+    pol = jax.checkpoint_policies.dots_saveable
+    y = jax.checkpoint(_tfm_in, static_argnums=(2,), policy=pol)(p, x, groups)
+    yn = nn.layer_norm(p["ln1"], y)
+    y = y + _mha(p["attn1"], yn, yn, heads, attn_impl)
+    y = y + _mha(p["attn2"], nn.layer_norm(p["ln2"], y), ctx, heads, attn_impl)
+    y = jax.checkpoint(_tfm_ff, policy=pol)(p, y)
+    return jax.checkpoint(_tfm_out, policy=pol)(p, y, x)
+
+
 # ---------------------------------------------------------------------------
 # init
 
@@ -310,12 +349,16 @@ def index_temb(temb_proj, i):
 
 
 def apply(params, latents, timesteps, encoder_hidden_states, cfg: UNetConfig,
-          *, remat: bool = False, cached_deep=None, return_deep: bool = False,
+          *, remat: bool = False, remat_mode: str = "block",
+          cached_deep=None, return_deep: bool = False,
           cache_tail: int = 0, attn_impl: str = "auto", temb_proj=None):
     """latents (N,h,w,4), timesteps (N,), CLIP states (N,77,768) → eps (N,h,w,4).
 
     remat=True rematerialises every ResBlock/transformer in the backward pass
     (the reference's enable_gradient_checkpointing, finetune_sd.py:388-389).
+    remat_mode="selective" keeps the flash attention calls outside the
+    checkpoint regions (see _transformer_selective) — less recompute, a few
+    hundred MB more live activations.
 
     Deep-feature caching (opt-in fast sampling, DeepCache-style): the "deep"
     trunk is cached between steps; return_deep=True additionally returns its
@@ -336,7 +379,10 @@ def apply(params, latents, timesteps, encoder_hidden_states, cfg: UNetConfig,
         # remat is the training path: the inference-only attn_impl dispatch
         # stays default there (jax.checkpoint can't trace a string kwarg)
         res_fn = jax.checkpoint(_resnet, static_argnums=(3,))
-        attn_fn = jax.checkpoint(_transformer, static_argnums=(3, 4))
+        if remat_mode == "selective":
+            attn_fn = _transformer_selective
+        else:
+            attn_fn = jax.checkpoint(_transformer, static_argnums=(3, 4))
 
     if temb_proj is None:
         temb = _temb_mlp(params, timesteps, cfg.block_out_channels[0],

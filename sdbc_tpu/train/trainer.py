@@ -54,6 +54,10 @@ class TrainConfig:
     train_unet: bool = False
     train_text_encoder: bool = True
     grad_ckpt: bool = False
+    # "block" = checkpoint whole ResBlocks/transformers (reference semantics);
+    # "selective" = keep flash attention outside the checkpoint regions
+    # (models/unet.py::_transformer_selective) — faster, slightly more memory
+    remat_mode: str = "block"
     use_8bit_adam: bool = False       # blockwise-int8 moments (reference :407-410)
     max_grad_norm: float = 0.0        # 0 = off (reference has no clipping)
     # The reference's scale_lr branch multiplies lr by
@@ -178,7 +182,7 @@ def diffusion_loss(trainable, frozen, batch, key, cfg: PipelineConfig,
     ctx = clip_mod.apply(params["text_encoder"], ids, cfg.clip,
                          compute_dtype=dt)
     pred = unet_mod.apply(params["unet"], noisy, t, ctx, cfg.unet,
-                          remat=tcfg.grad_ckpt)
+                          remat=tcfg.grad_ckpt, remat_mode=tcfg.remat_mode)
     if cfg.schedule.prediction_type == "v_prediction":
         target = sched_mod.velocity_target(sched, latents, noise, t)
     else:  # epsilon (the reference's objective, finetune_sd.py:483)

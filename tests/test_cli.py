@@ -149,3 +149,17 @@ def test_enter_prompt_serving_profile(env, trained_ckpt):
               "--save_dir", env["out"] + "/gen", "--run_id", "servetest"])
     outdir = os.path.join(env["out"], "gen", "servetest inference")
     assert any(f.endswith(".png") for f in os.listdir(outdir))
+
+
+def test_grad_ckpt_tristate_parser():
+    """--grad_ckpt default is None (forced on with --train_unet in main);
+    an explicit --no-grad_ckpt must survive parsing to override the force."""
+    from sdbc_tpu.cli.finetune import build_parser
+
+    p = build_parser()
+    assert p.parse_args([]).grad_ckpt is None
+    assert p.parse_args(["--grad_ckpt"]).grad_ckpt is True
+    assert p.parse_args(["--no-grad_ckpt"]).grad_ckpt is False
+    a = p.parse_args(["--train_unet", "--no-grad_ckpt"])
+    assert a.train_unet and a.grad_ckpt is False
+    assert p.parse_args(["--remat_mode", "selective"]).remat_mode == "selective"

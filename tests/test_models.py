@@ -78,6 +78,38 @@ def test_unet_remat_equivalence(tiny_cfg, tiny_params):
     np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), atol=1e-5)
 
 
+def test_unet_selective_remat_equivalence(tiny_cfg, tiny_params):
+    """remat_mode='selective' must match the no-remat forward AND gradients.
+
+    Selective mode keeps flash attention outside the jax.checkpoint regions
+    (models/unet.py::_transformer_selective); forward is the same op sequence
+    so outputs must agree tightly, and the loss gradient w.r.t. the UNet
+    params must match the block-remat path."""
+    cfg = tiny_cfg.unet
+    lat = jax.random.normal(jax.random.key(7), (2, 8, 8, cfg.in_channels))
+    ctx = jax.random.normal(jax.random.key(8), (2, 16, cfg.cross_attention_dim))
+    t = jnp.array([123, 450])
+
+    def loss(p, mode):
+        e = unet.apply(p, lat, t, ctx, cfg, remat=True, remat_mode=mode)
+        return jnp.mean(e.astype(jnp.float32) ** 2)
+
+    out_sel = unet.apply(tiny_params["unet"], lat, t, ctx, cfg,
+                         remat=True, remat_mode="selective")
+    out_ref = unet.apply(tiny_params["unet"], lat, t, ctx, cfg, remat=False)
+    np.testing.assert_allclose(np.asarray(out_sel), np.asarray(out_ref),
+                               atol=1e-5)
+
+    g_blk = jax.grad(loss)(tiny_params["unet"], "block")
+    g_sel = jax.grad(loss)(tiny_params["unet"], "selective")
+    from jax.flatten_util import ravel_pytree
+
+    flat_b, _ = ravel_pytree(g_blk)
+    flat_s, _ = ravel_pytree(g_sel)
+    np.testing.assert_allclose(np.asarray(flat_s), np.asarray(flat_b),
+                               atol=2e-5)
+
+
 def test_unet_temb_hoist_equivalence(tiny_cfg, tiny_params):
     """precompute_temb + temb_proj == in-graph time-embedding path.
 
