@@ -64,6 +64,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "ResBlocks/transformers; 'selective' keeps flash "
                         "attention outside the checkpoint regions (faster, "
                         "slightly more memory)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel (model-axis) size: shards attention "
+                        "heads, MLPs and UNet conv channels Megatron-style "
+                        "over the mesh's `model` axis (parallel/specs.py); "
+                        "must divide attention heads and norm_groups. The "
+                        "remaining devices form the data axis")
+    common.bool_flag(p, "fsdp", False,
+                     "ZeRO-3: shard params + Adam moments over the data "
+                     "axis (parallel/specs.py fsdp_specs); XLA all-gathers "
+                     "weights at use and reduce-scatters gradients")
     common.bool_flag(p, "include_desc", False)
     common.bool_flag(p, "cache_latents", False,
                      "precompute VAE posterior moments once per dataset and "
@@ -103,8 +113,12 @@ def main(argv=None):
         seed=args.seed, prompt_bank=args.prompt_bank)
     ds = GoodreadsDataset(dcfg, tok)
 
-    mesh = make_mesh(MeshConfig())
+    mesh = make_mesh(MeshConfig(model=args.tp))
     dp = mesh.shape["data"]
+    if args.tp > 1:
+        from sdbc_tpu.parallel import specs as spec_mod
+
+        spec_mod.validate_tp(cfg, args.tp)
     micro_global = args.batch_size * dp
     global_batch = micro_global * args.grad_acc_steps
     if len(ds) < global_batch:
@@ -152,7 +166,15 @@ def main(argv=None):
             batch=max(args.batch_size, 8), num_workers=args.num_workers)
         latents_mm = lc.open_latent_cache(cache_path)
 
-    state = replicate_tree(state, mesh)
+    if args.tp > 1 or args.fsdp:
+        from sdbc_tpu.parallel import specs as spec_mod
+
+        base = spec_mod.tp_specs(state, mesh) if args.tp > 1 else None
+        sp = (spec_mod.fsdp_specs(state, mesh, base=base) if args.fsdp
+              else base)
+        state = spec_mod.shard_tree(state, mesh, sp)
+    else:
+        state = replicate_tree(state, mesh)
     step_fn = make_train_step(cfg, tcfg, mesh=mesh, dp_size=dp,
                               compute_dtype=dt, donate=True,
                               cached_latents=latents_mm is not None)

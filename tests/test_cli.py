@@ -163,3 +163,13 @@ def test_grad_ckpt_tristate_parser():
     a = p.parse_args(["--train_unet", "--no-grad_ckpt"])
     assert a.train_unet and a.grad_ckpt is False
     assert p.parse_args(["--remat_mode", "selective"]).remat_mode == "selective"
+
+
+def test_tp_fsdp_parser():
+    from sdbc_tpu.cli.finetune import build_parser
+
+    p = build_parser()
+    a = p.parse_args(["--tp", "2", "--fsdp"])
+    assert a.tp == 2 and a.fsdp is True
+    d = p.parse_args([])
+    assert d.tp == 1 and d.fsdp is False

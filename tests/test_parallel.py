@@ -129,3 +129,143 @@ def test_dp_sampling_over_mesh(tiny_cfg, tiny_params):
                  shard(lat, 4), jax.random.key(0), 7.5, cfg=tiny_cfg,
                  num_inference_steps=2, compute_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# tensor parallelism + FSDP (parallel/specs.py)
+
+
+def test_tp_spec_rules(tiny_cfg, tiny_params):
+    """Megatron-style assignments land where expected; non-divisible or
+    out-of-component leaves fall back to replicated."""
+    from sdbc_tpu.parallel import specs as S
+
+    sp = S.tp_specs(tiny_params, 2)
+    u = sp["unet"]["mid"]["attn"]
+    assert u["attn1"]["q"]["w"] == P(None, "model")
+    assert u["attn1"]["o"]["w"] == P("model", None)
+    assert u["geglu"]["w"] == P("model", None)
+    assert u["ff_out"]["w"] == P(None, "model")
+    assert u["proj_out"]["w"] == P(None, None, "model", None)
+    r = sp["unet"]["mid"]["resnet1"]
+    assert r["conv1"]["w"] == P(None, None, None, "model")
+    assert r["conv2"]["w"] == P(None, None, "model", None)
+    assert r["norm2"]["scale"] == P("model",)
+    # stacked CLIP layers: leading layer dim stays unsharded
+    c = sp["text_encoder"]["layers"]
+    assert c["attn"]["q"]["w"] == P(None, None, "model")
+    assert c["mlp"]["fc1"]["w"] == P(None, None, "model")
+    assert c["mlp"]["fc2"]["w"] == P(None, "model", None)
+    # VAE is out-of-component: fully replicated even though its ResBlocks
+    # share key names with the UNet's
+    assert all(s == P() for s in jax.tree.leaves(
+        sp["vae"], is_leaf=lambda x: isinstance(x, P)))
+    # divisibility fallback: a 33-wide head dim can't split 2 ways
+    odd = {"unet": {"attns": [{"attn1": {"q": {"w": jnp.zeros((33, 33))}}}]}}
+    assert jax.tree.leaves(S.tp_specs(odd, 2),
+                           is_leaf=lambda x: isinstance(x, P)) == [P()]
+    S.validate_tp(tiny_cfg, 2)
+    with pytest.raises(ValueError):
+        S.validate_tp(tiny_cfg, 3)  # heads=4 not divisible by 3
+
+
+def test_tp_sampling_matches_replicated(tiny_cfg, tiny_params):
+    """2-way tensor-parallel sampling (params model-sharded, batch
+    data-sharded) must reproduce the replicated result — XLA's SPMD
+    partitioner inserts the psums, the model code is unchanged."""
+    from sdbc_tpu.diffusion.pipeline import sample
+    from sdbc_tpu.parallel import specs as S
+
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    S.validate_tp(tiny_cfg, 2)
+    b = 4
+    cond = jnp.ones((b, tiny_cfg.clip.ctx), jnp.int32)
+    uncond = jnp.zeros((b, tiny_cfg.clip.ctx), jnp.int32)
+    lat = jax.random.normal(jax.random.key(0), (b, 8, 8, 4), jnp.float32)
+
+    ref = sample(tiny_params, cond, uncond, lat, jax.random.key(0), 7.5,
+                 cfg=tiny_cfg, num_inference_steps=2,
+                 compute_dtype=jnp.float32)
+
+    tp_params = S.shard_tree(tiny_params, mesh, S.tp_specs(tiny_params, mesh))
+    shard = lambda x: jax.device_put(
+        x, NamedSharding(mesh, P(*(("data",) + (None,) * (x.ndim - 1)))))
+    out = sample(tp_params, shard(cond), shard(uncond), shard(lat),
+                 jax.random.key(0), 7.5, cfg=tiny_cfg,
+                 num_inference_steps=2, compute_dtype=jnp.float32)
+    # partitioned contractions reduce in a different order than the
+    # single-device graph: fp32 wobble only
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_tp_dp_train_step_matches_single_device(tiny_cfg, tiny_params):
+    """One train step on a (data=4, model=2) mesh with TP-sharded state ==
+    the single-device step: same loss, same post-update params."""
+    from sdbc_tpu.parallel import specs as S
+
+    tcfg = TrainConfig(train_unet=True, train_text_encoder=True, grad_accum=1,
+                       learning_rate=1e-4, num_examples=100)
+    batch = {
+        "pixel_values": jax.random.normal(jax.random.key(0), (1, 4, 32, 32, 3)),
+        "input_ids": jnp.ones((1, 4, tiny_cfg.clip.ctx), jnp.int32),
+    }
+    key = jax.random.key(5)
+
+    s_single = init_train_state(tiny_params, tcfg, compute_dtype=jnp.float32)
+    s1_single, m_single = make_train_step(tiny_cfg, tcfg,
+                                          compute_dtype=jnp.float32)(
+        s_single, batch, key)
+
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    s_tp = init_train_state(tiny_params, tcfg, compute_dtype=jnp.float32)
+    s_tp = S.shard_tree(s_tp, mesh, S.tp_specs(s_tp, mesh))
+    step = make_train_step(tiny_cfg, tcfg, mesh=mesh, dp_size=4,
+                           compute_dtype=jnp.float32)
+    s1_tp, m_tp = step(s_tp, batch, key)
+
+    np.testing.assert_allclose(float(m_single["loss"]), float(m_tp["loss"]),
+                               rtol=1e-4)
+    flat_s, _ = jax.tree_util.tree_flatten_with_path(s1_single.trainable)
+    flat_t = jax.tree.leaves(s1_tp.trainable)
+    for (path, a), b in zip(flat_s, flat_t):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=2e-5, err_msg=str(path))
+
+
+def test_fsdp_train_step_matches_dp(tiny_cfg, tiny_params):
+    """ZeRO-3: params + Adam moments sharded over `data` (min_size lowered so
+    tiny leaves shard); the update must equal the replicated-DP one."""
+    from sdbc_tpu.parallel import specs as S
+
+    tcfg = TrainConfig(train_unet=True, train_text_encoder=True, grad_accum=1,
+                       learning_rate=1e-4, num_examples=100)
+    batch = {
+        "pixel_values": jax.random.normal(jax.random.key(0), (1, 8, 32, 32, 3)),
+        "input_ids": jnp.ones((1, 8, tiny_cfg.clip.ctx), jnp.int32),
+    }
+    key = jax.random.key(5)
+    mesh = make_mesh(MeshConfig(data=8))
+
+    s_dp = replicate_tree(
+        init_train_state(tiny_params, tcfg, compute_dtype=jnp.float32), mesh)
+    step = make_train_step(tiny_cfg, tcfg, mesh=mesh, dp_size=8,
+                           compute_dtype=jnp.float32)
+    s1_dp, m_dp = step(s_dp, batch, key)
+
+    s_fs = init_train_state(tiny_params, tcfg, compute_dtype=jnp.float32)
+    fs_specs = S.fsdp_specs(s_fs, mesh, min_size=64)
+    # the moments really are sharded (not a vacuous test)
+    n_sharded = sum(1 for s in jax.tree.leaves(
+        fs_specs, is_leaf=lambda x: isinstance(x, P)) if s != P())
+    assert n_sharded > 50, n_sharded
+    s_fs = S.shard_tree(s_fs, mesh, fs_specs)
+    s1_fs, m_fs = step(s_fs, batch, key)
+
+    np.testing.assert_allclose(float(m_dp["loss"]), float(m_fs["loss"]),
+                               rtol=1e-5)
+    flat_d, _ = jax.tree_util.tree_flatten_with_path(s1_dp.trainable)
+    flat_f = jax.tree.leaves(s1_fs.trainable)
+    for (path, a), b in zip(flat_d, flat_f):
+        # reduce-scatter reorders the gradient sums vs all-reduce: fp32 wobble
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=5e-6, err_msg=str(path))
