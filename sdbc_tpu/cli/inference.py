@@ -51,6 +51,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fast-sampling cache boundary: how many trailing "
                         "ResNets run fresh on cached steps (1=aggressive, "
                         "0=conservative default)")
+    p.add_argument("--tp", type=int, default=0,
+                   help="multi-chip serving: 0 = single device (default); "
+                        ">=1 lays a (data x model=tp) mesh over all devices, "
+                        "shards the batch over `data` and, for tp>1, the "
+                        "weights Megatron-style over `model` "
+                        "(parallel/specs.py). Prefer SDBC_ATTN_IMPL=xla "
+                        "with tp>1")
     common.bool_flag(p, "batch_generate", True)
     # tri-state: unset → auto (default mode runs the reference's full
     # 3-config matrix, skipping configs whose inputs are unavailable);
@@ -92,7 +99,13 @@ def main(argv=None):
 
     params, cfg = common.resolve_params_cfg(args)
     tok = common.make_tokenizer(args, cfg.clip.vocab_size)
-    pipe = SDPipeline(params, cfg, tok, compute_dtype=common.compute_dtype(args))
+    mesh = None
+    if args.tp:
+        from sdbc_tpu.parallel.mesh import MeshConfig, make_mesh
+
+        mesh = make_mesh(MeshConfig(model=args.tp))
+    pipe = SDPipeline(params, cfg, tok, compute_dtype=common.compute_dtype(args),
+                      mesh=mesh)
 
     save_dir = os.path.join(args.save_dir, f"{args.run_id} inference")
     os.makedirs(save_dir, exist_ok=True)

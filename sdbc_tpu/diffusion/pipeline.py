@@ -293,7 +293,27 @@ class SDPipeline:
     """
 
     def __init__(self, params, cfg: PipelineConfig, tokenizer,
-                 compute_dtype=jnp.bfloat16):
+                 compute_dtype=jnp.bfloat16, mesh=None):
+        """``mesh``: optional jax.sharding.Mesh for multi-chip serving.  The
+        batch shards over its ``data`` axis; a ``model`` axis > 1 additionally
+        shards the weights Megatron-style (parallel/specs.py) so one sample
+        batch spans chips — XLA inserts the collectives.  With a model axis,
+        set SDBC_ATTN_IMPL=xla: the Pallas attention kernels are opaque to
+        the SPMD partitioner (it would replicate them, all-gathering the
+        head-sharded operands); the XLA path partitions cleanly over heads.
+        """
+        if mesh is not None:
+            from sdbc_tpu.parallel import specs as spec_mod
+
+            if mesh.shape.get("model", 1) > 1:
+                spec_mod.validate_tp(cfg, mesh.shape["model"])
+                params = spec_mod.shard_tree(params, mesh,
+                                             spec_mod.tp_specs(params, mesh))
+            else:
+                from sdbc_tpu.parallel.mesh import replicate_tree
+
+                params = replicate_tree(params, mesh)
+        self.mesh = mesh
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -337,6 +357,12 @@ class SDPipeline:
             if latents.shape[0] < len(prompts):  # pad to the bucket
                 reps = [latents[-1:]] * (len(prompts) - latents.shape[0])
                 latents = jnp.concatenate([latents] + reps, axis=0)
+        if self.mesh is not None and len(prompts) % self.mesh.shape["data"] == 0:
+            from sdbc_tpu.parallel.mesh import data_sharding
+
+            put = lambda x: jax.device_put(
+                x, data_sharding(self.mesh, jnp.ndim(x)))
+            cond, uncond, latents = put(cond), put(uncond), put(latents)
         imgs = sample(self.params, cond, uncond, latents, jax.random.key(seed),
                       guidance_scale, cfg=self.cfg,
                       num_inference_steps=num_inference_steps,

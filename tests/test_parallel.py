@@ -269,3 +269,21 @@ def test_fsdp_train_step_matches_dp(tiny_cfg, tiny_params):
         # reduce-scatter reorders the gradient sums vs all-reduce: fp32 wobble
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
                                    atol=5e-6, err_msg=str(path))
+
+
+def test_sdpipeline_tp_serving(tiny_cfg, tiny_params):
+    """SDPipeline(mesh=...) — the CLI serving path — matches the
+    single-device pipeline output under a (data=4, model=2) mesh."""
+    from sdbc_tpu.data.tokenizer import CLIPTokenizer
+    from sdbc_tpu.diffusion.pipeline import SDPipeline
+
+    tok = CLIPTokenizer.fallback(tiny_cfg.clip.vocab_size)
+    kw = dict(height=32, width=32, num_inference_steps=2, seed=3)
+    prompts = ["a book cover"] * 4
+    ref = SDPipeline(tiny_params, tiny_cfg, tok,
+                     compute_dtype=jnp.float32)(prompts, **kw)
+
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    out = SDPipeline(tiny_params, tiny_cfg, tok, compute_dtype=jnp.float32,
+                     mesh=mesh)(prompts, **kw)
+    np.testing.assert_allclose(out, ref, atol=1e-4)
