@@ -161,8 +161,11 @@ def main(argv=None):
     if args.cache_latents:
         from sdbc_tpu.train import latent_cache as lc
 
+        # encode with the SAME weights the in-step loss would use: the
+        # compute-dtype-cast frozen VAE (under bf16 training the fp32
+        # checkpoint weights would yield measurably different moments)
         cache_path = lc.build_latent_cache(
-            ds, params["vae"], cfg.vae, dt,
+            ds, state.frozen["vae"], cfg.vae, dt,
             batch=max(args.batch_size, 8), num_workers=args.num_workers)
         latents_mm = lc.open_latent_cache(cache_path)
 
@@ -209,7 +212,8 @@ def main(argv=None):
                                  seed=args.seed + epoch,
                                  num_workers=args.num_workers,
                                  mesh=mesh,  # per-host input sharding
-                                 latent_cache=latents_mm)
+                                 latent_cache=latents_mm,
+                                 epoch=epoch)  # host-independent prompt draws
         running, running_n = 0.0, 0
         t0 = time.perf_counter()
         for batch in loader:

@@ -161,8 +161,16 @@ def main(argv=None):
         want_sum = args.summarize is not False and args.include_desc is not False
         if args.include_desc and not os.path.exists(test_csv):
             raise SystemExit(f"--include_desc needs {test_csv}")
+        # explicit --summarize FORCES the config (tri-state contract above):
+        # missing inputs are an error, not a silent skip
         if args.summarize and not args.bart_ckpt:
             raise SystemExit("--summarize needs --bart_ckpt")
+        if args.summarize and args.include_desc is False:
+            raise SystemExit("--summarize summarizes book descriptions; "
+                             "it cannot combine with --no-include_desc")
+        if args.summarize and not os.path.exists(test_csv):
+            raise SystemExit(f"--summarize needs {test_csv} "
+                             f"(source of the descriptions)")
         have_desc = want_desc and os.path.exists(test_csv)
         have_sum = want_sum and bool(args.bart_ckpt) and have_desc
 

@@ -70,6 +70,18 @@ class GoodreadsDataset:
         # across epochs via the visit count.
         self._visit_lock = threading.Lock()
         self._visit_counts: dict = {}
+        self._epoch: Optional[int] = None
+
+    def set_epoch(self, epoch: Optional[int]) -> None:
+        """Key prompt draws on (seed, idx, epoch) instead of the per-process
+        visit count.  Visit counts are process-local: under multi-host
+        loading an index can migrate hosts between epochs, resetting its
+        count and replaying its epoch-0 prompt.  An explicit epoch is
+        host-independent (and equals the visit count in the single-host
+        one-pass-per-epoch case, so prompts are unchanged there).
+        make_dataloader(epoch=...) calls this.
+        """
+        self._epoch = epoch
 
     def __len__(self) -> int:
         return len(self.df)
@@ -78,10 +90,14 @@ class GoodreadsDataset:
         return os.path.join(self.image_dir, f"{self.df.index[idx]}.jpg")
 
     def _prompt_rng(self, idx: int) -> random.Random:
-        """Deterministic per-(seed, idx, visit) RNG for template draws."""
-        with self._visit_lock:
-            visit = self._visit_counts.get(idx, 0)
-            self._visit_counts[idx] = visit + 1
+        """Deterministic per-(seed, idx, epoch-or-visit) RNG for template
+        draws."""
+        if self._epoch is not None:
+            visit = self._epoch
+        else:
+            with self._visit_lock:
+                visit = self._visit_counts.get(idx, 0)
+                self._visit_counts[idx] = visit + 1
         # tuple-of-ints hash is deterministic across processes (only str/bytes
         # hashing is randomized by PYTHONHASHSEED)
         return random.Random(hash((self.cfg.seed, idx, visit)))
@@ -120,7 +136,8 @@ def make_dataloader(dataset: GoodreadsDataset, micro_batch: int,
                     grad_accum: int = 1, shuffle: bool = True,
                     seed: int = 42, num_workers: int = 4,
                     drop_last: bool = True, mesh=None,
-                    latent_cache=None) -> Iterator[dict]:
+                    latent_cache=None,
+                    epoch: Optional[int] = None) -> Iterator[dict]:
     """Yield {"pixel_values": (A, B, H, W, 3), "input_ids": (A, B, 77)} batches.
 
     Thread-pool decode with one-batch lookahead prefetch (the torch
@@ -135,7 +152,13 @@ def make_dataloader(dataset: GoodreadsDataset, micro_batch: int,
     train.latent_cache.open_latent_cache), image decode and the in-step VAE
     encode are skipped entirely: batches carry "latent_mean"/"latent_logvar"
     instead of "pixel_values" (prompts are still drawn per visit as usual).
+
+    ``epoch``: pass the training epoch so prompt draws key on it instead of
+    the process-local visit count (required for multi-host determinism —
+    see GoodreadsDataset.set_epoch).
     """
+    if epoch is not None:
+        dataset.set_epoch(epoch)
     step = micro_batch * grad_accum
     order = list(range(len(dataset)))
     rng = random.Random(seed)
@@ -160,45 +183,35 @@ def make_dataloader(dataset: GoodreadsDataset, micro_batch: int,
     def load_batch(batch_indices):
         if local_sel is not None:
             batch_indices = [batch_indices[i] for i in local_sel]
+        # prompt draws are serial in all paths (per-idx-keyed rng makes them
+        # order-independent anyway; serial keeps the code one shape)
+        ids = np.stack([
+            np.asarray(dataset.tokenizer.encode(
+                dataset.prompt_for(i), dataset.cfg.max_length), np.int32)
+            for i in batch_indices])
         if latent_cache is not None:
             cmean, clogvar = latent_cache
             idx = np.asarray(batch_indices)
-            ids = np.stack([
-                np.asarray(dataset.tokenizer.encode(
-                    dataset.prompt_for(i), dataset.cfg.max_length), np.int32)
-                for i in batch_indices])
-            mb_ = micro_batch if local_sel is None else n_micro_local
-            a_ = len(batch_indices) // mb_
-            out = {
-                "latent_mean": np.ascontiguousarray(cmean[idx]).reshape(
-                    a_, mb_, *cmean.shape[1:]),
-                "latent_logvar": np.ascontiguousarray(clogvar[idx]).reshape(
-                    a_, mb_, *clogvar.shape[1:]),
-                "input_ids": ids.reshape(a_, mb_, *ids.shape[1:]),
+            payload = {
+                "latent_mean": np.ascontiguousarray(cmean[idx]),
+                "latent_logvar": np.ascontiguousarray(clogvar[idx]),
             }
-            if mesh is not None:
-                out = make_global_batch(out, mesh, batch_dim=1)
-            return out
-        if use_native:
+        elif use_native:
             # one native call decodes the whole batch (C++ thread pool)
             paths = [dataset.image_path(i) for i in batch_indices]
-            pix = native_loader.decode_batch(paths, dataset.cfg.img_size,
-                                             threads=num_workers)
-            ids = np.stack([
-                np.asarray(dataset.tokenizer.encode(
-                    dataset.prompt_for(i), dataset.cfg.max_length), np.int32)
-                for i in batch_indices])
+            payload = {"pixel_values": native_loader.decode_batch(
+                paths, dataset.cfg.img_size, threads=num_workers)}
         else:
             with cf.ThreadPoolExecutor(max_workers=num_workers) as ex:
-                items = list(ex.map(dataset.__getitem__, batch_indices))
-            pix = np.stack([it["pixel_values"] for it in items])
-            ids = np.stack([it["input_ids"] for it in items])
+                pix = list(ex.map(
+                    lambda i: decode_and_prepare(dataset.image_path(i),
+                                                 dataset.cfg.img_size),
+                    batch_indices))
+            payload = {"pixel_values": np.stack(pix)}
+        payload["input_ids"] = ids
         mb = micro_batch if local_sel is None else n_micro_local
         a = len(batch_indices) // mb
-        out = {
-            "pixel_values": pix.reshape(a, mb, *pix.shape[1:]),
-            "input_ids": ids.reshape(a, mb, *ids.shape[1:]),
-        }
+        out = {k: v.reshape(a, mb, *v.shape[1:]) for k, v in payload.items()}
         if mesh is not None:
             out = make_global_batch(out, mesh, batch_dim=1)
         return out

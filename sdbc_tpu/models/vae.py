@@ -150,6 +150,19 @@ def init(key, cfg: VAEConfig):
 # apply
 
 
+def prefer_chunked_encode(batch: int, h: int, w: int) -> bool:
+    """True when a per-image ``lax.map`` encode beats XLA's batched spatial
+    tiling on one device (512²-class images, batch > 1 — measured 22.0 vs
+    43.7 ms at micro-batch 2 on v5e, experiments/r2_vae_enc_chunk.py).
+
+    Single definition shared by the trainer loss and the latent-cache
+    builder so both encodes pick the same graph shape for the same inputs.
+    Under a multi-device mesh the batch axis is sharded, so the map would
+    serialize what the sharded batched encode runs in parallel.
+    """
+    return batch > 1 and h * w >= 262144 and jax.device_count() == 1
+
+
 def encode_moments(params, x, cfg: VAEConfig):
     """x: (N,H,W,3) in [-1,1] → (mean, logvar) each (N,H/8,W/8,latent)."""
     g = cfg.norm_groups

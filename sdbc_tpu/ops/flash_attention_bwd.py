@@ -139,7 +139,11 @@ def flash_bwd(q, k, v, o, do, lse, scale: float,
 
     def pad(x, s_pad, mult=None):
         if mult is not None:
-            x = x * jnp.asarray(mult, x.dtype)
+            # fold the scalar in fp32 and round ONCE back to the operand
+            # dtype (as the forward folds scale*log2e into q): a bf16
+            # multiply would round the scalar AND the product, drifting the
+            # recomputed p away from the forward's lse
+            x = (x.astype(jnp.float32) * mult).astype(x.dtype)
         return jnp.pad(x, ((0, 0), (0, 0), (0, s_pad - x.shape[2]),
                            (0, d_pad - x.shape[3]))).reshape(
             b * h, s_pad, d_pad)

@@ -19,9 +19,13 @@ Cache layout (under ``<data_root>/latent_cache/<fingerprint>/``):
 Moments are computed under the training compute dtype and stored as float32
 (a lossless widening of bf16), and the loss path casts them back to the
 compute dtype, so cached and on-the-fly training match for the same PRNG key
-up to float rounding: the one-off encode compiles as its own jit graph, whose
-XLA fusions differ from the encode-inside-the-train-step graph by a few ulps
-(observed max abs diff ~6e-7 at fp32; tested in tests/test_latent_cache.py).
+up to float rounding: the one-off encode compiles as its own jit graph (its
+batch may differ from the training micro-batch), whose XLA fusions differ
+from the encode-inside-the-train-step graph by a few ulps (observed max abs
+diff ~6e-7 at fp32; tested in tests/test_latent_cache.py).  For the moments
+to match the in-step encode, callers must pass the SAME weights the loss
+would use — the compute-dtype-cast frozen VAE (state.frozen["vae"]), not the
+fp32 checkpoint weights (cli/finetune.py does this).
 """
 from __future__ import annotations
 
@@ -54,12 +58,15 @@ def _vae_checksum(vae_params) -> str:
 
 def _fingerprint(dataset, compute_dtype) -> dict:
     cfg = dataset.cfg
-    ids = ",".join(str(i) for i in dataset.df.index[:: max(len(dataset) // 64, 1)])
+    # hash the FULL index, not a sample: row edits that keep the filename and
+    # count must miss the cache, or stale latents silently pair with new
+    # prompts (hashing 43k index entries costs ~ms)
+    ids = ",".join(str(i) for i in dataset.df.index)
     return {
         "n": len(dataset),
         "img_size": cfg.img_size,
         "csv_name": cfg.csv_name,
-        "index_sample": hashlib.sha256(ids.encode()).hexdigest()[:16],
+        "index_hash": hashlib.sha256(ids.encode()).hexdigest()[:16],
         "compute_dtype": jnp.dtype(compute_dtype).name,
     }
 
@@ -75,13 +82,15 @@ def cache_dir_for(dataset, vae_params, compute_dtype,
 
 
 def _encode_fn(vae_cfg, compute_dtype, img_size: int, micro: int):
-    """Jitted batched moment encode matching trainer.diffusion_loss exactly.
+    """Jitted batched moment encode matching trainer.diffusion_loss.
 
-    Mirrors the chunked-encode branch condition in train/trainer.py so cached
-    moments are bit-identical to what the in-loop encode would produce.
+    Uses the shared vae.prefer_chunked_encode heuristic so both sites pick
+    the per-image map at the same shapes.  The cache builder's batch may
+    differ from the training micro-batch, so the graphs are not guaranteed
+    bit-identical — only equal up to XLA fusion differences (~ulps at fp32,
+    tests/test_latent_cache.py).
     """
-    chunked = (micro > 1 and img_size * img_size >= 262144
-               and jax.device_count() == 1)
+    chunked = vae_mod.prefer_chunked_encode(micro, img_size, img_size)
 
     @jax.jit
     def run(vae_params, pixels):
@@ -107,14 +116,32 @@ def build_latent_cache(dataset, vae_params, vae_cfg, compute_dtype,
     Idempotent: an existing directory with a matching meta.json is reused.
     """
     path, meta = cache_dir_for(dataset, vae_params, compute_dtype, root)
-    meta_path = os.path.join(path, "meta.json")
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            if json.load(f) == meta:
-                if verbose:
-                    print(f"latent cache hit: {path}")
+    if _hit_dir(path, meta):
+        if verbose:
+            print(f"latent cache hit: {path}")
+        return path
+
+    # multi-host coordination (shared filesystem): process 0 builds, the
+    # rest poll for the finished meta.json instead of redundantly encoding
+    # the whole dataset N times into the same files
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        import time
+
+        deadline = time.time() + 7200
+        while time.time() < deadline:
+            if _hit_dir(path, meta):
                 return path
-    os.makedirs(path, exist_ok=True)
+            time.sleep(5)
+        raise TimeoutError(
+            f"waited 2h for process 0 to build the latent cache at {path}")
+
+    # build into a private tmp dir, then atomically rename into place:
+    # concurrent single-host builders (two finetune runs sharing a
+    # data_root) each write their own tmp and the first rename wins
+    tmp = f"{path}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    path, final_path = tmp, path
+    meta_path = os.path.join(path, "meta.json")
 
     n = len(dataset)
     f = 2 ** (len(vae_cfg.block_out_channels) - 1)
@@ -172,9 +199,28 @@ def build_latent_cache(dataset, vae_params, vae_cfg, compute_dtype,
     logvar_mm.flush()
     with open(meta_path, "w") as f_:
         json.dump(meta, f_, sort_keys=True)
+    del mean_mm, logvar_mm
+    try:
+        os.rename(path, final_path)
+    except OSError:
+        # a concurrent builder renamed first — its content is equivalent
+        # (the directory key derives from the full fingerprint)
+        import shutil
+
+        if not _hit_dir(final_path, meta):
+            raise
+        shutil.rmtree(path, ignore_errors=True)
     if verbose:
-        print(f"latent cache built: {path}")
-    return path
+        print(f"latent cache built: {final_path}")
+    return final_path
+
+
+def _hit_dir(path: str, meta: dict) -> bool:
+    meta_path = os.path.join(path, "meta.json")
+    if not os.path.exists(meta_path):
+        return False
+    with open(meta_path) as f:
+        return json.load(f) == meta
 
 
 def open_latent_cache(path: str) -> Tuple[np.ndarray, np.ndarray]:

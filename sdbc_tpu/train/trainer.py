@@ -154,15 +154,12 @@ def diffusion_loss(trainable, frozen, batch, key, cfg: PipelineConfig,
         logvar = batch["latent_logvar"].astype(dt)
     else:
         pixels = batch["pixel_values"].astype(dt)      # (B, H, W, 3) in [-1,1]
-        if (pixels.shape[0] > 1 and pixels.shape[1] * pixels.shape[2] >= 262144
-                and jax.device_count() == 1):
-            # (single-device only: under a data-sharded mesh the map over the
-            # batch axis would serialize what the sharded encode runs in
-            # parallel — same reasoning as the pipeline's chunked decode)
+        if vae_mod.prefer_chunked_encode(pixels.shape[0], pixels.shape[1],
+                                         pixels.shape[2]):
             # encode image-by-image at 512²-class sizes: XLA's spatial tiling
-            # of the batched encode is pathological (43.7 ms vs 22.0 chunked at
-            # micro-batch 2 on v5e — experiments/r2_vae_enc_chunk.py); encode
-            # is stop-gradient so the map adds no autodiff cost
+            # of the batched encode is pathological (see prefer_chunked_encode
+            # for the numbers + the single-device restriction); encode is
+            # stop-gradient so the map adds no autodiff cost
             mean, logvar = jax.lax.map(
                 lambda p: tuple(
                     m[0] for m in vae_mod.encode_moments(params["vae"],

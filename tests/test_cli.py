@@ -173,3 +173,19 @@ def test_tp_fsdp_parser():
     assert a.tp == 2 and a.fsdp is True
     d = p.parse_args([])
     assert d.tp == 1 and d.fsdp is False
+
+
+def test_summarize_forced_errors_without_inputs(tmp_path):
+    """Explicit --summarize FORCES the config: missing df_test.csv or a
+    contradictory --no-include_desc must error, not silently skip
+    (tri-state contract in cli/inference.py)."""
+    from sdbc_tpu.cli import inference
+
+    base = ["--mode", "default", "--tiny", "--bart_ckpt", "/nonexistent",
+            "--data_root", str(tmp_path), "--save_dir",
+            str(tmp_path / "out"), "--run_id", "x", "--img_size", "32",
+            "--num_inference_steps", "1"]
+    with pytest.raises(SystemExit, match="df_test.csv"):
+        inference.main(base + ["--summarize"])
+    with pytest.raises(SystemExit, match="include_desc"):
+        inference.main(base + ["--summarize", "--no-include_desc"])

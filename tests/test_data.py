@@ -89,6 +89,30 @@ def test_prompt_draws_reproduce_and_vary_by_epoch(data_root):
     assert [ds2.prompt_for(i) for i in range(len(ds2))] == epoch1
 
 
+def test_epoch_keyed_prompts_host_independent(data_root):
+    """With set_epoch (the trainer path), prompt draws depend only on
+    (seed, idx, epoch) — a 'host' that first sees an index at epoch 1 draws
+    the same prompt as a host that visited it every epoch (multi-host index
+    migration must not replay epoch-0 prompts)."""
+    cfg = DatasetConfig(data_root=data_root, img_size=32, max_length=16,
+                        legible_text_prob=0.5)
+    host_a = GoodreadsDataset(cfg, CLIPTokenizer.fallback(1000))
+    host_a.set_epoch(0)
+    e0 = [host_a.prompt_for(i) for i in range(len(host_a))]
+    host_a.set_epoch(1)
+    e1 = [host_a.prompt_for(i) for i in range(len(host_a))]
+    assert e0 != e1  # the epoch advances the draw stream
+
+    # host B never saw epoch 0; its epoch-1 draws must match host A's
+    host_b = GoodreadsDataset(cfg, CLIPTokenizer.fallback(1000))
+    host_b.set_epoch(1)
+    assert [host_b.prompt_for(i) for i in range(len(host_b))] == e1
+
+    # and the loader plumbs the epoch through
+    next(make_dataloader(host_b, micro_batch=2, grad_accum=1, epoch=3))
+    assert host_b._epoch == 3
+
+
 def test_english_keep_ratio():
     assert english_keep_ratio("A normal English sentence.") == 1.0
     assert english_keep_ratio("Полностью русский текст") < 0.5
