@@ -56,8 +56,8 @@ def build_parser() -> argparse.ArgumentParser:
                         ">=1 lays a (data x model=tp) mesh over all devices, "
                         "shards the batch over `data` and, for tp>1, the "
                         "weights Megatron-style over `model` "
-                        "(parallel/specs.py). Prefer SDBC_ATTN_IMPL=xla "
-                        "with tp>1")
+                        "(parallel/specs.py); attention switches to the "
+                        "partitionable XLA path automatically with tp>1")
     common.bool_flag(p, "batch_generate", True)
     # tri-state: unset → auto (default mode runs the reference's full
     # 3-config matrix, skipping configs whose inputs are unavailable);

@@ -63,11 +63,12 @@ def encode_text(params, ids, cfg: PipelineConfig, compute_dtype=jnp.bfloat16):
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "num_inference_steps", "compute_dtype", "decode",
-                     "cache_interval", "cache_tail"))
+                     "cache_interval", "cache_tail", "attn_impl"))
 def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
            *, cfg: PipelineConfig, num_inference_steps: int = 50,
            compute_dtype=jnp.bfloat16, decode: bool = True,
-           cache_interval: int = 0, cache_tail: int = 0):
+           cache_interval: int = 0, cache_tail: int = 0,
+           attn_impl: str = "inference"):
     """Run the full CFG sampling graph.
 
     params: {"text_encoder", "unet", "vae"} param trees (fp32 masters; cast here)
@@ -77,6 +78,10 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
     cache_interval: >1 enables DeepCache-style fast sampling on the DDIM
       path — the UNet's deep trunk is recomputed every cache_interval steps
       and reused in between (approximate; 0/1 = exact reference sampling)
+    attn_impl: attention dispatch inside the UNet ("inference" = fixed-cap
+      Pallas kernel on TPU; "xla" = partitionable einsum path — required
+      when the params are model-axis (TP) sharded, since the SPMD
+      partitioner cannot split a pallas_call)
     Returns (B, H, W, 3) float images in [0, 1] (or raw latents if decode=False).
     """
     if cache_interval and cache_interval > 1 and cfg.scheduler not in (
@@ -97,7 +102,7 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
         lat2 = jnp.concatenate([lat, lat], axis=0)
         tb = jnp.full((lat2.shape[0],), t, jnp.int32)
         out = unet_mod.apply(uparams, lat2, tb, context, cfg.unet,
-                             attn_impl="inference", temb_proj=tp)
+                             attn_impl=attn_impl, temb_proj=tp)
         out_u, out_c = jnp.split(out.astype(jnp.float32), 2, axis=0)
         return out_u + gs * (out_c - out_u)
 
@@ -139,14 +144,14 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
                 return unet_mod.apply(uparams, lat2, tb, context,
                                       cfg.unet, return_deep=True,
                                       cache_tail=cache_tail,
-                                      attn_impl="inference",
+                                      attn_impl=attn_impl,
                                       temb_proj=tp)
 
             def reuse(cache):
                 out = unet_mod.apply(uparams, lat2, tb, context,
                                      cfg.unet, cached_deep=cache,
                                      cache_tail=cache_tail,
-                                     attn_impl="inference",
+                                     attn_impl=attn_impl,
                                      temb_proj=tp)
                 return out, cache
 
@@ -297,11 +302,11 @@ class SDPipeline:
         """``mesh``: optional jax.sharding.Mesh for multi-chip serving.  The
         batch shards over its ``data`` axis; a ``model`` axis > 1 additionally
         shards the weights Megatron-style (parallel/specs.py) so one sample
-        batch spans chips — XLA inserts the collectives.  With a model axis,
-        set SDBC_ATTN_IMPL=xla: the Pallas attention kernels are opaque to
-        the SPMD partitioner (it would replicate them, all-gathering the
-        head-sharded operands); the XLA path partitions cleanly over heads.
+        batch spans chips — XLA inserts the collectives.  With a model axis
+        the UNet attention automatically uses the XLA path (partitions over
+        heads); the Pallas kernels are opaque to the SPMD partitioner.
         """
+        self._attn_impl = "inference"
         if mesh is not None:
             from sdbc_tpu.parallel import specs as spec_mod
 
@@ -309,6 +314,9 @@ class SDPipeline:
                 spec_mod.validate_tp(cfg, mesh.shape["model"])
                 params = spec_mod.shard_tree(params, mesh,
                                              spec_mod.tp_specs(params, mesh))
+                # the Pallas inference kernel is opaque to the SPMD
+                # partitioner; the XLA attention path splits over heads
+                self._attn_impl = "xla"
             else:
                 from sdbc_tpu.parallel.mesh import replicate_tree
 
@@ -367,7 +375,8 @@ class SDPipeline:
                       guidance_scale, cfg=self.cfg,
                       num_inference_steps=num_inference_steps,
                       compute_dtype=self.compute_dtype, decode=decode,
-                      cache_interval=cache_interval, cache_tail=cache_tail)
+                      cache_interval=cache_interval, cache_tail=cache_tail,
+                      attn_impl=self._attn_impl)
         return np.asarray(imgs)[:b]
 
     def numpy_to_pil(self, imgs: np.ndarray):
