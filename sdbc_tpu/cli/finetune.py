@@ -232,10 +232,14 @@ def main(argv=None):
             imgs_per_s = micro_global * args.grad_acc_steps / (
                 time.perf_counter() - t0)
             t0 = time.perf_counter()
+            skipped = int(metrics.get("notfinite_count", 0))
             tracker.log({"loss": loss, "epoch": epoch,
-                         "images_per_sec": imgs_per_s}, step=gstep)
+                         "images_per_sec": imgs_per_s,
+                         "skipped_updates": skipped}, step=gstep)
+            warn = "" if bool(metrics.get("finite", True)) else \
+                f"  [non-finite update SKIPPED; {skipped} total]"
             print(f"epoch {epoch} step {gstep} loss {loss:.4f} "
-                  f"({imgs_per_s:.2f} img/s)", flush=True)
+                  f"({imgs_per_s:.2f} img/s){warn}", flush=True)
 
             if gstep % ckpt_every == 0:
                 mean_loss = running / running_n

@@ -63,12 +63,13 @@ def encode_text(params, ids, cfg: PipelineConfig, compute_dtype=jnp.bfloat16):
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "num_inference_steps", "compute_dtype", "decode",
-                     "cache_interval", "cache_tail", "attn_impl"))
+                     "cache_interval", "cache_tail", "attn_impl",
+                     "chunked_decode"))
 def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
            *, cfg: PipelineConfig, num_inference_steps: int = 50,
            compute_dtype=jnp.bfloat16, decode: bool = True,
            cache_interval: int = 0, cache_tail: int = 0,
-           attn_impl: str = "inference"):
+           attn_impl: str = "inference", chunked_decode=None):
     """Run the full CFG sampling graph.
 
     params: {"text_encoder", "unet", "vae"} param trees (fp32 masters; cast here)
@@ -274,14 +275,20 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
     if not decode:
         return lat
     lat_s = lat.astype(dt) / cfg.vae.scaling_factor
-    if (lat.shape[0] > 1 and lat.shape[1] * lat.shape[2] >= 4096
-            and jax.device_count() == 1):
-        # single-chip: decode image-by-image — XLA's spatial tiling of the
+    if chunked_decode is None:
+        # auto: chunk only when the batch cannot be device-sharded.  Callers
+        # that know (SDPipeline passes mesh is None) override — on a
+        # multi-chip HOST serving from one chip, device_count alone would
+        # wrongly pick the slow batched decode.
+        chunked_decode = jax.device_count() == 1
+    if (chunked_decode and lat.shape[0] > 1
+            and lat.shape[1] * lat.shape[2] >= 4096):
+        # decode image-by-image — XLA's spatial tiling of the
         # batch-4 512² decode is pathological (199.9 ms vs 85.6 chunked on
         # v5e — experiments/r2_vae_chunk.py) and the chip is saturated per
-        # image, so the sequential map costs nothing.  Multi-device keeps
-        # the batch decode: lax.map over the batch axis would serialize
-        # what the data-sharded decode runs in parallel.
+        # image, so the sequential map costs nothing.  A data-sharded batch
+        # keeps the batch decode: lax.map over the batch axis would
+        # serialize what the sharded decode runs in parallel.
         img = jax.lax.map(
             lambda l: vae_mod.decode(params["vae"], l[None], cfg.vae)[0],
             lat_s)
@@ -344,16 +351,27 @@ class SDPipeline:
         # pad ragged batches up to a bucket: one compiled graph per bucket
         # instead of one per distinct batch size (single-jit discipline)
         bucket = next((s for s in self.BATCH_BUCKETS if s >= b), b)
+        if self.mesh is not None:
+            # round the bucket up to a multiple of the data axis so the
+            # batch ALWAYS shards (a silent skip would quietly serve a
+            # multi-chip mesh at single-chip throughput)
+            n = self.mesh.shape["data"]
+            bucket = -(-bucket // n) * n
         if bucket != b:
             prompts = list(prompts) + [""] * (bucket - b)
         cond = jnp.asarray(self.tokenize(prompts))
         uncond = jnp.asarray(self.tokenize([""] * len(prompts)))
+        # independent streams for the initial latents and the (ddpm)
+        # sampler: never reuse a consumed key.  The fixed-latent parity
+        # path (latents given) keeps key(seed) for the sampler, matching
+        # the recorded protocol.
+        sampler_key = jax.random.key(seed)
         if latents is None:
-            key = jax.random.key(seed)
+            lkey, sampler_key = jax.random.split(jax.random.key(seed))
             f = self.cfg.vae_scale
             latents = jax.random.normal(
-                key, (len(prompts), height // f, width // f,
-                      self.cfg.unet.in_channels), jnp.float32)
+                lkey, (len(prompts), height // f, width // f,
+                       self.cfg.unet.in_channels), jnp.float32)
         else:
             latents = jnp.asarray(latents)
             if latents.ndim == 3:
@@ -365,18 +383,19 @@ class SDPipeline:
             if latents.shape[0] < len(prompts):  # pad to the bucket
                 reps = [latents[-1:]] * (len(prompts) - latents.shape[0])
                 latents = jnp.concatenate([latents] + reps, axis=0)
-        if self.mesh is not None and len(prompts) % self.mesh.shape["data"] == 0:
+        if self.mesh is not None:
             from sdbc_tpu.parallel.mesh import data_sharding
 
             put = lambda x: jax.device_put(
                 x, data_sharding(self.mesh, jnp.ndim(x)))
             cond, uncond, latents = put(cond), put(uncond), put(latents)
-        imgs = sample(self.params, cond, uncond, latents, jax.random.key(seed),
+        imgs = sample(self.params, cond, uncond, latents, sampler_key,
                       guidance_scale, cfg=self.cfg,
                       num_inference_steps=num_inference_steps,
                       compute_dtype=self.compute_dtype, decode=decode,
                       cache_interval=cache_interval, cache_tail=cache_tail,
-                      attn_impl=self._attn_impl)
+                      attn_impl=self._attn_impl,
+                      chunked_decode=self.mesh is None)
         return np.asarray(imgs)[:b]
 
     def numpy_to_pil(self, imgs: np.ndarray):

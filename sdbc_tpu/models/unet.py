@@ -376,13 +376,17 @@ def apply(params, latents, timesteps, encoder_hidden_states, cfg: UNetConfig,
     res_fn = _resnet
     attn_fn = functools.partial(_transformer, attn_impl=attn_impl)
     if remat:
-        # remat is the training path: the inference-only attn_impl dispatch
-        # stays default there (jax.checkpoint can't trace a string kwarg)
         res_fn = jax.checkpoint(_resnet, static_argnums=(3,))
         if remat_mode == "selective":
-            attn_fn = _transformer_selective
+            attn_fn = functools.partial(_transformer_selective,
+                                        attn_impl=attn_impl)
         else:
-            attn_fn = jax.checkpoint(_transformer, static_argnums=(3, 4))
+            # attn_impl rides through as a STATIC positional arg (strings
+            # can't be traced, but static_argnums handles them) — TP
+            # training needs the partitionable "xla" path here
+            ckpt_tfm = jax.checkpoint(_transformer, static_argnums=(3, 4, 5))
+            attn_fn = (lambda p, x, c, h, grp:
+                       ckpt_tfm(p, x, c, h, grp, attn_impl))
 
     if temb_proj is None:
         temb = _temb_mlp(params, timesteps, cfg.block_out_channels[0],

@@ -150,17 +150,22 @@ def init(key, cfg: VAEConfig):
 # apply
 
 
-def prefer_chunked_encode(batch: int, h: int, w: int) -> bool:
+def prefer_chunked_encode(batch: int, h: int, w: int,
+                          data_sharded=None) -> bool:
     """True when a per-image ``lax.map`` encode beats XLA's batched spatial
     tiling on one device (512²-class images, batch > 1 — measured 22.0 vs
-    43.7 ms at micro-batch 2 on v5e, experiments/r2_vae_enc_chunk.py).
+     43.7 ms at micro-batch 2 on v5e, experiments/r2_vae_enc_chunk.py).
 
     Single definition shared by the trainer loss and the latent-cache
     builder so both encodes pick the same graph shape for the same inputs.
-    Under a multi-device mesh the batch axis is sharded, so the map would
-    serialize what the sharded batched encode runs in parallel.
+    ``data_sharded``: whether the batch axis is sharded over a mesh — the
+    map would serialize what a sharded batched encode runs in parallel.
+    Callers that know (the trainer knows its mesh) pass it; None falls back
+    to the conservative device-count guess.
     """
-    return batch > 1 and h * w >= 262144 and jax.device_count() == 1
+    if data_sharded is None:
+        data_sharded = jax.device_count() > 1
+    return batch > 1 and h * w >= 262144 and not data_sharded
 
 
 def encode_moments(params, x, cfg: VAEConfig):

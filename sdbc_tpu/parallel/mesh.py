@@ -61,7 +61,13 @@ def make_mesh(cfg: MeshConfig = MeshConfig(),
 
 
 def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
-    """Shard leading (batch) dim over the data axis; replicate the rest."""
+    """Shard leading (batch) dim over the data axis; replicate the rest.
+
+    Rank-0 leaves (scalars in a batch pytree) are replicated — there is no
+    batch dim to shard.
+    """
+    if ndim == 0:
+        return NamedSharding(mesh, P())
     return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
 
 
@@ -115,6 +121,11 @@ def host_local_batch_indices(global_batch: int, mesh: Mesh) -> np.ndarray:
             f"mesh's data axis ({n_data} shards)")
     per_shard = global_batch // n_data
     coords = host_local_data_coords(mesh)
+    if not coords:
+        # a process with no devices in this mesh loads nothing (e.g. the
+        # mesh was built over a device subset) — an empty index list, not
+        # an opaque np.concatenate error
+        return np.empty((0,), np.int64)
     return np.concatenate([
         np.arange(c * per_shard, (c + 1) * per_shard) for c in coords])
 
@@ -123,7 +134,9 @@ def host_local_batch_slice(global_batch: int, mesh: Mesh) -> slice:
     """Contiguous convenience form; raises if this host's rows are not
     contiguous (use host_local_batch_indices then)."""
     idx = host_local_batch_indices(global_batch, mesh)
-    if len(idx) and not np.array_equal(idx, np.arange(idx[0], idx[-1] + 1)):
+    if len(idx) == 0:
+        return slice(0, 0)
+    if not np.array_equal(idx, np.arange(idx[0], idx[-1] + 1)):
         raise ValueError("host rows are non-contiguous on this mesh; "
                          "use host_local_batch_indices")
     return slice(int(idx[0]), int(idx[-1]) + 1)

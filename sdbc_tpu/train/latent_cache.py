@@ -90,7 +90,9 @@ def _encode_fn(vae_cfg, compute_dtype, img_size: int, micro: int):
     bit-identical — only equal up to XLA fusion differences (~ulps at fp32,
     tests/test_latent_cache.py).
     """
-    chunked = vae_mod.prefer_chunked_encode(micro, img_size, img_size)
+    # the builder's encode batch is never mesh-sharded
+    chunked = vae_mod.prefer_chunked_encode(micro, img_size, img_size,
+                                            data_sharded=False)
 
     @jax.jit
     def run(vae_params, pixels):

@@ -136,7 +136,8 @@ def merged_params(state: TrainState):
 
 def diffusion_loss(trainable, frozen, batch, key, cfg: PipelineConfig,
                    tcfg: TrainConfig, sched: sched_mod.Schedule,
-                   compute_dtype=jnp.bfloat16):
+                   compute_dtype=jnp.bfloat16, attn_impl: str = "auto",
+                   data_sharded=None):
     """Single-micro-batch denoising MSE (reference finetune_sd.py:460-483)."""
     params = dict(frozen)
     params.update(trainable)
@@ -155,7 +156,8 @@ def diffusion_loss(trainable, frozen, batch, key, cfg: PipelineConfig,
     else:
         pixels = batch["pixel_values"].astype(dt)      # (B, H, W, 3) in [-1,1]
         if vae_mod.prefer_chunked_encode(pixels.shape[0], pixels.shape[1],
-                                         pixels.shape[2]):
+                                         pixels.shape[2],
+                                         data_sharded=data_sharded):
             # encode image-by-image at 512²-class sizes: XLA's spatial tiling
             # of the batched encode is pathological (see prefer_chunked_encode
             # for the numbers + the single-device restriction); encode is
@@ -179,7 +181,8 @@ def diffusion_loss(trainable, frozen, batch, key, cfg: PipelineConfig,
     ctx = clip_mod.apply(params["text_encoder"], ids, cfg.clip,
                          compute_dtype=dt)
     pred = unet_mod.apply(params["unet"], noisy, t, ctx, cfg.unet,
-                          remat=tcfg.grad_ckpt, remat_mode=tcfg.remat_mode)
+                          remat=tcfg.grad_ckpt, remat_mode=tcfg.remat_mode,
+                          attn_impl=attn_impl)
     if cfg.schedule.prediction_type == "v_prediction":
         target = sched_mod.velocity_target(sched, latents, noise, t)
     else:  # epsilon (the reference's objective, finetune_sd.py:483)
@@ -202,8 +205,16 @@ def make_train_step(cfg: PipelineConfig, tcfg: TrainConfig, mesh=None,
     """
     sched = sched_mod.make_schedule(cfg.schedule)
     opt = make_optimizer(tcfg, dp_size)
-    loss_fn = functools.partial(diffusion_loss, cfg=cfg, tcfg=tcfg,
-                                sched=sched, compute_dtype=compute_dtype)
+    # TP training: model-axis-sharded q/k/v must take the partitionable XLA
+    # attention path — a pallas_call is opaque to the SPMD partitioner
+    attn_impl = ("xla" if mesh is not None and mesh.shape.get("model", 1) > 1
+                 else "auto")
+    loss_fn = functools.partial(
+        diffusion_loss, cfg=cfg, tcfg=tcfg, sched=sched,
+        compute_dtype=compute_dtype, attn_impl=attn_impl,
+        # the trainer KNOWS whether the batch is sharded; don't guess from
+        # device_count (wrong for single-device runs on multi-chip hosts)
+        data_sharded=mesh is not None and mesh.shape["data"] > 1)
 
     def step_fn(state: TrainState, batch, key):
         def micro(carry, xs):
@@ -227,7 +238,13 @@ def make_train_step(cfg: PipelineConfig, tcfg: TrainConfig, mesh=None,
 
         new_state = TrainState(new_trainable, state.frozen, new_opt,
                                state.step + 1)
-        return new_state, {"loss": loss, "finite": jnp.isfinite(loss)}
+        # "finite" reflects what apply_if_finite actually checked — the
+        # UPDATE tree (a finite fp32 loss can still hide an inf in the bf16
+        # backward, silently skipping the step); notfinite_count surfaces
+        # how many updates have been dropped so a stalled run is visible
+        return new_state, {"loss": loss,
+                           "finite": new_opt.last_finite,
+                           "notfinite_count": new_opt.notfinite_count}
 
     donate_kw = {"donate_argnums": (0,)} if donate else {}
     if mesh is None:

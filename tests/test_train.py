@@ -73,6 +73,7 @@ def test_nan_guard_skips_update(tiny_cfg, tiny_params):
     before = jax.tree.leaves(state.trainable)[0].copy()
     s1, m = step(state, bad, jax.random.key(0))
     assert not bool(m["finite"])
+    assert int(m["notfinite_count"]) == 1  # skipped updates are counted
     after = jax.tree.leaves(s1.trainable)[0]
     np.testing.assert_array_equal(np.asarray(before), np.asarray(after))
 
