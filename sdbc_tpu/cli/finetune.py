@@ -89,6 +89,16 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if (args.fsdp or args.tp > 1) and args.use_8bit_adam:
+        # the fused int8 update kernel (train/adam8bit.py) is a pallas_call —
+        # the SPMD partitioner cannot split it over sharded params/moments
+        # (FSDP shards moments over `data`; TP shards trainables over
+        # `model`).  At data >= 4, FSDP-sharded fp32 moments use less
+        # per-chip memory than replicated int8 ones anyway.
+        raise SystemExit("--use_8bit_adam cannot combine with --fsdp/--tp: "
+                         "the fused int8 update kernel is not partitionable "
+                         "over sharded state (FSDP alone already shards the "
+                         "fp32 moments)")
     common.maybe_init_distributed()
     from sdbc_tpu.data.dataset import DatasetConfig, GoodreadsDataset, make_dataloader
     from sdbc_tpu.diffusion.pipeline import SDPipeline

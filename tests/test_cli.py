@@ -189,3 +189,14 @@ def test_summarize_forced_errors_without_inputs(tmp_path):
         inference.main(base + ["--summarize"])
     with pytest.raises(SystemExit, match="include_desc"):
         inference.main(base + ["--summarize", "--no-include_desc"])
+
+
+def test_sharded_state_rejects_8bit_adam(tmp_path):
+    """--use_8bit_adam + --fsdp/--tp must error up front: the fused int8
+    Pallas update kernel cannot be partitioned over sharded state."""
+    from sdbc_tpu.cli import finetune
+
+    for extra in (["--fsdp"], ["--tp", "2"]):
+        with pytest.raises(SystemExit, match="8bit"):
+            finetune.main(["--tiny", "--data_root", str(tmp_path),
+                           "--use_8bit_adam"] + extra)
