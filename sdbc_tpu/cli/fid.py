@@ -5,6 +5,7 @@
 from __future__ import annotations
 
 import argparse
+import os
 
 from sdbc_tpu.cli import common
 
@@ -21,8 +22,6 @@ def main(argv=None):
                         "SDBC_INCEPTION_WEIGHTS (docs/REAL_WEIGHTS.md)")
     common.bool_flag(p, "tiny", False, "tiny Inception config (tests)")
     args = p.parse_args(argv)
-
-    import os
 
     if args.inception_weights:
         os.environ["SDBC_INCEPTION_WEIGHTS"] = args.inception_weights

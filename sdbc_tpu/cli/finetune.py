@@ -102,6 +102,7 @@ def main(argv=None):
     common.maybe_init_distributed()
     from sdbc_tpu.data.dataset import DatasetConfig, GoodreadsDataset, make_dataloader
     from sdbc_tpu.diffusion.pipeline import SDPipeline
+    from sdbc_tpu.parallel import specs as spec_mod
     from sdbc_tpu.parallel.mesh import MeshConfig, make_mesh, replicate_tree
     from sdbc_tpu.train.trainer import (
         TrainConfig, init_train_state, make_train_step, merged_params)
@@ -126,8 +127,6 @@ def main(argv=None):
     mesh = make_mesh(MeshConfig(model=args.tp))
     dp = mesh.shape["data"]
     if args.tp > 1:
-        from sdbc_tpu.parallel import specs as spec_mod
-
         spec_mod.validate_tp(cfg, args.tp)
     micro_global = args.batch_size * dp
     global_batch = micro_global * args.grad_acc_steps
@@ -180,8 +179,6 @@ def main(argv=None):
         latents_mm = lc.open_latent_cache(cache_path)
 
     if args.tp > 1 or args.fsdp:
-        from sdbc_tpu.parallel import specs as spec_mod
-
         base = spec_mod.tp_specs(state, mesh) if args.tp > 1 else None
         sp = (spec_mod.fsdp_specs(state, mesh, base=base) if args.fsdp
               else base)

@@ -175,11 +175,7 @@ def _init_transformer(key, dim, ctx_dim, heads):
 
 def _transformer(p, x, ctx, heads, groups, attn_impl="auto"):
     """Spatial transformer: self-attn → cross-attn(CLIP ctx) → GEGLU FF."""
-    n, h, w, c = x.shape
-    res_spatial = x
-    y = nn.group_norm(p["norm"], x, groups, eps=1e-6)
-    y = nn.conv2d(p["proj_in"], y).reshape(n, h * w, c)
-
+    y = _tfm_in(p, x, groups)
     yn = nn.layer_norm(p["ln1"], y)
     y = y + _mha(p["attn1"], yn, yn, heads, attn_impl)
     y = y + _mha(p["attn2"], nn.layer_norm(p["ln2"], y), ctx, heads, attn_impl)
@@ -188,13 +184,8 @@ def _transformer(p, x, ctx, heads, groups, attn_impl="auto"):
         # residual in one Pallas pass (hidden stays in VMEM; see ops/geglu_ff)
         y = geglu_ff_mod.geglu_ff(y, p["ln3"], p["geglu"], p["ff_out"])
     else:
-        z = nn.linear(p["geglu"], nn.layer_norm(p["ln3"], y))
-        val, gate = jnp.split(z, 2, axis=-1)
-        # exact erf GELU (torch F.gelu default) — NOT jax's tanh approximation
-        y = y + nn.linear(p["ff_out"], val * jax.nn.gelu(gate, approximate=False))
-
-    y = nn.conv2d(p["proj_out"], y.reshape(n, h, w, c))
-    return y + res_spatial
+        y = _tfm_ff(p, y)
+    return _tfm_out(p, y, x)
 
 
 def _tfm_in(p, x, groups):

@@ -69,14 +69,14 @@ _TP_RULES = (
     (r"mlp/fc1/b$", ("model",)),
     (r"mlp/fc2/w$", ("model", None)),
     # UNet ResBlock: conv1/temb column over cout, GN affine follows,
-    # conv2 row over cin
-    (r"resnets?/\d+/conv1/w$|resnet[12]/conv1/w$", (None, None, None, "model")),
-    (r"resnets?/\d+/conv1/b$|resnet[12]/conv1/b$", ("model",)),
-    (r"resnets?/\d+/temb/w$|resnet[12]/temb/w$", (None, "model")),
-    (r"resnets?/\d+/temb/b$|resnet[12]/temb/b$", ("model",)),
-    (r"resnets?/\d+/norm2/(scale|bias)$|resnet[12]/norm2/(scale|bias)$",
-     ("model",)),
-    (r"resnets?/\d+/conv2/w$|resnet[12]/conv2/w$", (None, None, "model", None)),
+    # conv2 row over cin.  "resnet(s/<i>|1|2)" covers both the block lists
+    # (down/up "resnets/0") and the mid block ("resnet1"/"resnet2").
+    (r"resnet(s/\d+|[12])/conv1/w$", (None, None, None, "model")),
+    (r"resnet(s/\d+|[12])/conv1/b$", ("model",)),
+    (r"resnet(s/\d+|[12])/temb/w$", (None, "model")),
+    (r"resnet(s/\d+|[12])/temb/b$", ("model",)),
+    (r"resnet(s/\d+|[12])/norm2/(scale|bias)$", ("model",)),
+    (r"resnet(s/\d+|[12])/conv2/w$", (None, None, "model", None)),
 )
 
 # components whose interior the TP rules may shard; anything else (vae,
