@@ -306,3 +306,16 @@ def test_spatially_sharded_vae_decode(tiny_cfg, tiny_params):
     psh = jax.device_put(tiny_params["vae"], NamedSharding(mesh, P()))
     out = dec(psh, zsh)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_validate_tp_sd15_envelope():
+    """Document the SD-1.5 TP envelope: m=2,4 fit (UNet heads 8, CLIP heads
+    12, norm_groups 32); m=8 is rejected by CLIP's 12 heads."""
+    from sdbc_tpu.diffusion.pipeline import PipelineConfig
+    from sdbc_tpu.parallel.specs import validate_tp
+
+    cfg = PipelineConfig.sd15()
+    validate_tp(cfg, 2)
+    validate_tp(cfg, 4)
+    with pytest.raises(ValueError, match="CLIP"):
+        validate_tp(cfg, 8)
