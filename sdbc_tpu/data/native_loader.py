@@ -14,12 +14,31 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 
-_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.dirname(os.path.abspath(__file__)))), "native")
+_PKG_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_NATIVE_DIR = os.path.join(os.path.dirname(_PKG_DIR), "native")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libsdbc_loader.so")
 
 _lib = None
 _lib_lock = threading.Lock()
+
+
+def _find_lib() -> Optional[str]:
+    """Search order: SDBC_NATIVE_LIB env → installed package copy
+    (sdbc_tpu/_native/, placed there by setup.py) → repo-layout native/
+    (auto-built via make on first use)."""
+    env = os.environ.get("SDBC_NATIVE_LIB")
+    if env:
+        return env if os.path.exists(env) else None
+    installed = os.path.join(_PKG_DIR, "_native", "libsdbc_loader.so")
+    if os.path.exists(installed):
+        return installed
+    if not os.path.exists(_LIB_PATH) and os.path.isdir(_NATIVE_DIR):
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR, "-s"], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            return None
+    return _LIB_PATH if os.path.exists(_LIB_PATH) else None
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -27,14 +46,11 @@ def _load() -> Optional[ctypes.CDLL]:
     with _lib_lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_LIB_PATH):
-            try:
-                subprocess.run(["make", "-C", _NATIVE_DIR, "-s"], check=True,
-                               capture_output=True, timeout=120)
-            except Exception:
-                return None
+        path = _find_lib()
+        if path is None:
+            return None
         try:
-            lib = ctypes.CDLL(_LIB_PATH)
+            lib = ctypes.CDLL(path)
         except OSError:
             return None
         lib.sdbc_decode_batch.restype = ctypes.c_int

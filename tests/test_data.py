@@ -152,6 +152,29 @@ def test_native_loader_matches_pil(data_root):
     assert not nl.probe(os.path.join(data_root, "df_train.csv"))
 
 
+def test_native_lib_search_order(monkeypatch, tmp_path):
+    """SDBC_NATIVE_LIB overrides; installed package copy beats repo native/."""
+    from sdbc_tpu.data import native_loader as nl
+
+    # env override: honored when it exists, None (no fallback) when it doesn't
+    fake = tmp_path / "lib.so"
+    fake.write_bytes(b"")
+    monkeypatch.setenv("SDBC_NATIVE_LIB", str(fake))
+    assert nl._find_lib() == str(fake)
+    monkeypatch.setenv("SDBC_NATIVE_LIB", str(tmp_path / "missing.so"))
+    assert nl._find_lib() is None
+    monkeypatch.delenv("SDBC_NATIVE_LIB")
+
+    # installed-package copy (sdbc_tpu/_native/, from setup.py) wins over
+    # the repo-layout auto-build path
+    pkg = tmp_path / "pkgroot" / "sdbc_tpu"
+    (pkg / "_native").mkdir(parents=True)
+    installed = pkg / "_native" / "libsdbc_loader.so"
+    installed.write_bytes(b"")
+    monkeypatch.setattr(nl, "_PKG_DIR", str(pkg))
+    assert nl._find_lib() == str(installed)
+
+
 def test_dataloader_native_flag(data_root):
     from sdbc_tpu.data.dataset import DatasetConfig, GoodreadsDataset, make_dataloader
     from sdbc_tpu.data.tokenizer import CLIPTokenizer
