@@ -59,6 +59,22 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
     bool_flag(p, "bf16", True, "bfloat16 compute")
 
 
+def add_img_size_arg(p):
+    p.add_argument("--img_size", type=int, default=None,
+                   help="image side in pixels (default 512; 32 with --tiny)")
+
+
+def resolve_img_size(args):
+    """Default --img_size against --tiny AFTER parsing.
+
+    The tiny VAE only downsamples 2x (vs SD's 8x), so --tiny at the full
+    512 default would build a 256x256-latent graph whose self-attention
+    allocates hundreds of GB — never what a --tiny caller wants.
+    """
+    if args.img_size is None:
+        args.img_size = 32 if getattr(args, "tiny", False) else 512
+
+
 def make_tokenizer(args, vocab_size: int):
     from sdbc_tpu.data.tokenizer import CLIPTokenizer
 

@@ -15,13 +15,14 @@ def main(argv=None):
     p.add_argument("paths", type=str, nargs=2,
                    help="two image dirs or .npz stats files")
     p.add_argument("--batch_size", type=int, default=50)
-    p.add_argument("--img_size", type=int, default=512)
+    common.add_img_size_arg(p)
     p.add_argument("--inception_weights", type=str, default="",
                    help="pt_inception-2015-12-05*.pth (pytorch-fid) or "
                         "ported .npz — same resolution as "
                         "SDBC_INCEPTION_WEIGHTS (docs/REAL_WEIGHTS.md)")
     common.bool_flag(p, "tiny", False, "tiny Inception config (tests)")
     args = p.parse_args(argv)
+    common.resolve_img_size(args)
 
     if args.inception_weights:
         os.environ["SDBC_INCEPTION_WEIGHTS"] = args.inception_weights

@@ -38,7 +38,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="per-device micro batch")
     p.add_argument("--grad_acc_steps", type=int, default=16)
     p.add_argument("--data_root", type=str, default="./")
-    p.add_argument("--img_size", type=int, default=512)
+    common.add_img_size_arg(p)
     p.add_argument("--legible_text_prob", type=float, default=0.1)
     p.add_argument("--num_workers", type=int, default=4)
     p.add_argument("--wandb_key", type=str, default="")
@@ -89,6 +89,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    common.resolve_img_size(args)
     if (args.fsdp or args.tp > 1) and args.use_8bit_adam:
         # the fused int8 update kernel (train/adam8bit.py) is a pallas_call —
         # the SPMD partitioner cannot split it over sharded params/moments

@@ -30,7 +30,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="generation batch (reference: max 4 on a 16GB GPU)")
     p.add_argument("--num_imgs", type=int, default=4000)
     p.add_argument("--save_dir", type=str, default="./generated")
-    p.add_argument("--img_size", type=int, default=512)
+    common.add_img_size_arg(p)
     p.add_argument("--num_inference_steps", type=int, default=50,
                    help="50-step DDIM is the reference-exact protocol; the "
                         "recommended fast serving profile is --scheduler dpm "
@@ -95,6 +95,7 @@ def _build_summarizer(args, ctx_len: int):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    common.resolve_img_size(args)
     from sdbc_tpu.diffusion.pipeline import SDPipeline
 
     params, cfg = common.resolve_params_cfg(args)

@@ -21,7 +21,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_root", type=str, default="./")
     p.add_argument("--csv_name", type=str, default="df_test.csv")
     p.add_argument("--num_imgs", type=int, default=4000)
-    p.add_argument("--img_size", type=int, default=512)
+    common.add_img_size_arg(p)
     p.add_argument("--batch_size", type=int, default=100)
     p.add_argument("--out", type=str, default="./fid_stats.npz")
     common.bool_flag(p, "tiny", False, "tiny Inception config (tests)")
@@ -30,6 +30,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    common.resolve_img_size(args)
     import pandas as pd
 
     from sdbc_tpu.eval.fid import activation_statistics_from_files, default_params

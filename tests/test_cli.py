@@ -165,6 +165,21 @@ def test_grad_ckpt_tristate_parser():
     assert p.parse_args(["--remat_mode", "selective"]).remat_mode == "selective"
 
 
+def test_img_size_defaults_against_tiny():
+    """--tiny without --img_size must resolve to 32: the tiny VAE only
+    downsamples 2x, so the full 512 default would build a 256x256-latent
+    attention graph (hundreds of GB)."""
+    from sdbc_tpu.cli import common
+    from sdbc_tpu.cli.finetune import build_parser
+
+    p = build_parser()
+    for argv, want in ([], 512), (["--tiny"], 32), \
+                      (["--tiny", "--img_size", "64"], 64):
+        a = p.parse_args(argv)
+        common.resolve_img_size(a)
+        assert a.img_size == want, (argv, a.img_size)
+
+
 def test_tp_fsdp_parser():
     from sdbc_tpu.cli.finetune import build_parser
 
