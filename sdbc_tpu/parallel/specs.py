@@ -35,8 +35,9 @@ first dimension divisible by n that is not already carrying ``model``; XLA
 all-gathers parameters at use and reduce-scatters gradients.  Applied to a
 whole TrainState this also shards the fp32 Adam moments — the dominant
 training-memory term (suffix matching maps ``mu/unet/.../q/w`` onto the same
-rule as the parameter; blockwise-int8 adam8bit leaves fall back to
-replicated via the shape check).
+rule as the parameter).  Blockwise-int8 adam8bit state is REJECTED outright:
+its fused update kernel is an opaque ``pallas_call`` the SPMD partitioner
+cannot split (see ``_reject_int8_state``).
 
 Divisibility is validated per leaf: any rule whose ``model`` dim does not
 divide evenly falls back to replicated — correctness never depends on the
@@ -116,6 +117,25 @@ def _tp_spec_for(path: str, shape, m: int) -> Optional[tuple]:
     return None
 
 
+def _reject_int8_state(tree, what: str) -> None:
+    """Refuse TP/FSDP over blockwise-int8 (adam8bit) optimizer state.
+
+    The fused int8 moment update (train/adam8bit.py) is a single opaque
+    pallas_call: the SPMD partitioner can't split it, so sharding its
+    operands would force a full re-gather per step — or fail to compile.
+    The finetune CLI refuses --use_8bit_adam with --tp/--fsdp up front;
+    this guard covers library callers that build the state directly.
+    """
+    if any(str(getattr(l, "dtype", "")) == "int8"
+           for l in jax.tree.leaves(tree)):
+        raise ValueError(
+            f"{what} cannot shard blockwise-int8 (adam8bit) optimizer "
+            "state: the fused update kernel is an unpartitionable "
+            "pallas_call. Use the standard fp32 AdamW (use_8bit_adam=False) "
+            "with TP/FSDP — FSDP already removes the moment-memory "
+            "motivation for int8 moments.")
+
+
 def tp_specs(tree, mesh_or_size, *, component: Optional[str] = None):
     """PartitionSpec pytree assigning the ``model`` axis Megatron-style.
 
@@ -127,6 +147,8 @@ def tp_specs(tree, mesh_or_size, *, component: Optional[str] = None):
     """
     m = (mesh_or_size.shape["model"] if isinstance(mesh_or_size, Mesh)
          else int(mesh_or_size))
+    if m > 1:
+        _reject_int8_state(tree, "tp_specs")
 
     def leaf_spec(path, leaf):
         p = _path_str(path)
@@ -149,6 +171,8 @@ def fsdp_specs(tree, mesh_or_size, *, base=None, min_size: int = 2 ** 12):
     """
     n = (mesh_or_size.shape["data"] if isinstance(mesh_or_size, Mesh)
          else int(mesh_or_size))
+    if n > 1:
+        _reject_int8_state(tree, "fsdp_specs")
 
     def merge(b, leaf):
         shape = getattr(leaf, "shape", ())

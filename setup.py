@@ -29,9 +29,16 @@ class BuildWithNative(build_py):
         cxx = os.environ.get("CXX", "g++")
         cmd = [cxx, "-O3", "-ffast-math", "-funroll-loops", "-fPIC",
                "-shared", "-std=c++17", "-o", out, src, "-ljpeg", "-lpthread"]
-        # -march=native only when building for the local host
-        if os.environ.get("SDBC_NATIVE_MARCH", "native"):
-            cmd.insert(1, f"-march={os.environ.get('SDBC_NATIVE_MARCH', 'native')}")
+        # -march defaults to the local host (fastest for install-from-source,
+        # the normal path).  CAUTION: the wheel is tagged py3-none-any, so a
+        # native-march wheel copied to an older CPU can SIGILL inside the
+        # loader — when building a wheel for distribution set
+        # SDBC_NATIVE_MARCH to a portable level (e.g. x86-64-v2) or disable
+        # the flag entirely with SDBC_NATIVE_MARCH=off (accepted disablers:
+        # '', '0', 'off', 'none', 'false').
+        march = os.environ.get("SDBC_NATIVE_MARCH", "native").strip().lower()
+        if march not in ("", "0", "off", "none", "false"):
+            cmd.insert(1, f"-march={march}")
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=300)
             print(f"built native loader -> {out}")

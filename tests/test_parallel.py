@@ -169,6 +169,31 @@ def test_tp_spec_rules(tiny_cfg, tiny_params):
         S.validate_tp(tiny_cfg, 3)  # heads=4 not divisible by 3
 
 
+def test_specs_reject_int8_adam_state(tiny_params, monkeypatch):
+    """TP/FSDP specs refuse adam8bit state at the library layer, not only
+    in the CLI: the fused int8 update is an unpartitionable pallas_call."""
+    from sdbc_tpu.parallel import specs as S
+    from sdbc_tpu.train import adam8bit
+    from sdbc_tpu.train.trainer import TrainConfig, init_train_state
+
+    # tiny params are all below the real 16384 threshold
+    orig = adam8bit.adamw8bit
+    monkeypatch.setattr(
+        adam8bit, "adamw8bit",
+        lambda *a, **k: orig(*a, **{**k, "min_8bit_size": 1}))
+    state = init_train_state(
+        tiny_params, TrainConfig(train_text_encoder=True, use_8bit_adam=True,
+                                 num_examples=8), dp_size=1)
+    assert any(str(l.dtype) == "int8" for l in jax.tree.leaves(state))
+    with pytest.raises(ValueError, match="int8"):
+        S.tp_specs(state, 2)
+    with pytest.raises(ValueError, match="int8"):
+        S.fsdp_specs(state, 2)
+    # size-1 axes are no-ops, not errors
+    S.tp_specs(state, 1)
+    S.fsdp_specs(state, 1)
+
+
 def test_tp_sampling_matches_replicated(tiny_cfg, tiny_params):
     """2-way tensor-parallel sampling (params model-sharded, batch
     data-sharded) must reproduce the replicated result — XLA's SPMD
