@@ -127,8 +127,12 @@ def main(argv=None):
 
     mesh = make_mesh(MeshConfig(model=args.tp))
     dp = mesh.shape["data"]
+    tp_exclude = ()
     if args.tp > 1:
-        spec_mod.validate_tp(cfg, args.tp)
+        tp_exclude = spec_mod.validate_tp(cfg, args.tp)
+        if tp_exclude:
+            print(f"TP{args.tp}: replicating {', '.join(tp_exclude)} "
+                  "(head count not divisible; the UNet still shards)")
     micro_global = args.batch_size * dp
     global_batch = micro_global * args.grad_acc_steps
     if len(ds) < global_batch:
@@ -180,7 +184,8 @@ def main(argv=None):
         latents_mm = lc.open_latent_cache(cache_path)
 
     if args.tp > 1 or args.fsdp:
-        base = spec_mod.tp_specs(state, mesh) if args.tp > 1 else None
+        base = (spec_mod.tp_specs(state, mesh, exclude=tp_exclude)
+                if args.tp > 1 else None)
         sp = (spec_mod.fsdp_specs(state, mesh, base=base) if args.fsdp
               else base)
         state = spec_mod.shard_tree(state, mesh, sp)

@@ -318,9 +318,10 @@ class SDPipeline:
             from sdbc_tpu.parallel import specs as spec_mod
 
             if mesh.shape.get("model", 1) > 1:
-                spec_mod.validate_tp(cfg, mesh.shape["model"])
-                params = spec_mod.shard_tree(params, mesh,
-                                             spec_mod.tp_specs(params, mesh))
+                excl = spec_mod.validate_tp(cfg, mesh.shape["model"])
+                params = spec_mod.shard_tree(
+                    params, mesh, spec_mod.tp_specs(params, mesh,
+                                                    exclude=excl))
                 # the Pallas inference kernel is opaque to the SPMD
                 # partitioner; the XLA attention path splits over heads
                 self._attn_impl = "xla"

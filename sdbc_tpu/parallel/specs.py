@@ -136,7 +136,8 @@ def _reject_int8_state(tree, what: str) -> None:
             "motivation for int8 moments.")
 
 
-def tp_specs(tree, mesh_or_size, *, component: Optional[str] = None):
+def tp_specs(tree, mesh_or_size, *, component: Optional[str] = None,
+             exclude: tuple = ()):
     """PartitionSpec pytree assigning the ``model`` axis Megatron-style.
 
     ``tree`` may be a params dict ({"unet": ..., "text_encoder": ..., ...}),
@@ -144,6 +145,9 @@ def tp_specs(tree, mesh_or_size, *, component: Optional[str] = None):
     apply), or a whole TrainState (opt-state moments pick up the parameter
     rules by path suffix).  Leaves not matching any rule — and any leaf
     whose dims don't divide by the axis size — are replicated, P().
+    ``exclude`` names components to replicate wholesale (from
+    ``validate_tp``, e.g. a text encoder whose head count doesn't divide
+    the axis).
     """
     m = (mesh_or_size.shape["model"] if isinstance(mesh_or_size, Mesh)
          else int(mesh_or_size))
@@ -154,6 +158,8 @@ def tp_specs(tree, mesh_or_size, *, component: Optional[str] = None):
         p = _path_str(path)
         if component is not None:
             p = f"{component}/{p}"
+        if any(f"/{c}/" in f"/{p}/" for c in exclude):
+            return P()
         shape = getattr(leaf, "shape", ())
         tpl = _tp_spec_for(p, shape, m)
         return P() if tpl is None else P(*tpl)
@@ -206,18 +212,25 @@ def shard_tree(tree, mesh: Mesh, specs):
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, specs)
 
 
-def validate_tp(cfg, m: int) -> None:
-    """Fail fast on architecture/mesh mismatches the per-leaf divisibility
-    check can't see (head splits, GroupNorm group alignment)."""
+def validate_tp(cfg, m: int) -> tuple:
+    """Check architecture/mesh alignment the per-leaf divisibility check
+    can't see (head splits, GroupNorm group alignment).
+
+    Raises when the UNet — the component TP exists for (~90% of sampling
+    FLOPs) — can't shard cleanly.  A misaligned text encoder is NOT an
+    error: it returns ``("text_encoder",)`` so callers pass it to
+    ``tp_specs(exclude=...)`` and replicate CLIP instead (e.g. SD-1.5 at
+    m=8: UNet heads 8 shard, CLIP heads 12 don't — CLIP replicates).
+    Returns the tuple of component names to exclude (possibly empty).
+    """
     if m <= 1:
-        return
+        return ()
     u, c = cfg.unet, cfg.clip
     if u.attention_heads % m:
         raise ValueError(f"model axis {m} must divide UNet attention_heads "
                          f"{u.attention_heads}")
-    if c.heads % m:
-        raise ValueError(f"model axis {m} must divide CLIP heads {c.heads}")
     if u.norm_groups % m:
         raise ValueError(f"model axis {m} must divide UNet norm_groups "
                          f"{u.norm_groups} (keeps GroupNorm groups intact "
                          f"per shard)")
+    return ("text_encoder",) if c.heads % m else ()

@@ -223,6 +223,50 @@ def test_tp_sampling_matches_replicated(tiny_cfg, tiny_params):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
 
 
+def test_tp_excluded_clip_sampling_matches_replicated():
+    """When the model axis doesn't divide the CLIP head count, validate_tp
+    demotes the text encoder to replicated (exclude=) instead of refusing —
+    the UNet still shards, and sampling matches the replicated result.
+    This is the SD-1.5 m=8 envelope case (UNet heads 8, CLIP heads 12)."""
+    import dataclasses
+
+    from sdbc_tpu.diffusion.pipeline import PipelineConfig, sample
+    from sdbc_tpu.models import clip, unet, vae
+    from sdbc_tpu.parallel import specs as S
+
+    cfg = PipelineConfig.tiny()
+    cfg = dataclasses.replace(
+        cfg, clip=dataclasses.replace(cfg.clip, heads=2))  # 2 % 4 != 0
+    k1, k2, k3 = jax.random.split(jax.random.key(0), 3)
+    params = {"text_encoder": clip.init(k1, cfg.clip),
+              "unet": unet.init(k2, cfg.unet), "vae": vae.init(k3, cfg.vae)}
+
+    excl = S.validate_tp(cfg, 4)
+    assert excl == ("text_encoder",)
+    sp = S.tp_specs(params, 4, exclude=excl)
+    assert all(s == P() for s in jax.tree.leaves(
+        sp["text_encoder"], is_leaf=lambda x: isinstance(x, P)))
+    assert any(s != P() for s in jax.tree.leaves(
+        sp["unet"], is_leaf=lambda x: isinstance(x, P)))
+
+    b = 2
+    cond = jnp.ones((b, cfg.clip.ctx), jnp.int32)
+    uncond = jnp.zeros((b, cfg.clip.ctx), jnp.int32)
+    lat = jax.random.normal(jax.random.key(1), (b, 8, 8, 4), jnp.float32)
+    ref = sample(params, cond, uncond, lat, jax.random.key(0), 7.5,
+                 cfg=cfg, num_inference_steps=2, compute_dtype=jnp.float32)
+
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    tp_params = S.shard_tree(params, mesh,
+                             S.tp_specs(params, mesh, exclude=excl))
+    shard = lambda x: jax.device_put(
+        x, NamedSharding(mesh, P(*(("data",) + (None,) * (x.ndim - 1)))))
+    out = sample(tp_params, shard(cond), shard(uncond), shard(lat),
+                 jax.random.key(0), 7.5, cfg=cfg,
+                 num_inference_steps=2, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
 def test_tp_dp_train_step_matches_single_device(tiny_cfg, tiny_params):
     """One train step on a (data=4, model=2) mesh with TP-sharded state ==
     the single-device step: same loss, same post-update params."""
@@ -334,13 +378,16 @@ def test_spatially_sharded_vae_decode(tiny_cfg, tiny_params):
 
 
 def test_validate_tp_sd15_envelope():
-    """Document the SD-1.5 TP envelope: m=2,4 fit (UNet heads 8, CLIP heads
-    12, norm_groups 32); m=8 is rejected by CLIP's 12 heads."""
+    """Document the SD-1.5 TP envelope: m=2,4 shard everything (UNet heads
+    8, CLIP heads 12, norm_groups 32); at m=8 CLIP's 12 heads demote the
+    text encoder to replicated while the UNet still shards; m=16 is
+    rejected outright by the UNet's 8 heads."""
     from sdbc_tpu.diffusion.pipeline import PipelineConfig
     from sdbc_tpu.parallel.specs import validate_tp
 
     cfg = PipelineConfig.sd15()
-    validate_tp(cfg, 2)
-    validate_tp(cfg, 4)
-    with pytest.raises(ValueError, match="CLIP"):
-        validate_tp(cfg, 8)
+    assert validate_tp(cfg, 2) == ()
+    assert validate_tp(cfg, 4) == ()
+    assert validate_tp(cfg, 8) == ("text_encoder",)
+    with pytest.raises(ValueError, match="UNet"):
+        validate_tp(cfg, 16)
