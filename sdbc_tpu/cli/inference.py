@@ -58,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "weights Megatron-style over `model` "
                         "(parallel/specs.py); attention switches to the "
                         "partitionable XLA path automatically with tp>1")
+    common.bool_flag(p, "spatial", False,
+                     "with --tp: shard latent image ROWS over the `data` "
+                     "axis instead of the batch — the batch-1-latency "
+                     "decomposition (diffusion/pipeline.py)")
     common.bool_flag(p, "batch_generate", True)
     # tri-state: unset → auto (default mode runs the reference's full
     # 3-config matrix, skipping configs whose inputs are unavailable);
@@ -105,8 +109,11 @@ def main(argv=None):
         from sdbc_tpu.parallel.mesh import MeshConfig, make_mesh
 
         mesh = make_mesh(MeshConfig(model=args.tp))
+    elif args.spatial:
+        raise SystemExit("--spatial requires --tp (it lays the mesh; "
+                         "use --tp 1 for pure row sharding)")
     pipe = SDPipeline(params, cfg, tok, compute_dtype=common.compute_dtype(args),
-                      mesh=mesh)
+                      mesh=mesh, spatial=args.spatial)
 
     save_dir = os.path.join(args.save_dir, f"{args.run_id} inference")
     os.makedirs(save_dir, exist_ok=True)

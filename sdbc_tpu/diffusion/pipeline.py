@@ -305,15 +305,28 @@ class SDPipeline:
     """
 
     def __init__(self, params, cfg: PipelineConfig, tokenizer,
-                 compute_dtype=jnp.bfloat16, mesh=None):
+                 compute_dtype=jnp.bfloat16, mesh=None, spatial=False):
         """``mesh``: optional jax.sharding.Mesh for multi-chip serving.  The
         batch shards over its ``data`` axis; a ``model`` axis > 1 additionally
         shards the weights Megatron-style (parallel/specs.py) so one sample
         batch spans chips — XLA inserts the collectives.  With a model axis
         the UNet attention automatically uses the XLA path (partitions over
         heads); the Pallas kernels are opaque to the SPMD partitioner.
+
+        ``spatial``: shard the latent IMAGE ROWS over the ``data`` axis
+        instead of the batch — the batch-1-latency decomposition (a lone
+        CFG pair can't fill a data axis).  The UNet/VAE run unmodified;
+        GSPMD inserts the conv halo exchanges, cross-shard GroupNorm
+        stats, and attention gathers (equivalence-tested on the 8-device
+        mesh).  Best when latent rows (height/8) divide the axis; composes
+        with a ``model`` axis (rows x heads).
         """
         self._attn_impl = "inference"
+        self.spatial = bool(spatial) and mesh is not None
+        if self.spatial:
+            # pallas kernels are opaque to the SPMD partitioner: the XLA
+            # attention path lets the row sharding flow through
+            self._attn_impl = "xla"
         if mesh is not None:
             from sdbc_tpu.parallel import specs as spec_mod
 
@@ -352,10 +365,11 @@ class SDPipeline:
         # pad ragged batches up to a bucket: one compiled graph per bucket
         # instead of one per distinct batch size (single-jit discipline)
         bucket = next((s for s in self.BATCH_BUCKETS if s >= b), b)
-        if self.mesh is not None:
+        if self.mesh is not None and not self.spatial:
             # round the bucket up to a multiple of the data axis so the
             # batch ALWAYS shards (a silent skip would quietly serve a
-            # multi-chip mesh at single-chip throughput)
+            # multi-chip mesh at single-chip throughput).  Spatial mode
+            # shards rows, not the batch — no rounding needed.
             n = self.mesh.shape["data"]
             bucket = -(-bucket // n) * n
         if bucket != b:
@@ -385,11 +399,20 @@ class SDPipeline:
                 reps = [latents[-1:]] * (len(prompts) - latents.shape[0])
                 latents = jnp.concatenate([latents] + reps, axis=0)
         if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
             from sdbc_tpu.parallel.mesh import data_sharding
 
-            put = lambda x: jax.device_put(
-                x, data_sharding(self.mesh, jnp.ndim(x)))
-            cond, uncond, latents = put(cond), put(uncond), put(latents)
+            if self.spatial:
+                # rows over `data`; batch/tokens replicated
+                rep = NamedSharding(self.mesh, PartitionSpec())
+                latents = jax.device_put(latents, NamedSharding(
+                    self.mesh, PartitionSpec(None, "data", None, None)))
+                cond = jax.device_put(cond, rep)
+                uncond = jax.device_put(uncond, rep)
+            else:
+                put = lambda x: jax.device_put(
+                    x, data_sharding(self.mesh, jnp.ndim(x)))
+                cond, uncond, latents = put(cond), put(uncond), put(latents)
         imgs = sample(self.params, cond, uncond, latents, sampler_key,
                       guidance_scale, cfg=self.cfg,
                       num_inference_steps=num_inference_steps,

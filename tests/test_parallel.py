@@ -377,6 +377,32 @@ def test_spatially_sharded_vae_decode(tiny_cfg, tiny_params):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+def test_spatial_pipeline_matches_unsharded(tiny_cfg, tiny_params):
+    """SDPipeline(mesh=..., spatial=True): a BATCH-1 prompt runs with the
+    latent rows sharded over all 8 devices (the batch-1-latency
+    decomposition — a lone CFG pair can't fill a data axis) and matches
+    the single-device pipeline."""
+    from sdbc_tpu.data.tokenizer import CLIPTokenizer
+    from sdbc_tpu.diffusion.pipeline import SDPipeline
+
+    tok = CLIPTokenizer.fallback(tiny_cfg.clip.vocab_size)
+    kw = dict(height=32, width=32, num_inference_steps=2, seed=7)
+    ref_pipe = SDPipeline(tiny_params, tiny_cfg, tok,
+                          compute_dtype=jnp.float32)
+    # the unsharded reference must use the same attention impl the spatial
+    # path dispatches (the pallas kernel is opaque to the SPMD partitioner)
+    ref_pipe._attn_impl = "xla"
+    ref = ref_pipe("a book cover", **kw)
+
+    mesh = make_mesh(MeshConfig(data=8))
+    sp_pipe = SDPipeline(tiny_params, tiny_cfg, tok,
+                         compute_dtype=jnp.float32, mesh=mesh, spatial=True)
+    assert sp_pipe._attn_impl == "xla"
+    out = sp_pipe("a book cover", **kw)
+    assert out.shape == ref.shape == (1, 32, 32, 3)
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
 def test_validate_tp_sd15_envelope():
     """Document the SD-1.5 TP envelope: m=2,4 shard everything (UNet heads
     8, CLIP heads 12, norm_groups 32); at m=8 CLIP's 12 heads demote the
