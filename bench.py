@@ -16,10 +16,11 @@ import time
 import jax
 
 # the axon TPU plugin silently ignores the JAX_PLATFORMS env var; honor it
-# explicitly so `JAX_PLATFORMS=cpu python bench.py` really runs the CPU
+# explicitly (verbatim, preserving multi-platform fallback values like
+# "tpu,cpu") so `JAX_PLATFORMS=cpu python bench.py` really runs the CPU
 # smoke mode instead of claiming the chip (same fix as __graft_entry__.py)
-if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
-    jax.config.update("jax_platforms", "cpu")
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 import jax.numpy as jnp
 import numpy as np

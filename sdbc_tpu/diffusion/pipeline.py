@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import warnings
 from typing import Optional, Sequence
 
 import jax
@@ -305,13 +306,19 @@ class SDPipeline:
     """
 
     def __init__(self, params, cfg: PipelineConfig, tokenizer,
-                 compute_dtype=jnp.bfloat16, mesh=None, spatial=False):
+                 compute_dtype=jnp.bfloat16, mesh=None, spatial=False,
+                 attn_impl: Optional[str] = None):
         """``mesh``: optional jax.sharding.Mesh for multi-chip serving.  The
         batch shards over its ``data`` axis; a ``model`` axis > 1 additionally
         shards the weights Megatron-style (parallel/specs.py) so one sample
         batch spans chips — XLA inserts the collectives.  With a model axis
         the UNet attention automatically uses the XLA path (partitions over
         heads); the Pallas kernels are opaque to the SPMD partitioner.
+
+        ``attn_impl``: force an attention implementation ("inference",
+        "xla", ...; ops/attention.py) instead of the automatic dispatch
+        (Pallas fixed-cap kernel single-device, XLA under TP/spatial
+        sharding where a pallas_call is opaque to the partitioner).
 
         ``spatial``: shard the latent IMAGE ROWS over the ``data`` axis
         instead of the batch — the batch-1-latency decomposition (a lone
@@ -322,8 +329,17 @@ class SDPipeline:
         with a ``model`` axis (rows x heads).
         """
         self._attn_impl = "inference"
-        self.spatial = bool(spatial) and mesh is not None
+        self.spatial = bool(spatial)
         if self.spatial:
+            if mesh is None:
+                raise ValueError("spatial=True requires mesh= (there is no "
+                                 "axis to shard the rows over)")
+            if mesh.shape.get("data", 1) < 2:
+                raise ValueError(
+                    f"spatial=True needs a data axis >= 2 to shard rows "
+                    f"over; this mesh has data={mesh.shape.get('data', 1)} "
+                    "(e.g. --tp equals the device count) — drop spatial "
+                    "or lower tp")
             # pallas kernels are opaque to the SPMD partitioner: the XLA
             # attention path lets the row sharding flow through
             self._attn_impl = "xla"
@@ -342,6 +358,8 @@ class SDPipeline:
                 from sdbc_tpu.parallel.mesh import replicate_tree
 
                 params = replicate_tree(params, mesh)
+        if attn_impl is not None:
+            self._attn_impl = attn_impl
         self.mesh = mesh
         self.params = params
         self.cfg = cfg
@@ -399,14 +417,21 @@ class SDPipeline:
                 reps = [latents[-1:]] * (len(prompts) - latents.shape[0])
                 latents = jnp.concatenate([latents] + reps, axis=0)
         if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
-            from sdbc_tpu.parallel.mesh import data_sharding
+            from sdbc_tpu.parallel.mesh import (data_sharding, replicate,
+                                                spatial_sharding)
 
             if self.spatial:
                 # rows over `data`; batch/tokens replicated
-                rep = NamedSharding(self.mesh, PartitionSpec())
-                latents = jax.device_put(latents, NamedSharding(
-                    self.mesh, PartitionSpec(None, "data", None, None)))
+                n = self.mesh.shape["data"]
+                if latents.shape[1] % n:
+                    warnings.warn(
+                        f"spatial serving: {latents.shape[1]} latent rows "
+                        f"don't divide the data axis ({n}); trailing shards "
+                        "run partially empty — pick height so height/"
+                        f"{self.cfg.vae_scale} is a multiple of {n}")
+                rep = replicate(self.mesh)
+                latents = jax.device_put(latents,
+                                         spatial_sharding(self.mesh))
                 cond = jax.device_put(cond, rep)
                 uncond = jax.device_put(uncond, rep)
             else:

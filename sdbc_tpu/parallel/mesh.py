@@ -75,6 +75,16 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def spatial_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard NHWC image ROWS (dim 1) over the data axis; batch replicated.
+
+    The sequence-parallel serving layout (SDPipeline(spatial=True)): GSPMD
+    runs the unmodified UNet/VAE with conv halo exchanges, cross-shard
+    GroupNorm stats and attention gathers inserted automatically.
+    """
+    return NamedSharding(mesh, P(None, "data", None, None))
+
+
 def shard_batch(batch, mesh: Mesh):
     """Place a host batch pytree with batch-dim sharding over `data`."""
     return jax.tree.map(

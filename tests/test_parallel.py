@@ -387,11 +387,10 @@ def test_spatial_pipeline_matches_unsharded(tiny_cfg, tiny_params):
 
     tok = CLIPTokenizer.fallback(tiny_cfg.clip.vocab_size)
     kw = dict(height=32, width=32, num_inference_steps=2, seed=7)
-    ref_pipe = SDPipeline(tiny_params, tiny_cfg, tok,
-                          compute_dtype=jnp.float32)
-    # the unsharded reference must use the same attention impl the spatial
+    # the unsharded reference uses the same attention impl the spatial
     # path dispatches (the pallas kernel is opaque to the SPMD partitioner)
-    ref_pipe._attn_impl = "xla"
+    ref_pipe = SDPipeline(tiny_params, tiny_cfg, tok,
+                          compute_dtype=jnp.float32, attn_impl="xla")
     ref = ref_pipe("a book cover", **kw)
 
     mesh = make_mesh(MeshConfig(data=8))
@@ -401,6 +400,13 @@ def test_spatial_pipeline_matches_unsharded(tiny_cfg, tiny_params):
     out = sp_pipe("a book cover", **kw)
     assert out.shape == ref.shape == (1, 32, 32, 3)
     np.testing.assert_allclose(out, ref, atol=1e-4)
+
+    # loud misconfiguration: no mesh, or no data axis to shard rows over
+    with pytest.raises(ValueError, match="mesh"):
+        SDPipeline(tiny_params, tiny_cfg, tok, spatial=True)
+    with pytest.raises(ValueError, match="data axis"):
+        SDPipeline(tiny_params, tiny_cfg, tok, spatial=True,
+                   mesh=make_mesh(MeshConfig(data=1, model=8)))
 
 
 def test_validate_tp_sd15_envelope():
