@@ -190,6 +190,15 @@ def test_tp_fsdp_parser():
     assert d.tp == 1 and d.fsdp is False
 
 
+def test_spatial_requires_tp():
+    """--spatial without --tp must exit loudly (no mesh to shard rows over)."""
+    import sdbc_tpu.cli.inference as inf
+
+    with pytest.raises(SystemExit, match="--spatial requires --tp"):
+        inf.main(["--mode", "enter_prompt", "--prompt", "x", "--tiny",
+                  "--spatial"])
+
+
 def test_summarize_forced_errors_without_inputs(tmp_path):
     """Explicit --summarize FORCES the config: missing df_test.csv or a
     contradictory --no-include_desc must error, not silently skip
