@@ -13,6 +13,7 @@ import subprocess
 
 from setuptools import setup
 from setuptools.command.build_py import build_py
+from setuptools.dist import Distribution
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 
@@ -30,12 +31,13 @@ class BuildWithNative(build_py):
         cmd = [cxx, "-O3", "-ffast-math", "-funroll-loops", "-fPIC",
                "-shared", "-std=c++17", "-o", out, src, "-ljpeg", "-lpthread"]
         # -march defaults to the local host (fastest for install-from-source,
-        # the normal path).  CAUTION: the wheel is tagged py3-none-any, so a
-        # native-march wheel copied to an older CPU can SIGILL inside the
-        # loader — when building a wheel for distribution set
-        # SDBC_NATIVE_MARCH to a portable level (e.g. x86-64-v2) or disable
-        # the flag entirely with SDBC_NATIVE_MARCH=off (accepted disablers:
-        # '', '0', 'off', 'none', 'false').
+        # the normal path).  The wheel carries a platform tag
+        # (BinaryDistribution below), but that can't encode the micro-arch:
+        # a native-march wheel moved to an older same-platform CPU can still
+        # SIGILL inside the loader — when building a wheel for distribution
+        # set SDBC_NATIVE_MARCH to a portable level (e.g. x86-64-v2) or
+        # disable the flag entirely with SDBC_NATIVE_MARCH=off (accepted
+        # disablers: '', '0', 'off', 'none', 'false').
         march = os.environ.get("SDBC_NATIVE_MARCH", "native").strip().lower()
         if march not in ("", "0", "off", "none", "false"):
             cmd.insert(1, f"-march={march}")
@@ -51,4 +53,13 @@ class BuildWithNative(build_py):
                 shutil.rmtree(out_dir)
 
 
-setup(cmdclass={"build_py": BuildWithNative})
+class BinaryDistribution(Distribution):
+    """Force a platform wheel tag: the bundled .so is host-compiled, so a
+    py3-none-any tag would let pip install it onto an incompatible CPU
+    (ctypes loads fine, first call SIGILLs past the PIL fallback)."""
+
+    def has_ext_modules(self):
+        return True
+
+
+setup(cmdclass={"build_py": BuildWithNative}, distclass=BinaryDistribution)
