@@ -40,6 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--guidance_scale", type=float, default=7.5)
     p.add_argument("--fid_stats_path", type=str, default="./fid_stats.npz")
     p.add_argument("--prompt", type=str, default="")
+    p.add_argument("--negative_prompt", type=str, default="",
+                   help="CFG unconditional text (enter_prompt mode; "
+                        "diffusers StableDiffusionPipeline parameter)")
     p.add_argument("--samples_per_prompt", type=int, default=2)
     p.add_argument("--wandb_key", type=str, default="")
     p.add_argument("--bart_ckpt", type=str, default="",
@@ -125,7 +128,8 @@ def main(argv=None):
                     num_inference_steps=args.num_inference_steps,
                     guidance_scale=args.guidance_scale, seed=args.seed,
                     cache_interval=args.cache_interval,
-                    cache_tail=args.cache_tail)
+                    cache_tail=args.cache_tail,
+                    negative_prompt=args.negative_prompt or None)
         out = os.path.join(save_dir, f"{args.prompt[:64]}.png")
         pipe.numpy_to_pil(imgs)[0].save(out)
         print(f"saved {out}")

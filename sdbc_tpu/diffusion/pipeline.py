@@ -376,10 +376,21 @@ class SDPipeline:
                  num_inference_steps: int = 50, guidance_scale: float = 7.5,
                  latents: Optional[np.ndarray] = None, seed: int = 42,
                  decode: bool = True, cache_interval: int = 0,
-                 cache_tail: int = 0):
+                 cache_tail: int = 0, negative_prompt=None):
+        """``negative_prompt``: str or per-prompt list encoded as the CFG
+        unconditional branch instead of "" (the diffusers-0.7.2
+        StableDiffusionPipeline parameter the reference's engine exposes);
+        same compiled graph — only the uncond token ids change."""
         if isinstance(prompts, str):
             prompts = [prompts]
         b = len(prompts)
+        if negative_prompt is None:
+            negative_prompt = [""] * b
+        elif isinstance(negative_prompt, str):
+            negative_prompt = [negative_prompt] * b
+        elif len(negative_prompt) != b:
+            raise ValueError(f"{len(negative_prompt)} negative prompts for "
+                             f"{b} prompts")
         # pad ragged batches up to a bucket: one compiled graph per bucket
         # instead of one per distinct batch size (single-jit discipline)
         bucket = next((s for s in self.BATCH_BUCKETS if s >= b), b)
@@ -392,8 +403,9 @@ class SDPipeline:
             bucket = -(-bucket // n) * n
         if bucket != b:
             prompts = list(prompts) + [""] * (bucket - b)
+            negative_prompt = list(negative_prompt) + [""] * (bucket - b)
         cond = jnp.asarray(self.tokenize(prompts))
-        uncond = jnp.asarray(self.tokenize([""] * len(prompts)))
+        uncond = jnp.asarray(self.tokenize(negative_prompt))
         # independent streams for the initial latents and the (ddpm)
         # sampler: never reuse a consumed key.  The fixed-latent parity
         # path (latents given) keeps key(seed) for the sampler, matching

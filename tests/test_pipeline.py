@@ -142,3 +142,21 @@ def test_cache_interval_dpm(tiny_cfg, tiny_params):
     c = sample(tiny_params, ids, ids, lat, jax.random.key(0), 7.5, cfg=cfg,
                num_inference_steps=6, compute_dtype=jnp.float32)
     assert not np.allclose(np.asarray(a), np.asarray(c))
+
+
+def test_negative_prompt(pipe):
+    """negative_prompt swaps the CFG unconditional branch (the diffusers
+    StableDiffusionPipeline parameter): '' or None reproduce the default;
+    real text changes the output; per-prompt lists must match length."""
+    import pytest
+
+    kw = dict(height=32, width=32, num_inference_steps=2, seed=3)
+    base = pipe("a book cover", **kw)
+    same = pipe("a book cover", negative_prompt="", **kw)
+    np.testing.assert_array_equal(base, same)
+    neg = pipe("a book cover", negative_prompt="blurry, low quality", **kw)
+    assert not np.allclose(base, neg)
+    lst = pipe(["a book cover"], negative_prompt=["blurry, low quality"], **kw)
+    np.testing.assert_array_equal(neg, lst)
+    with pytest.raises(ValueError, match="negative prompts"):
+        pipe(["a", "b"], negative_prompt=["x"], **kw)
