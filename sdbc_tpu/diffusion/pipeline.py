@@ -376,11 +376,14 @@ class SDPipeline:
                  num_inference_steps: int = 50, guidance_scale: float = 7.5,
                  latents: Optional[np.ndarray] = None, seed: int = 42,
                  decode: bool = True, cache_interval: int = 0,
-                 cache_tail: int = 0, negative_prompt=None):
+                 cache_tail: int = 0, negative_prompt=None,
+                 num_images_per_prompt: int = 1):
         """``negative_prompt``: str or per-prompt list encoded as the CFG
         unconditional branch instead of "" (the diffusers-0.7.2
         StableDiffusionPipeline parameter the reference's engine exposes);
-        same compiled graph — only the uncond token ids change."""
+        same compiled graph — only the uncond token ids change.
+        ``num_images_per_prompt``: diffusers parameter — each prompt is
+        repeated n times with distinct initial latents (one seed stream)."""
         if isinstance(prompts, str):
             prompts = [prompts]
         b = len(prompts)
@@ -391,6 +394,15 @@ class SDPipeline:
         elif len(negative_prompt) != b:
             raise ValueError(f"{len(negative_prompt)} negative prompts for "
                              f"{b} prompts")
+        if num_images_per_prompt > 1:
+            rep = lambda xs: [x for x in xs for _ in
+                              range(num_images_per_prompt)]
+            prompts, negative_prompt = rep(prompts), rep(negative_prompt)
+            b = len(prompts)
+            if latents is not None and latents.shape[0] != b:
+                raise ValueError("explicit latents must be batched to "
+                                 "prompts*num_images_per_prompt (identical "
+                                 "latents would yield identical images)")
         # pad ragged batches up to a bucket: one compiled graph per bucket
         # instead of one per distinct batch size (single-jit discipline)
         bucket = next((s for s in self.BATCH_BUCKETS if s >= b), b)

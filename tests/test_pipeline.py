@@ -160,3 +160,20 @@ def test_negative_prompt(pipe):
     np.testing.assert_array_equal(neg, lst)
     with pytest.raises(ValueError, match="negative prompts"):
         pipe(["a", "b"], negative_prompt=["x"], **kw)
+
+
+def test_num_images_per_prompt(pipe):
+    """diffusers parameter: each prompt repeats n times with DISTINCT
+    initial latents from the one seed stream."""
+    import pytest
+
+    kw = dict(height=32, width=32, num_inference_steps=2, seed=3)
+    imgs = pipe("a book cover", num_images_per_prompt=2, **kw)
+    assert imgs.shape == (2, 32, 32, 3)
+    assert not np.allclose(imgs[0], imgs[1])
+    # deterministic for a fixed seed
+    again = pipe("a book cover", num_images_per_prompt=2, **kw)
+    np.testing.assert_array_equal(imgs, again)
+    with pytest.raises(ValueError, match="latents"):
+        pipe("a book cover", num_images_per_prompt=2,
+             latents=np.zeros((1, 8, 8, 4), np.float32), **kw)
