@@ -150,18 +150,32 @@ def ddim_timesteps(cfg: ScheduleConfig, num_inference_steps: int) -> jnp.ndarray
 
 
 def ddim_step(sched: Schedule, model_out, t, t_prev, x_t, eta: float = 0.0,
-              prediction_type: str = "epsilon"):
-    """Deterministic DDIM step (eta=0, the reference's inference setting).
+              prediction_type: str = "epsilon", noise=None):
+    """DDIM step; eta=0 (deterministic) is the reference's inference setting.
 
     t_prev < 0 selects final_alpha_cumprod (set_alpha_to_one=False semantics:
     ā_{-1} = ā_0 rather than 1).  model_out is interpreted per
     prediction_type (epsilon for SD-1.x, v_prediction for SD-2.x-style).
+
+    eta > 0 adds the diffusers-0.7.2 DDIM variance:
+    σ_t = η·sqrt((1-ā_prev)/(1-ā_t))·sqrt(1-ā_t/ā_prev) — at η=1 this is
+    exactly the DDPM posterior std — and requires ``noise`` (standard
+    normal, x_t-shaped).
     """
     a_prev = jnp.where(t_prev >= 0,
                        sched.alphas_cumprod[jnp.maximum(t_prev, 0)],
                        sched.final_alpha_cumprod)
     ef, x0 = to_eps_x0(sched, model_out, t, x_t, prediction_type)
     # clip_sample=False per reference → no clipping here
+    if eta > 0.0:
+        if noise is None:
+            raise ValueError("ddim_step with eta > 0 needs `noise`")
+        a_t = sched.alphas_cumprod[t]
+        var = (1.0 - a_prev) / (1.0 - a_t) * (1.0 - a_t / a_prev)
+        sigma = eta * jnp.sqrt(var)
+        dir_xt = jnp.sqrt(1.0 - a_prev - sigma ** 2) * ef
+        return (jnp.sqrt(a_prev) * x0 + dir_xt
+                + sigma * noise).astype(x_t.dtype)
     dir_xt = jnp.sqrt(1.0 - a_prev) * ef
     return (jnp.sqrt(a_prev) * x0 + dir_xt).astype(x_t.dtype)
 

@@ -265,3 +265,33 @@ def test_v_prediction_roundtrip():
                          prediction_type="v_prediction")
     np.testing.assert_allclose(np.asarray(step_v), np.asarray(step_eps),
                                atol=1e-4)
+
+
+def test_ddim_eta_variance():
+    """eta>0 adds the diffusers DDIM variance: at eta=1 sigma_t equals the
+    DDPM posterior std; eta=0 stays the deterministic path; eta>0 without
+    noise raises."""
+    import pytest
+
+    key = jax.random.key(0)
+    x_t = jax.random.normal(key, (1, 4, 4, 2))
+    eps = jax.random.normal(jax.random.key(1), x_t.shape)
+    t, t_prev = jnp.asarray(601), jnp.asarray(581)
+
+    det = S.ddim_step(SCHED, eps, t, t_prev, x_t)
+    # zero noise at eta=1: the deterministic part shrinks by sigma^2
+    z0 = S.ddim_step(SCHED, eps, t, t_prev, x_t, eta=1.0,
+                     noise=jnp.zeros_like(x_t))
+    a_t = float(SCHED.alphas_cumprod[601])
+    a_prev = float(SCHED.alphas_cumprod[581])
+    beta_tilde = (1 - a_prev) / (1 - a_t) * (1 - a_t / a_prev)
+    # reconstruct sigma from the two runs: with unit noise n=1s,
+    # step(eta=1, n) - step(eta=1, 0) == sigma * 1
+    ones = S.ddim_step(SCHED, eps, t, t_prev, x_t, eta=1.0,
+                       noise=jnp.ones_like(x_t))
+    sigma = float(jnp.mean(ones - z0))
+    np.testing.assert_allclose(sigma, np.sqrt(beta_tilde), rtol=1e-4)
+    # direction coefficient shrinks: sqrt(1-a_prev-sigma^2) < sqrt(1-a_prev)
+    assert not np.allclose(np.asarray(det), np.asarray(z0))
+    with pytest.raises(ValueError, match="noise"):
+        S.ddim_step(SCHED, eps, t, t_prev, x_t, eta=0.5)
