@@ -43,7 +43,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--negative_prompt", type=str, default="",
                    help="CFG unconditional text (enter_prompt mode; "
                         "diffusers StableDiffusionPipeline parameter)")
-    p.add_argument("--samples_per_prompt", type=int, default=2)
+    p.add_argument("--samples_per_prompt", type=int, default=None,
+                   help="images per prompt/template (grids default 2; "
+                        "enter_prompt defaults 1)")
     p.add_argument("--wandb_key", type=str, default="")
     p.add_argument("--bart_ckpt", type=str, default="",
                    help="transformers BART dir for --summarize (DistilBART)")
@@ -103,6 +105,8 @@ def _build_summarizer(args, ctx_len: int):
 def main(argv=None):
     args = build_parser().parse_args(argv)
     common.resolve_img_size(args)
+    if args.samples_per_prompt is None:
+        args.samples_per_prompt = 1 if args.mode == "enter_prompt" else 2
     from sdbc_tpu.diffusion.pipeline import SDPipeline
 
     params, cfg = common.resolve_params_cfg(args)
@@ -129,10 +133,14 @@ def main(argv=None):
                     guidance_scale=args.guidance_scale, seed=args.seed,
                     cache_interval=args.cache_interval,
                     cache_tail=args.cache_tail,
-                    negative_prompt=args.negative_prompt or None)
-        out = os.path.join(save_dir, f"{args.prompt[:64]}.png")
-        pipe.numpy_to_pil(imgs)[0].save(out)
-        print(f"saved {out}")
+                    negative_prompt=args.negative_prompt or None,
+                    num_images_per_prompt=args.samples_per_prompt)
+        pils = pipe.numpy_to_pil(imgs)
+        for i, im in enumerate(pils):
+            suffix = f"-{i}" if len(pils) > 1 else ""
+            out = os.path.join(save_dir, f"{args.prompt[:64]}{suffix}.png")
+            im.save(out)
+            print(f"saved {out}")
 
     elif args.mode == "calc_fid":
         import pandas as pd
