@@ -126,6 +126,29 @@ def test_resume_training(env, trained_ckpt):
                 if d.startswith("ckpt-")]) >= 2
 
 
+def test_tp_fsdp_train_checkpoint_resume(env):
+    """Sharded training is durable end-to-end: TP2+FSDP train -> orbax
+    checkpoint of the sharded state -> --resume continues on the mesh."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import sdbc_tpu.cli.finetune as ft
+
+    argv = ["--tiny", "--data_root", env["root"], "--img_size", "32",
+            "--epochs", "1", "--batch_size", "1", "--grad_acc_steps", "1",
+            "--num_examples", "8", "--train_text_encoder", "--no-bf16",
+            "--tp", "2", "--fsdp",
+            "--output_dir", env["out"], "--run_id", "tpresume"]
+    ft.main(argv)
+    run_dir = os.path.join(env["out"], "runs", "tpresume")
+    first = len([d for d in os.listdir(run_dir) if d.startswith("ckpt-")])
+    assert first >= 1
+    ft.main(argv + ["--resume", "--epochs", "2"])
+    assert len([d for d in os.listdir(run_dir)
+                if d.startswith("ckpt-")]) > first
+
+
 def test_preprocess_cli(tmp_path):
     import sdbc_tpu.cli.preprocess as pp
 
