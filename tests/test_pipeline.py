@@ -177,3 +177,13 @@ def test_num_images_per_prompt(pipe):
     with pytest.raises(ValueError, match="latents"):
         pipe("a book cover", num_images_per_prompt=2,
              latents=np.zeros((1, 8, 8, 4), np.float32), **kw)
+
+
+def test_rectangular_generation(pipe):
+    """Portrait/landscape shapes (book covers are 2:3) flow through the
+    UNet's up/down paths and rectangular-token attention — the reference
+    only ever generates square 512^2."""
+    imgs = pipe("a portrait book cover", height=48, width=32,
+                num_inference_steps=2)
+    assert imgs.shape == (1, 48, 32, 3)
+    assert np.isfinite(imgs).all()
