@@ -29,7 +29,19 @@ import numpy as np
 def main():
     from sdbc_tpu.utils.cache import enable_persistent_cache
     enable_persistent_cache()
-    on_tpu = jax.default_backend() == "tpu"
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except RuntimeError as e:
+        # chip tunnel outage (observed multi-hour UNAVAILABLE windows):
+        # emit a labeled error line instead of a bare stack trace so the
+        # recorded artifact is interpretable, then fail
+        print(json.dumps({
+            "metric": "images/sec/chip @ 512x512, 50-step DDIM, CFG, batch 4",
+            "value": 0, "unit": "images/sec/chip", "vs_baseline": 0,
+            "error": f"TPU backend unavailable: {e}",
+            "last_recorded": "experiments/bench_log.jsonl",
+        }))
+        raise
     from sdbc_tpu.diffusion.pipeline import PipelineConfig, sample
     from sdbc_tpu.models import clip, unet, vae
     from sdbc_tpu.utils.dtypes import cast_floating
