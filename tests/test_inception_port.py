@@ -99,7 +99,8 @@ def test_ported_forward_matches_and_torch_path(ref_tree, tmp_path):
     flat = _synthesize_state_dict(ref_tree)
     import torch
 
-    torch.save({k: torch.from_numpy(v) for k, v in flat.items()},
+    # np.copy: torch.from_numpy on a non-writable array warns
+    torch.save({k: torch.from_numpy(np.copy(v)) for k, v in flat.items()},
                tmp_path / "pt_inception-2015-12-05-test.pth")
     loaded = port.load_fid_inception(
         str(tmp_path / "pt_inception-2015-12-05-test.pth"))
