@@ -31,8 +31,10 @@ def main(argv=None):
     from sdbc_tpu.models.inception import InceptionConfig
 
     cfg = InceptionConfig.tiny() if args.tiny else InceptionConfig.fid()
+    # lazy: two .npz stats need no Inception weights (and no random-init
+    # warning) — params only resolve when an image dir must be featurized
     fid = calculate_fid_given_paths(
-        tuple(args.paths), params=default_params(cfg), cfg=cfg,
+        tuple(args.paths), params=lambda: default_params(cfg), cfg=cfg,
         batch_size=args.batch_size, image_size=args.img_size, verbose=True)
     print(f"FID: {fid:.4f}")
 

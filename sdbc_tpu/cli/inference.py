@@ -249,7 +249,11 @@ def main(argv=None):
                 batch_generate=args.batch_generate,
                 batch_size=args.batch_size,
                 save_dir=save_dir, seed=args.seed,
-                prompts_override=prompts_override)
+                prompts_override=prompts_override,
+                # keep native- and reference-bank grids from overwriting
+                # each other in a shared save_dir
+                name_suffix=("" if args.prompt_bank == "native"
+                             else f",bank={args.prompt_bank}"))
             print(f"grid saved: {path}")
 
 

@@ -31,10 +31,8 @@ from sdbc_tpu.models import inception as inception_mod
 # activations
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _features_masked(params, images, mask, cfg):
-    feats = inception_mod.features(params, images, cfg)
-    return feats, mask
+_features = functools.partial(jax.jit, static_argnames=("cfg",))(
+    inception_mod.features)
 
 
 def get_activations(images: np.ndarray, params,
@@ -43,7 +41,9 @@ def get_activations(images: np.ndarray, params,
     """images: (N, H, W, 3) RGB in [0, 255] → (N, 2048) pool3 features.
 
     Fixed-shape jitted batches; the final short batch is zero-padded and
-    masked out (one compiled graph, no remainder drop).
+    the pad rows sliced off (per-sample graph: one compile, no remainder
+    drop — the reference's remainder-batch bug, fid.py:91 `n_batches *
+    batch_size` truncation, not replicated).
     """
     cfg = cfg or inception_mod.InceptionConfig.fid()
     n = images.shape[0]
@@ -54,8 +54,7 @@ def get_activations(images: np.ndarray, params,
         if valid < batch_size:
             pad = np.zeros((batch_size - valid,) + chunk.shape[1:], chunk.dtype)
             chunk = np.concatenate([chunk, pad], axis=0)
-        feats, _ = _features_masked(params, jnp.asarray(chunk),
-                                    jnp.arange(batch_size) < valid, cfg)
+        feats = _features(params, jnp.asarray(chunk), cfg)
         out.append(np.asarray(feats)[:valid])
         if verbose:
             print(f"\rFID activations {start + valid}/{n}", end="", flush=True)
@@ -116,6 +115,10 @@ def activation_statistics_from_files(files, params, cfg=None,
     flush(batch)
     if verbose:
         print()
+    if count < 2:
+        raise ValueError(
+            f"need at least 2 images for FID statistics, got {count} "
+            "(check the data path / file extensions)")
     mu = s1 / count
     sigma = (s2 - count * np.outer(mu, mu)) / (count - 1)
     return mu.astype(np.float64), sigma.astype(np.float64)
@@ -168,19 +171,26 @@ def calculate_frechet_distance(mu1, sigma1, mu2, sigma2,
 # path handling + top-level API (reference fid.py:288-319)
 
 
+_IMG_EXTS = (".jpg", ".jpeg", ".png")
+
+
 def _list_images(path: str):
-    p = pathlib.Path(path)
-    return sorted(list(p.glob("*.jpg")) + list(p.glob("*.png")))
+    return sorted(p for p in pathlib.Path(path).iterdir()
+                  if p.suffix.lower() in _IMG_EXTS)
 
 
 def _handle_path(path: str, params, cfg=None, batch_size: int = 50,
                  image_size: int = 512, verbose: bool = False):
+    """params may be a callable (lazy: only resolved for image dirs —
+    two .npz stats need no Inception weights at all)."""
     if str(path).endswith(".npz"):
         with np.load(path) as f:
             return f["mu"][:], f["sigma"][:]
     files = _list_images(path)
     if not files:
         raise RuntimeError(f"no images found in {path}")
+    if callable(params):
+        params = params()
     return activation_statistics_from_files(files, params, cfg, batch_size,
                                             image_size, verbose)
 
@@ -188,13 +198,20 @@ def _handle_path(path: str, params, cfg=None, batch_size: int = 50,
 def calculate_fid_given_paths(paths: Tuple[str, str], params=None, cfg=None,
                               batch_size: int = 50, image_size: int = 512,
                               verbose: bool = False) -> float:
-    """FID between two paths (image dirs or precomputed .npz stats)."""
+    """FID between two paths (image dirs or precomputed .npz stats).
+
+    ``params`` may be a params tree or a zero-arg callable returning one
+    (resolved lazily, and only if an image dir is present — comparing two
+    precomputed .npz files never loads Inception weights or warns).
+    """
     for p in paths:
         if not os.path.exists(p):
             raise RuntimeError(f"Invalid path: {p}")
     if params is None:
         cfg = cfg or inception_mod.InceptionConfig.fid()
-        params = default_params(cfg)
+        params = functools.partial(default_params, cfg)
+    if callable(params):
+        params = functools.lru_cache(maxsize=1)(params)  # resolve once
     m1, s1 = _handle_path(paths[0], params, cfg, batch_size, image_size, verbose)
     m2, s2 = _handle_path(paths[1], params, cfg, batch_size, image_size, verbose)
     return calculate_frechet_distance(m1, s1, m2, s2)

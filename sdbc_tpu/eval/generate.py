@@ -24,9 +24,15 @@ def get_fid_images(pipeline, save_dir: str, df_test, *, num_imgs: int = 4000,
                    inference_steps: int = 50, guidance_scale: float = 7.5,
                    seed: int = 42, verbose: bool = True,
                    prompt_bank: str = "native") -> int:
-    """Generate up to num_imgs covers; returns the number generated this call."""
+    """Generate up to num_imgs covers; returns the number generated this call.
+
+    Raises RuntimeError if any batch failed: a partial image set would
+    silently bias the downstream FID (the caller scores whatever is in
+    save_dir).  Re-running resumes and retries only the missing rows.
+    """
     os.makedirs(save_dir, exist_ok=True)
-    already = len(os.listdir(save_dir))
+    # count .jpg only — calc_fid writes fid_score.txt into the same dir
+    already = len([f for f in os.listdir(save_dir) if f.endswith(".jpg")])
     if verbose and already:
         print(f"resuming: {already} images already in {save_dir}")
     rng = random.Random(seed + already)
@@ -35,6 +41,7 @@ def get_fid_images(pipeline, save_dir: str, df_test, *, num_imgs: int = 4000,
     todo = [idx for idx in rows
             if not os.path.exists(os.path.join(save_dir, f"{idx}.jpg"))]
     generated = 0
+    failed = []
     from PIL import Image
 
     for start in range(0, len(todo), batch_size):
@@ -64,9 +71,15 @@ def get_fid_images(pipeline, save_dir: str, df_test, *, num_imgs: int = 4000,
         except Exception:
             print(f"batch {batch_ids} failed:")
             traceback.print_exc()
+            failed.extend(batch_ids)
         if verbose:
             print(f"\rFID images {already + generated}/{num_imgs}",
                   end="", flush=True)
     if verbose:
         print()
+    if failed:
+        raise RuntimeError(
+            f"{len(failed)} of {len(todo)} FID images failed to generate "
+            f"(first: {failed[:4]}); scoring the partial set would bias "
+            "FID — re-run to retry the missing rows")
     return generated

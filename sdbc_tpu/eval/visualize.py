@@ -32,14 +32,18 @@ def visualize_prompts(pipeline, *, summarize: bool = False,
                       save_dir: Optional[str] = None,
                       seed: int = 42,
                       test_templates: Optional[List[str]] = None,
-                      prompts_override: Optional[List[str]] = None):
-    """Generate the qualitative-eval grid; returns (images, prompts).
+                      prompts_override: Optional[List[str]] = None,
+                      name_suffix: str = ""):
+    """Generate the qualitative-eval grid; returns (images, prompts, path)
+    — path is None when save_dir is unset.
 
-    summarize=True formats summary placeholders with a summarizer over the
-    provided descriptions (the reference's DistilBART path,
-    inference.py:292-318); otherwise the fixed test templates are used as-is.
-    prompts_override supplies a pre-rendered (template × sample) prompt list
-    (the --prompt_bank reference path) and bypasses the template expansion.
+    include_desc=True appends the description placeholder (summarized via
+    ``summarizer`` when summarize=True, RAW text otherwise — matching the
+    reference, inference.py:324-330); otherwise the fixed test templates
+    are used as-is.  prompts_override supplies a pre-rendered (template ×
+    sample) prompt list (the --prompt_bank reference path) and bypasses
+    the template expansion.  name_suffix distinguishes grid files that
+    share a flag configuration (e.g. different prompt banks).
     """
     if summarize and not include_desc:
         raise ValueError("summarize requires include_desc "
@@ -53,17 +57,25 @@ def visualize_prompts(pipeline, *, summarize: bool = False,
     else:
         prompts_base = list(test_templates or templates.TEST_TEMPLATES)
 
-        if summarize:
-            if summarizer is None or not descriptions:
-                raise ValueError(
-                    "summarize=True needs a summarizer and descriptions")
+        if include_desc:
+            # the reference appends the description placeholder whenever
+            # include_desc is set — summarized through DistilBART when
+            # summarize=True, RAW text otherwise (inference.py:324-330;
+            # its batch_generate=False fallback for the raw case is a
+            # torch ragged-batch artifact — the 77-token pad makes
+            # batching fine here)
+            if not descriptions:
+                raise ValueError("include_desc=True needs descriptions")
+            if summarize and summarizer is None:
+                raise ValueError("summarize=True needs a summarizer")
             placeholders = templates.padded_placeholders(len(prompts_base))
-            summaries = [summarizer(d, max_length=max_length) for d in
-                         descriptions[: len(prompts_base)]]
-            while len(summaries) < len(prompts_base):
-                summaries.append(summaries[-1])
+            descs = list(descriptions[: len(prompts_base)])
+            while len(descs) < len(prompts_base):
+                descs.append(descs[-1])
+            if summarize:
+                descs = [summarizer(d, max_length=max_length) for d in descs]
             prompts_base = [ph.format(summary=s)
-                            for ph, s in zip(placeholders, summaries)]
+                            for ph, s in zip(placeholders, descs)]
 
         prompts = [p for p in prompts_base for _ in range(samples_per_prompt)]
         n_rows = len(prompts_base)
@@ -86,7 +98,8 @@ def visualize_prompts(pipeline, *, summarize: bool = False,
     if save_dir:
         os.makedirs(save_dir, exist_ok=True)
         path = os.path.join(
-            save_dir, f"summerize={summarize},include_desc={include_desc}.png")
+            save_dir, f"summerize={summarize},include_desc={include_desc}"
+                      f"{name_suffix}.png")
         save_grid(images, prompts, path,
                   cols=samples_per_prompt, rows=n_rows)
         return images, prompts, path

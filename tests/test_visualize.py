@@ -55,3 +55,22 @@ def test_summarize_path(pipe):
         descriptions=["d1", "d2"], samples_per_prompt=1, img_size=32,
         inference_steps=2, test_templates=TT)
     assert any("a lost heirloom" in p for p in prompts)
+
+
+def test_include_desc_without_summarize_appends_raw_desc(pipe):
+    """The reference appends the RAW description when include_desc is set
+    without summarize (inference.py:324-330) — the (F,T) grid must not be
+    a silent duplicate of the (F,F) grid."""
+    plain, plain_prompts, _ = visualize_prompts(
+        pipe, samples_per_prompt=1, img_size=32, inference_steps=2,
+        test_templates=TT)
+    desc, desc_prompts, _ = visualize_prompts(
+        pipe, include_desc=True, descriptions=["raw desc one", "raw desc two"],
+        samples_per_prompt=1, img_size=32, inference_steps=2,
+        test_templates=TT)
+    assert any("raw desc one" in p for p in desc_prompts)
+    assert desc_prompts != plain_prompts
+    assert not np.allclose(plain, desc)
+    with pytest.raises(ValueError, match="descriptions"):
+        visualize_prompts(pipe, include_desc=True, samples_per_prompt=1,
+                          img_size=32, inference_steps=2, test_templates=TT)
