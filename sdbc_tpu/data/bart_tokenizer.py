@@ -181,7 +181,8 @@ class BartTokenizer:
 
     def decode(self, ids: Sequence[int],
                skip_special_tokens: bool = True) -> str:
-        special = {self.bos_id, self.pad_id, self.eos_id}
+        # HF's skip_special_tokens removes ALL special ids, including <unk>
+        special = {self.bos_id, self.pad_id, self.eos_id, self.unk_id}
         if self.hash_mode:
             return ""  # hash buckets are not invertible
         text = "".join(

@@ -157,8 +157,9 @@ def make_dataloader(dataset: GoodreadsDataset, micro_batch: int,
     the process-local visit count (required for multi-host determinism —
     see GoodreadsDataset.set_epoch).
     """
-    if epoch is not None:
-        dataset.set_epoch(epoch)
+    # unconditional: a later epoch=None loader must not silently replay a
+    # previously-set epoch's prompt draws
+    dataset.set_epoch(epoch if epoch is not None else 0)
     step = micro_batch * grad_accum
     order = list(range(len(dataset)))
     rng = random.Random(seed)
@@ -202,11 +203,10 @@ def make_dataloader(dataset: GoodreadsDataset, micro_batch: int,
             payload = {"pixel_values": native_loader.decode_batch(
                 paths, dataset.cfg.img_size, threads=num_workers)}
         else:
-            with cf.ThreadPoolExecutor(max_workers=num_workers) as ex:
-                pix = list(ex.map(
-                    lambda i: decode_and_prepare(dataset.image_path(i),
-                                                 dataset.cfg.img_size),
-                    batch_indices))
+            pix = list(pil_pool.map(
+                lambda i: decode_and_prepare(dataset.image_path(i),
+                                             dataset.cfg.img_size),
+                batch_indices))
             payload = {"pixel_values": np.stack(pix)}
         payload["input_ids"] = ids
         mb = micro_batch if local_sel is None else n_micro_local
@@ -216,18 +216,24 @@ def make_dataloader(dataset: GoodreadsDataset, micro_batch: int,
             out = make_global_batch(out, mesh, batch_dim=1)
         return out
 
-    with cf.ThreadPoolExecutor(max_workers=1) as prefetcher:
+    def pad_to_step(idxs):
+        # wrap partial batches, cycling as often as needed (a dataset
+        # smaller than step/2 would otherwise underfill and break the
+        # jitted step's fixed (grad_accum, micro) shape)
+        while len(idxs) < step:
+            idxs = idxs + order[: step - len(idxs)]
+        return idxs
+
+    with cf.ThreadPoolExecutor(max_workers=1) as prefetcher, \
+            cf.ThreadPoolExecutor(max_workers=num_workers) as pil_pool:
         future = None
         for b in range(n_batches):
-            idxs = order[b * step:(b + 1) * step]
-            if len(idxs) < step:
-                idxs = idxs + order[: step - len(idxs)]  # wrap partial batch
             if future is None:
-                future = prefetcher.submit(load_batch, idxs)
+                future = prefetcher.submit(
+                    load_batch, pad_to_step(order[b * step:(b + 1) * step]))
             batch = future.result()
-            nxt = order[(b + 1) * step:(b + 2) * step]
             if b + 1 < n_batches:
-                if len(nxt) < step:
-                    nxt = nxt + order[: step - len(nxt)]
-                future = prefetcher.submit(load_batch, nxt)
+                future = prefetcher.submit(
+                    load_batch,
+                    pad_to_step(order[(b + 1) * step:(b + 2) * step]))
             yield batch

@@ -28,7 +28,14 @@ def _find_lib() -> Optional[str]:
     (auto-built via make on first use)."""
     env = os.environ.get("SDBC_NATIVE_LIB")
     if env:
-        return env if os.path.exists(env) else None
+        if not os.path.exists(env):
+            import warnings
+
+            warnings.warn(f"SDBC_NATIVE_LIB={env} does not exist — native "
+                          "decode disabled, falling back to PIL (~10x "
+                          "slower)", stacklevel=3)
+            return None
+        return env
     installed = os.path.join(_PKG_DIR, "_native", "libsdbc_loader.so")
     if os.path.exists(installed):
         return installed
@@ -73,41 +80,58 @@ def decode_batch(paths: Sequence[str], size: int,
                  threads: int = 4) -> np.ndarray:
     """Decode+resize+normalize a batch of JPEGs → (N, size, size, 3) float32.
 
-    Failed decodes come back as zero images (count reported via exception-free
-    contract; use probe() for integrity checks).
+    Failed decodes come back as zero images, and a nonzero failure count is
+    warned (training on silent mid-gray samples otherwise goes unnoticed);
+    use probe() for hard integrity checks.
     """
+    import warnings
+
     lib = _load()
     n = len(paths)
     out = np.empty((n, size, size, 3), np.float32)
     if lib is None:
         from sdbc_tpu.utils.image import decode_and_prepare
 
+        failures = 0
         for i, p in enumerate(paths):
             try:
                 out[i] = decode_and_prepare(p, size)
             except Exception:
                 out[i] = 0.0
-        return out
-    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
-    lib.sdbc_decode_batch(
-        arr, n, size, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        threads)
+                failures += 1
+    else:
+        arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+        failures = lib.sdbc_decode_batch(
+            arr, n, size, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            threads)
+    if failures:
+        warnings.warn(f"{failures}/{n} images failed to decode and were "
+                      "zero-filled (run the preprocess integrity check)",
+                      stacklevel=2)
     return out
 
 
-def probe(path: str) -> bool:
-    """True if the JPEG decodes cleanly (preprocess integrity check)."""
+def probe_size(path: str):
+    """(W, H) if the image decodes cleanly (FULL decode, not a header
+    read — a truncated body must fail), else None."""
     lib = _load()
     if lib is None:
         from PIL import Image
 
         try:
             with Image.open(path) as im:
-                im.convert("RGB")
-            return True
+                im.convert("RGB")  # forces the full decode
+                return im.size
         except Exception:
-            return False
+            return None
     w = ctypes.c_int()
     h = ctypes.c_int()
-    return lib.sdbc_decode_probe(path.encode(), ctypes.byref(w),
-                                 ctypes.byref(h)) == 0
+    if lib.sdbc_decode_probe(path.encode(), ctypes.byref(w),
+                             ctypes.byref(h)) == 0:
+        return (w.value, h.value)
+    return None
+
+
+def probe(path: str) -> bool:
+    """True if the JPEG decodes cleanly (preprocess integrity check)."""
+    return probe_size(path) is not None

@@ -30,27 +30,22 @@ def readable_indices(df, image_dir: str, verbose: bool = False,
                      collect_sizes: bool = False):
     """Indices whose <index>.jpg decodes cleanly (notebook cells 3, 17).
 
-    Uses the native C++ probe when built (fast path), PIL otherwise.
+    Uses the native C++ probe when built (fast path), PIL otherwise —
+    always a FULL decode, so a truncated JPEG body with an intact header
+    fails (training would otherwise see silent mid-gray images).
     collect_sizes=True additionally returns (W, H) per readable image — the
     notebook's size-histogram data (cell 3).
     """
-    from sdbc_tpu.data.native_loader import probe
+    from sdbc_tpu.data.native_loader import probe_size
 
     good = []
     sizes = []
     for i, idx in enumerate(df.index):
-        path = os.path.join(image_dir, f"{idx}.jpg")
-        if collect_sizes:
-            try:
-                from PIL import Image
-
-                with Image.open(path) as im:
-                    sizes.append(im.size)
-                good.append(idx)
-            except Exception:
-                pass
-        elif probe(path):
+        wh = probe_size(os.path.join(image_dir, f"{idx}.jpg"))
+        if wh is not None:
             good.append(idx)
+            if collect_sizes:
+                sizes.append(wh)
         if verbose and (i + 1) % 1000 == 0:
             print(f"\rimage check {i + 1}/{len(df)}", end="", flush=True)
     if verbose:
@@ -93,6 +88,20 @@ def preprocess(data_root: str, source_csv: str = "book_data.csv",
     n_test = min(n_test, max(len(df) - 1, 0))
     df_test = df.iloc[len(df) - n_test:]
     df_train = df.iloc[: len(df) - n_test]
+
+    # step 5: re-verify both splits before writing (notebook cell 17 —
+    # files can change between the first check and the split)
+    for name, part in (("train", df_train), ("test", df_test)):
+        ok = readable_indices(part, image_dir)
+        if len(ok) < len(part):
+            if verbose:
+                print(f"re-verify: dropping {len(part) - len(ok)} "
+                      f"unreadable {name} rows")
+            if name == "train":
+                df_train = part.loc[ok]
+            else:
+                df_test = part.loc[ok]
+
     train_path = os.path.join(data_root, "df_train.csv")
     test_path = os.path.join(data_root, "df_test.csv")
     df_train.to_csv(train_path)

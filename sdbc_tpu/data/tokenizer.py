@@ -42,12 +42,30 @@ def _get_pairs(word: Tuple[str, ...]) -> set:
     return {(word[i], word[i + 1]) for i in range(len(word) - 1)}
 
 
-_PAT = re.compile(
-    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"""
-    if False else
-    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+""",
-    re.IGNORECASE,
-)
+def _clip_pattern():
+    # the real CLIP pre-tokenization pattern needs \p{L}/\p{N} classes
+    # (third-party `regex`); ASCII approximation on stdlib `re` only as a
+    # last resort (same convention as data/bart_tokenizer.py)
+    try:
+        import regex
+
+        return regex.compile(
+            r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"""
+            r"""|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""", regex.IGNORECASE)
+    except ImportError:
+        import warnings
+
+        warnings.warn(
+            "third-party 'regex' not available: CLIP pre-tokenization "
+            "falls back to an ASCII approximation; non-ASCII prompts "
+            "(accented author names) will tokenize differently from the "
+            "checkpoint's trained tokenizer", stacklevel=2)
+        return re.compile(
+            r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"""
+            r"""|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+""", re.IGNORECASE)
+
+
+_PAT = _clip_pattern()
 
 
 def _whitespace_clean(text: str) -> str:
@@ -93,11 +111,16 @@ class CLIPTokenizer:
             vocab = json.load(f)
         merges: List[Tuple[str, str]] = []
         with open(os.path.join(path, "merges.txt")) as f:
-            for line in f.read().split("\n"):
-                if line.startswith("#") or not line.strip():
-                    continue
-                a, _, b = line.partition(" ")
-                merges.append((a, b.strip()))
+            lines = f.read().split("\n")
+        # skip only the "#version: ..." header — a '#'-leading line can be
+        # a legitimate merge rule (same handling as data/bart_tokenizer.py)
+        if lines and lines[0].startswith("#version"):
+            lines = lines[1:]
+        for line in lines:
+            if not line.strip():
+                continue
+            a, _, b = line.partition(" ")
+            merges.append((a, b.strip()))
         return cls(vocab=vocab, merges=merges, vocab_size=len(vocab))
 
     @classmethod

@@ -162,7 +162,8 @@ def test_native_lib_search_order(monkeypatch, tmp_path):
     monkeypatch.setenv("SDBC_NATIVE_LIB", str(fake))
     assert nl._find_lib() == str(fake)
     monkeypatch.setenv("SDBC_NATIVE_LIB", str(tmp_path / "missing.so"))
-    assert nl._find_lib() is None
+    with pytest.warns(UserWarning, match="does not exist"):
+        assert nl._find_lib() is None
     monkeypatch.delenv("SDBC_NATIVE_LIB")
 
     # installed-package copy (sdbc_tpu/_native/, from setup.py) wins over

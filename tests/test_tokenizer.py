@@ -103,7 +103,11 @@ def test_bpe_matches_transformers_clip_tokenizer(vocab_dir):
     hf = hf_mod.CLIPTokenizer(os.path.join(vocab_dir, "vocab.json"),
                               os.path.join(vocab_dir, "merges.txt"))
     ours = CLIPTokenizer.from_pretrained(vocab_dir)
-    for text in ["book", "ok book", "a b c", "BOOK ok", "zzz qqq book"]:
+    # incl. non-ASCII: the \p{L} pre-tokenization pattern must keep
+    # accented words whole like HF does (previously an ASCII approximation
+    # split 'josé' into ['jos', 'é'])
+    for text in ["book", "ok book", "a b c", "BOOK ok", "zzz qqq book",
+                 "josé book", "a café"]:
         h = hf(text, padding="max_length", truncation=True,
                max_length=12)["input_ids"]
         o = ours.encode(text, max_length=12)
