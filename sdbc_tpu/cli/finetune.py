@@ -150,8 +150,7 @@ def main(argv=None):
         train_unet=args.train_unet,
         train_text_encoder=args.train_text_encoder, grad_ckpt=grad_ckpt,
         remat_mode=args.remat_mode,
-        use_8bit_adam=args.use_8bit_adam, lr_scale_by_dp=args.scale_lr,
-        seed=args.seed)
+        use_8bit_adam=args.use_8bit_adam, lr_scale_by_dp=args.scale_lr)
 
     resume_meta, resume_path = {}, None
     if args.resume:

@@ -132,6 +132,27 @@ class GoodreadsDataset:
         return {"pixel_values": pixels, "input_ids": ids, "prompt": prompt}
 
 
+def decode_pixels(dataset: GoodreadsDataset, indices, num_workers: int = 4,
+                  pool=None) -> np.ndarray:
+    """Decode dataset images → (N, S, S, 3) float32 in [-1, 1].
+
+    The ONE pixel-decode dispatch (native C++ batch decode vs PIL) shared
+    by make_dataloader and the latent-cache builder — cached latents must
+    encode exactly the pixels a non-cached run would see.  ``pool``: an
+    optional ThreadPoolExecutor for the PIL path (serial otherwise).
+    """
+    from sdbc_tpu.data import native_loader
+
+    if dataset.cfg.use_native and native_loader.available():
+        paths = [dataset.image_path(i) for i in indices]
+        return native_loader.decode_batch(paths, dataset.cfg.img_size,
+                                          threads=num_workers)
+    mapper = pool.map if pool is not None else map
+    return np.stack(list(mapper(
+        lambda i: decode_and_prepare(dataset.image_path(i),
+                                     dataset.cfg.img_size), indices)))
+
+
 def make_dataloader(dataset: GoodreadsDataset, micro_batch: int,
                     grad_accum: int = 1, shuffle: bool = True,
                     seed: int = 42, num_workers: int = 4,
@@ -177,10 +198,6 @@ def make_dataloader(dataset: GoodreadsDataset, micro_batch: int,
             [a * micro_batch + local_micro for a in range(grad_accum)])
         n_micro_local = len(local_micro)
 
-    from sdbc_tpu.data import native_loader
-
-    use_native = dataset.cfg.use_native and native_loader.available()
-
     def load_batch(batch_indices):
         if local_sel is not None:
             batch_indices = [batch_indices[i] for i in local_sel]
@@ -197,17 +214,9 @@ def make_dataloader(dataset: GoodreadsDataset, micro_batch: int,
                 "latent_mean": np.ascontiguousarray(cmean[idx]),
                 "latent_logvar": np.ascontiguousarray(clogvar[idx]),
             }
-        elif use_native:
-            # one native call decodes the whole batch (C++ thread pool)
-            paths = [dataset.image_path(i) for i in batch_indices]
-            payload = {"pixel_values": native_loader.decode_batch(
-                paths, dataset.cfg.img_size, threads=num_workers)}
         else:
-            pix = list(pil_pool.map(
-                lambda i: decode_and_prepare(dataset.image_path(i),
-                                             dataset.cfg.img_size),
-                batch_indices))
-            payload = {"pixel_values": np.stack(pix)}
+            payload = {"pixel_values": decode_pixels(
+                dataset, batch_indices, num_workers, pool=pil_pool)}
         payload["input_ids"] = ids
         mb = micro_batch if local_sel is None else n_micro_local
         a = len(batch_indices) // mb

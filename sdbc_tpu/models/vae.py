@@ -168,6 +168,18 @@ def prefer_chunked_encode(batch: int, h: int, w: int,
     return batch > 1 and h * w >= 262144 and not data_sharded
 
 
+def encode_moments_chunked(params, x, cfg: "VAEConfig"):
+    """``encode_moments`` computed image-by-image via ``lax.map``.
+
+    The graph shape ``prefer_chunked_encode`` selects; one definition so
+    the trainer loss and the latent-cache builder stay bit-equivalent by
+    construction (the cache docstring's promise).
+    """
+    return jax.lax.map(
+        lambda p: tuple(m[0] for m in encode_moments(params, p[None], cfg)),
+        x)
+
+
 def encode_moments(params, x, cfg: VAEConfig):
     """x: (N,H,W,3) in [-1,1] → (mean, logvar) each (N,H/8,W/8,latent)."""
     g = cfg.norm_groups

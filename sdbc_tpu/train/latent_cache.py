@@ -98,11 +98,8 @@ def _encode_fn(vae_cfg, compute_dtype, img_size: int, micro: int):
     def run(vae_params, pixels):
         px = pixels.astype(compute_dtype)
         if chunked:
-            mean, logvar = jax.lax.map(
-                lambda p: tuple(
-                    m[0] for m in vae_mod.encode_moments(vae_params, p[None],
-                                                         vae_cfg)),
-                px)
+            mean, logvar = vae_mod.encode_moments_chunked(vae_params, px,
+                                                          vae_cfg)
         else:
             mean, logvar = vae_mod.encode_moments(vae_params, px, vae_cfg)
         return mean.astype(jnp.float32), logvar.astype(jnp.float32)
@@ -137,6 +134,20 @@ def build_latent_cache(dataset, vae_params, vae_cfg, compute_dtype,
         raise TimeoutError(
             f"waited 2h for process 0 to build the latent cache at {path}")
 
+    # sweep orphaned tmp dirs from crashed builders (pid no longer alive):
+    # each holds multi-GB memmaps that would otherwise accumulate forever
+    import glob
+    import shutil
+
+    for stale in glob.glob(f"{path}.tmp.*"):
+        try:
+            pid = int(stale.rsplit(".", 1)[1])
+            os.kill(pid, 0)  # raises if the builder is gone
+        except (ValueError, ProcessLookupError):
+            shutil.rmtree(stale, ignore_errors=True)
+        except PermissionError:
+            pass  # alive under another uid — leave it
+
     # build into a private tmp dir, then atomically rename into place:
     # concurrent single-host builders (two finetune runs sharing a
     # data_root) each write their own tmp and the first rename wins
@@ -156,21 +167,14 @@ def build_latent_cache(dataset, vae_params, vae_cfg, compute_dtype,
         os.path.join(path, "logvar.npy"), mode="w+", dtype=np.float32,
         shape=(n, hw, hw, c))
 
-    from sdbc_tpu.data import native_loader
+    # the loader's exact decode dispatch (data/dataset.py::decode_pixels):
+    # cached latents must encode the same pixels a non-cached run sees
+    from sdbc_tpu.data.dataset import decode_pixels
 
-    use_native = dataset.cfg.use_native and native_loader.available()
     encode = _encode_fn(vae_cfg, compute_dtype, dataset.cfg.img_size, batch)
 
     def load_pixels(indices):
-        if use_native:
-            paths = [dataset.image_path(i) for i in indices]
-            return native_loader.decode_batch(paths, dataset.cfg.img_size,
-                                              threads=num_workers)
-        from sdbc_tpu.utils.image import decode_and_prepare
-
-        return np.stack([decode_and_prepare(dataset.image_path(i),
-                                            dataset.cfg.img_size)
-                         for i in indices])
+        return decode_pixels(dataset, indices, num_workers)
 
     import concurrent.futures as cf
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any, NamedTuple, Optional
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -64,7 +64,9 @@ class TrainConfig:
     # grad_accum * batch_size * num_processes but DEFAULTS OFF
     # (utils hyperparam scale_lr=False; conditional at finetune_sd.py:367-371)
     lr_scale_by_dp: bool = False
-    seed: int = 42
+    # NOTE: no `seed` field — all training RNG comes from the explicit
+    # `key` argument to the step function (utils/prng.py discipline); a
+    # config seed here would look authoritative while doing nothing
 
     def trainable_keys(self):
         keys = []
@@ -120,6 +122,11 @@ def make_optimizer(tcfg: TrainConfig, dp_size: int = 1) -> optax.GradientTransfo
 
 def init_train_state(params, tcfg: TrainConfig, dp_size: int = 1,
                      compute_dtype=jnp.bfloat16) -> TrainState:
+    if not tcfg.trainable_keys():
+        # the reference's torch optimizer raises 'empty parameter list'
+        # here; without this a full run executes and updates nothing
+        raise ValueError(
+            "nothing to train: set train_unet and/or train_text_encoder")
     trainable, frozen = _split_params(params, tcfg, compute_dtype)
     opt = make_optimizer(tcfg, dp_size)
     return TrainState(trainable=trainable, frozen=frozen,
@@ -162,11 +169,8 @@ def diffusion_loss(trainable, frozen, batch, key, cfg: PipelineConfig,
             # of the batched encode is pathological (see prefer_chunked_encode
             # for the numbers + the single-device restriction); encode is
             # stop-gradient so the map adds no autodiff cost
-            mean, logvar = jax.lax.map(
-                lambda p: tuple(
-                    m[0] for m in vae_mod.encode_moments(params["vae"],
-                                                         p[None], cfg.vae)),
-                pixels)
+            mean, logvar = vae_mod.encode_moments_chunked(params["vae"],
+                                                          pixels, cfg.vae)
         else:
             mean, logvar = vae_mod.encode_moments(params["vae"], pixels,
                                                   cfg.vae)
@@ -240,11 +244,13 @@ def make_train_step(cfg: PipelineConfig, tcfg: TrainConfig, mesh=None,
                                state.step + 1)
         # "finite" reflects what apply_if_finite actually checked — the
         # UPDATE tree (a finite fp32 loss can still hide an inf in the bf16
-        # backward, silently skipping the step); notfinite_count surfaces
-        # how many updates have been dropped so a stalled run is visible
+        # backward, silently skipping the step); total_notfinite is the
+        # CUMULATIVE dropped-update count (notfinite_count is the
+        # consecutive counter, reset to 0 by every finite step — reporting
+        # it would hide intermittent NaN streaks)
         return new_state, {"loss": loss,
                            "finite": new_opt.last_finite,
-                           "notfinite_count": new_opt.notfinite_count}
+                           "notfinite_count": new_opt.total_notfinite}
 
     donate_kw = {"donate_argnums": (0,)} if donate else {}
     if mesh is None:

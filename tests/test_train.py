@@ -76,6 +76,21 @@ def test_nan_guard_skips_update(tiny_cfg, tiny_params):
     assert int(m["notfinite_count"]) == 1  # skipped updates are counted
     after = jax.tree.leaves(s1.trainable)[0]
     np.testing.assert_array_equal(np.asarray(before), np.asarray(after))
+    # the count is CUMULATIVE: a finite step in between must not reset it
+    # (optax's notfinite_count field does; we report total_notfinite)
+    s2, m2 = step(s1, _batch(tiny_cfg), jax.random.key(1))
+    assert bool(m2["finite"]) and int(m2["notfinite_count"]) == 1
+    _, m3 = step(s2, bad, jax.random.key(2))
+    assert int(m3["notfinite_count"]) == 2
+
+
+def test_empty_trainable_set_rejected(tiny_cfg, tiny_params):
+    """train_unet=False + train_text_encoder=False must fail loudly (the
+    reference's torch optimizer raises 'empty parameter list' here)."""
+    tcfg = TrainConfig(train_unet=False, train_text_encoder=False,
+                       num_examples=8)
+    with pytest.raises(ValueError, match="nothing to train"):
+        init_train_state(tiny_params, tcfg)
 
 
 def test_8bit_adam_trains(tiny_cfg, tiny_params):
