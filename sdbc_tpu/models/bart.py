@@ -42,6 +42,13 @@ class BartConfig:
     bos_id: int = 0
     eos_id: int = 2
     decoder_start_id: int = 2    # BART convention: decoder starts with </s>
+    # HF generation forces <s> as the first GENERATED token
+    # (forced_bos_token_id=0 in the distilbart-cnn config): every decoder
+    # sequence is [</s>, <s>, ...] — the prefix the model was trained on
+    forced_bos_id: int = 0
+    # ...and </s> as the last token when max_length is reached
+    # (forced_eos_token_id=2)
+    forced_eos_id: int = 2
 
     @staticmethod
     def distilbart_cnn() -> "BartConfig":
@@ -157,14 +164,18 @@ def decode_logits(params, dec_ids, enc_states, cfg: BartConfig,
 
 
 # ---------------------------------------------------------------------------
-# beam search (fixed shapes; per-step jit, host-controlled loop)
+# beam search (fixed shapes; ONE jitted step, host-controlled loop)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "step"))
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def _beam_step(params, dec_ids, enc_states, enc_mask, cfg, step):
-    logits = decode_logits(params, dec_ids[:, : step + 1], enc_states, cfg,
-                           enc_mask)
-    return jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1)
+    # full fixed-width decode + dynamic row read: the causal mask makes
+    # positions > step irrelevant to position step's logits, so this is
+    # exact AND compiles once (a static per-step slice would compile
+    # max_length separate decoder graphs)
+    logits = decode_logits(params, dec_ids, enc_states, cfg, enc_mask)
+    row = jax.lax.dynamic_index_in_dim(logits, step, axis=1, keepdims=False)
+    return jax.nn.log_softmax(row.astype(jnp.float32), axis=-1)
 
 
 def beam_search(params, input_ids: np.ndarray, cfg: BartConfig, *,
@@ -186,7 +197,20 @@ def beam_search(params, input_ids: np.ndarray, cfg: BartConfig, *,
 
     for step in range(max_length):
         logp = np.array(_beam_step(params, jnp.asarray(beams), enc,
-                                   enc_mask_b, cfg, step))  # writable copy
+                                   enc_mask_b, cfg,
+                                   jnp.int32(step)))  # writable copy
+        if step == 0 and cfg.forced_bos_id is not None:
+            # HF's ForcedBOSTokenLogitsProcessor: only <s> is allowed as
+            # the first generated token (keeps its own logprob)
+            keep = logp[:, cfg.forced_bos_id].copy()
+            logp[:, :] = -1e9
+            logp[:, cfg.forced_bos_id] = keep
+        if step == max_length - 1 and cfg.forced_eos_id is not None:
+            # HF's ForcedEOSTokenLogitsProcessor: sequences reaching
+            # max_length end with </s>
+            keep = logp[:, cfg.forced_eos_id].copy()
+            logp[:, :] = -1e9
+            logp[:, cfg.forced_eos_id] = keep
         if step + 1 < min_length:
             logp[:, cfg.eos_id] = -1e9
         total = scores[:, None] + logp  # (beams, vocab)

@@ -34,6 +34,10 @@ def load_state_dict(component_dir: str) -> Dict[str, np.ndarray]:
              if f.endswith((".safetensors", ".bin"))]
     if not cands:
         raise FileNotFoundError(f"no weight files in {component_dir}")
+    # HF dirs often ship BOTH formats with identical content: prefer
+    # safetensors alone (no double load, no torch requirement)
+    if any(f.endswith(".safetensors") for f in cands):
+        cands = [f for f in cands if f.endswith(".safetensors")]
     out: Dict[str, np.ndarray] = {}
     for fname in cands:
         path = os.path.join(component_dir, fname)
@@ -180,7 +184,7 @@ def _port_vae_attn(sd, pfx):
 
 
 def port_vae(sd: Dict[str, np.ndarray]) -> dict:
-    def coder(side, blocks_key, n_res, updown):
+    def coder(side, blocks_key, updown):
         c = {
             "conv_in": _conv(sd, f"{side}.conv_in"),
             "mid": {
@@ -209,8 +213,8 @@ def port_vae(sd: Dict[str, np.ndarray]) -> dict:
         c[updown] = blocks
         return c
 
-    enc = coder("encoder", "down_blocks", 2, "down")
-    dec = coder("decoder", "up_blocks", 3, "up")
+    enc = coder("encoder", "down_blocks", "down")
+    dec = coder("decoder", "up_blocks", "up")
     return {
         "encoder": enc,
         "decoder": dec,

@@ -132,7 +132,10 @@ def _mha(p, x, ctx, heads, impl="auto"):
         a = attention(q, k, v, impl=impl).transpose(0, 2, 1, 3).reshape(b, s, dim)
         return nn.linear(p["o"], a)
 
-    mode = os.environ.get("SDBC_MHA", "fused")
+    # only reachable when SDBC_MHA is set and != "legacy" (benchmarking
+    # variants; baked in at TRACE time — changing the env after the first
+    # jitted forward has no effect)
+    mode = os.environ["SDBC_MHA"]
     if mode == "fused" and x is ctx:  # self-attention: one qkv projection
         w = jnp.concatenate([p["q"]["w"], p["k"]["w"], p["v"]["w"]], axis=1)
         qkv = jnp.einsum("bsd,dthe->tbhse", x,

@@ -80,3 +80,44 @@ def test_beam_search_terminates_and_respects_min_length(tiny_bart):
     gen = list(out[1:])
     if cfg.eos_id in gen:
         assert gen.index(cfg.eos_id) >= 1
+
+
+def test_generation_parity_with_transformers():
+    """End-to-end beam-search parity vs HF generate() on the same ported
+    tiny model — covers the forced-BOS first token (distilbart's
+    forced_bos_token_id=0) that decode_logits parity alone can't see."""
+    torch = pytest.importorskip("torch")
+    from transformers import BartConfig as HFBartConfig
+    from transformers import BartForConditionalGeneration
+
+    cfg = bart.BartConfig.tiny()
+    hf = HFBartConfig(
+        vocab_size=cfg.vocab_size, d_model=cfg.d_model,
+        encoder_layers=cfg.encoder_layers, decoder_layers=cfg.decoder_layers,
+        encoder_attention_heads=cfg.heads, decoder_attention_heads=cfg.heads,
+        encoder_ffn_dim=cfg.ffn, decoder_ffn_dim=cfg.ffn,
+        max_position_embeddings=cfg.max_pos, pad_token_id=cfg.pad_id,
+        bos_token_id=cfg.bos_id, eos_token_id=cfg.eos_id,
+        decoder_start_token_id=cfg.decoder_start_id, scale_embedding=False,
+        activation_function="gelu", dropout=0.0, attention_dropout=0.0,
+        activation_dropout=0.0, forced_bos_token_id=cfg.forced_bos_id)
+    torch.manual_seed(1)
+    model = BartForConditionalGeneration(hf).eval()
+    from sdbc_tpu.models.port import port_bart
+
+    params = port_bart({k: v.numpy() for k, v in model.state_dict().items()})
+
+    ids = np.array([[0, 5, 9, 11, 17, 3, 2, 1]], np.int64)
+    with torch.no_grad():
+        ref = model.generate(
+            torch.from_numpy(ids),
+            attention_mask=torch.from_numpy((ids != 1).astype(np.int64)),
+            num_beams=3, min_length=2, max_length=8,
+            early_stopping=True).numpy()[0]
+    ours = np.asarray(bart.beam_search(params, ids.astype(np.int32), cfg,
+                                       num_beams=3, max_length=7,
+                                       min_length=2))
+    assert ours[0] == cfg.decoder_start_id
+    assert ours[1] == cfg.forced_bos_id  # forced first generated token
+    # full sequence parity with HF's beam search (same scoring rules)
+    np.testing.assert_array_equal(ours[: len(ref)], ref)
