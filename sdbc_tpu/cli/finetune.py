@@ -108,6 +108,7 @@ def main(argv=None):
     from sdbc_tpu.train.trainer import (
         TrainConfig, init_train_state, make_train_step, merged_params)
     from sdbc_tpu.utils import checkpoint as ckpt_mod
+    from sdbc_tpu.utils.profiling import StepTimer
     from sdbc_tpu.utils.tracking import Tracker
 
     # the reference forces grad-ckpt on with train_unet (finetune_sd.py:
@@ -115,7 +116,22 @@ def main(argv=None):
     grad_ckpt = (args.train_unet if args.grad_ckpt is None else args.grad_ckpt)
     dt = common.compute_dtype(args)
 
-    params, cfg = common.resolve_params_cfg(args)
+    # resume resolution FIRST: building fresh (possibly random SD-1.5)
+    # weights only to throw them away wastes minutes of single-core init,
+    # and the tokenizer/dataset below must bind to the RESUMED config
+    # (a checkpoint's clip.ctx wins over the CLI-derived one)
+    resume_meta, resume_path = {}, None
+    if args.resume:
+        resume_path = ckpt_mod.latest_checkpoint(args.output_dir, args.run_id)
+    if resume_path:
+        import dataclasses
+
+        print(f"resuming from {resume_path}")
+        params, cfg = ckpt_mod.load_pipeline(resume_path)
+        cfg = dataclasses.replace(cfg, scheduler=args.scheduler)
+        resume_meta = ckpt_mod.load_metadata(resume_path)
+    else:
+        params, cfg = common.resolve_params_cfg(args)
     tok = common.make_tokenizer(args, cfg.clip.vocab_size)
 
     dcfg = DatasetConfig(
@@ -151,14 +167,6 @@ def main(argv=None):
         train_text_encoder=args.train_text_encoder, grad_ckpt=grad_ckpt,
         remat_mode=args.remat_mode,
         use_8bit_adam=args.use_8bit_adam, lr_scale_by_dp=args.scale_lr)
-
-    resume_meta, resume_path = {}, None
-    if args.resume:
-        resume_path = ckpt_mod.latest_checkpoint(args.output_dir, args.run_id)
-        if resume_path:
-            print(f"resuming from {resume_path}")
-            params, cfg = ckpt_mod.load_pipeline(resume_path)
-            resume_meta = ckpt_mod.load_metadata(resume_path)
 
     state = init_train_state(params, tcfg, dp_size=dp, compute_dtype=dt)
     if resume_path:
@@ -218,7 +226,23 @@ def main(argv=None):
         signal.signal(sig, _on_term)
 
     profiling = False
-    for epoch in range(args.epochs):
+    run_steps = 0  # steps executed by THIS process (gstep spans resumes)
+
+    def stop_profile():
+        # every exit path must flush an open trace or the dump is lost
+        nonlocal profiling
+        if profiling:
+            jax.profiler.stop_trace()
+            profiling = False
+    # resume continues the ORIGINAL epoch schedule (a fresh range() would
+    # train args.epochs additional epochs and run the cosine tail at
+    # eta_min); a mid-epoch resume restarts that epoch's loader from its
+    # beginning — a few repeated micro-batches, never a longer run
+    start_epoch = min(gstep // steps_per_epoch, args.epochs)
+    if start_epoch:
+        print(f"resume: continuing at epoch {start_epoch}/{args.epochs} "
+              f"(step {gstep})")
+    for epoch in range(start_epoch, args.epochs):
         loader = make_dataloader(ds, micro_batch=micro_global,
                                  grad_accum=args.grad_acc_steps,
                                  seed=args.seed + epoch,
@@ -227,23 +251,32 @@ def main(argv=None):
                                  latent_cache=latents_mm,
                                  epoch=epoch)  # host-independent prompt draws
         running, running_n = 0.0, 0
+        # warmup-aware steady-state rate (utils/profiling.StepTimer): the
+        # first step's time includes the XLA compile, so the raw per-step
+        # rate would pollute events.jsonl with a wildly low outlier
+        timer = StepTimer(micro_global * args.grad_acc_steps,
+                          n_chips=jax.device_count(), warmup=1)
         t0 = time.perf_counter()
         for batch in loader:
-            if args.profile_dir and gstep == 2 and not profiling:
+            # profile a 3-step window after warmup, RELATIVE to this run
+            # (gstep continues across --resume, so an absolute trigger
+            # would silently never fire on a resumed run)
+            if args.profile_dir and run_steps == 2 and not profiling:
                 jax.profiler.start_trace(args.profile_dir)
                 profiling = True
             key, sub = jax.random.split(key)
             state, metrics = step_fn(state, batch, sub)
             loss = float(metrics["loss"])
-            if profiling and gstep >= 5:
+            if profiling and run_steps >= 5:
                 jax.profiler.stop_trace()
                 profiling = False
             gstep += 1
+            run_steps += 1
             running += loss
             running_n += 1
-            imgs_per_s = micro_global * args.grad_acc_steps / (
-                time.perf_counter() - t0)
+            timer.times.append(time.perf_counter() - t0)
             t0 = time.perf_counter()
+            imgs_per_s = timer.images_per_sec_per_chip() * timer.n_chips
             skipped = int(metrics.get("notfinite_count", 0))
             tracker.log({"loss": loss, "epoch": epoch,
                          "images_per_sec": imgs_per_s,
@@ -274,6 +307,7 @@ def main(argv=None):
                     tracker.log_artifact(path)
 
             if preempted["flag"]:
+                stop_profile()
                 path = ckpt_mod.new_checkpoint_path(args.output_dir,
                                                     args.run_id, gstep)
                 ckpt_mod.save_pipeline(
@@ -286,6 +320,7 @@ def main(argv=None):
                 tracker.finish()
                 return
 
+    stop_profile()
     final = ckpt_mod.new_checkpoint_path(args.output_dir, args.run_id, gstep)
     ckpt_mod.save_pipeline(final, merged_params(state), cfg,
                            opt_state=state.opt_state,

@@ -14,6 +14,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 
 import numpy as np
 
@@ -84,20 +85,20 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _build_summarizer(args, ctx_len: int):
+def _build_summarizer(args):
     from sdbc_tpu.data.bart_tokenizer import BartTokenizer
     from sdbc_tpu.models import bart
     from sdbc_tpu.models.port import load_state_dict, port_bart
 
-    sd = load_state_dict(args.bart_ckpt)
-    params = port_bart(sd)
-    cfg = bart.BartConfig.distilbart_cnn()
-    # in-repo byte-level BPE (no runtime transformers dependency,
+    # cheap existence checks BEFORE porting the multi-hundred-MB state dict
+    # (in-repo byte-level BPE — no runtime transformers dependency,
     # reference inference.py:293-298)
     for fname in ("vocab.json", "merges.txt"):
         if not os.path.exists(os.path.join(args.bart_ckpt, fname)):
             raise SystemExit(f"--summarize needs vocab.json + merges.txt in "
                              f"{args.bart_ckpt} (missing {fname})")
+    params = port_bart(load_state_dict(args.bart_ckpt))
+    cfg = bart.BartConfig.distilbart_cnn()
     return bart.Summarizer(params, cfg,
                            BartTokenizer.from_pretrained(args.bart_ckpt))
 
@@ -136,9 +137,12 @@ def main(argv=None):
                     negative_prompt=args.negative_prompt or None,
                     num_images_per_prompt=args.samples_per_prompt)
         pils = pipe.numpy_to_pil(imgs)
+        # prompt text becomes a filename: strip path separators ('/' would
+        # point into a nonexistent subdir and lose the generated image)
+        stem = re.sub(r"[/\\\0]", "_", args.prompt)[:64] or "prompt"
         for i, im in enumerate(pils):
             suffix = f"-{i}" if len(pils) > 1 else ""
-            out = os.path.join(save_dir, f"{args.prompt[:64]}{suffix}.png")
+            out = os.path.join(save_dir, f"{stem}{suffix}.png")
             im.save(out)
             print(f"saved {out}")
 
@@ -148,6 +152,11 @@ def main(argv=None):
         from sdbc_tpu.eval.fid import calculate_fid_given_paths
         from sdbc_tpu.eval.generate import get_fid_images
 
+        # validate the (pure) stats path BEFORE hours of image generation
+        if not os.path.exists(args.fid_stats_path):
+            raise SystemExit(
+                f"{args.fid_stats_path} not found — run "
+                "python -m sdbc_tpu.cli.precalc_fid_stats first")
         df_test = pd.read_csv(os.path.join(args.data_root, "df_test.csv"),
                               index_col=0)
         get_fid_images(pipe, save_dir, df_test, num_imgs=args.num_imgs,
@@ -155,10 +164,6 @@ def main(argv=None):
                        inference_steps=args.num_inference_steps,
                        guidance_scale=args.guidance_scale, seed=args.seed,
                        prompt_bank=args.prompt_bank)
-        if not os.path.exists(args.fid_stats_path):
-            raise SystemExit(
-                f"{args.fid_stats_path} not found — run "
-                "python -m sdbc_tpu.cli.precalc_fid_stats first")
         from sdbc_tpu.models.inception import InceptionConfig
 
         icfg = InceptionConfig.tiny() if args.tiny else InceptionConfig.fid()
@@ -194,6 +199,9 @@ def main(argv=None):
         have_desc = want_desc and os.path.exists(test_csv)
         have_sum = want_sum and bool(args.bart_ckpt) and have_desc
 
+        if args.prompt_bank == "reference" and not os.path.exists(test_csv):
+            # the reference grid interpolates (author, title) df_test rows
+            raise SystemExit(f"--prompt_bank reference needs {test_csv}")
         summarizer, descriptions, df_test = None, None, None
         if have_desc or args.prompt_bank == "reference":
             import pandas as pd
@@ -202,7 +210,7 @@ def main(argv=None):
             n_desc = max(16, args.samples_per_prompt)
             descriptions = [str(d) for d in df_test["book_desc"].head(n_desc)]
         if have_sum:
-            summarizer = _build_summarizer(args, cfg.clip.ctx)
+            summarizer = _build_summarizer(args)
 
         # the reference's default mode always renders 3 configurations in
         # this order: (summarize, include_desc) = (F,F), (T,T), (F,T)

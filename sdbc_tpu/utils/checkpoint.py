@@ -50,11 +50,14 @@ def save_pipeline(path: str, params: dict, cfg: PipelineConfig,
             ckptr.save(os.path.join(path, comp), params[comp], force=True)
     if opt_state is not None:
         ckptr.save(os.path.join(path, "opt_state"), opt_state, force=True)
+    # all component saves must land BEFORE config.json: it doubles as the
+    # completeness marker latest_checkpoint() keys resume on, so a kill
+    # mid-save leaves a dir that resume skips instead of a torn restore
+    ckptr.wait_until_finished()
     with open(os.path.join(path, "config.json"), "w") as f:
         json.dump(config_to_json(cfg), f, indent=2)
     with open(os.path.join(path, "metadata.json"), "w") as f:
         json.dump(metadata or {}, f, indent=2, default=float)
-    ckptr.wait_until_finished()
 
 
 def load_pipeline(path: str, template_params: Optional[dict] = None,
@@ -138,10 +141,15 @@ def run_dir(output_dir: str, run_id: str) -> str:
 
 
 def latest_checkpoint(output_dir: str, run_id: str) -> Optional[str]:
+    """Newest COMPLETE checkpoint (config.json is written last by
+    save_pipeline, so its presence marks a finished save — a dir torn by
+    a mid-save kill is skipped in favor of the previous good one)."""
     base = run_dir(output_dir, run_id)
     if not os.path.isdir(base):
         return None
-    cands = [d for d in os.listdir(base) if d.startswith("ckpt-")]
+    cands = [d for d in os.listdir(base)
+             if d.startswith("ckpt-")
+             and os.path.exists(os.path.join(base, d, "config.json"))]
     if not cands:
         return None
     latest = max(cands, key=lambda d: int(d.split("-")[1]))

@@ -40,6 +40,10 @@ class Tracker:
                                         resume="allow")
             except ImportError:
                 print("wandb not installed; logging locally only")
+            except Exception as e:  # auth/network failures must not kill
+                # the run — the module contract is "local JSONL always"
+                print(f"wandb init failed ({e}); logging locally only")
+                self.wandb = None
 
     def log(self, metrics: dict, step: Optional[int] = None) -> None:
         rec = {"ts": time.time(), **({"step": step} if step is not None else {}),

@@ -100,9 +100,16 @@ def test_versioned_runs(tmp_path):
     out = str(tmp_path)
     assert ck.latest_checkpoint(out, "run1") is None
     for step in (3, 12, 7):
-        os.makedirs(ck.new_checkpoint_path(out, "run1", step))
+        p = ck.new_checkpoint_path(out, "run1", step)
+        os.makedirs(p)
+        # config.json is save_pipeline's completeness marker
+        open(os.path.join(p, "config.json"), "w").write("{}")
     latest = ck.latest_checkpoint(out, "run1")
     assert latest.endswith("ckpt-12")
+    # a TORN checkpoint (kill mid-save: dir exists, no config.json yet)
+    # must be skipped in favor of the previous complete one
+    os.makedirs(ck.new_checkpoint_path(out, "run1", 20))
+    assert ck.latest_checkpoint(out, "run1").endswith("ckpt-12")
 
 
 def test_config_json_roundtrip(tiny_cfg):

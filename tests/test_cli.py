@@ -126,6 +126,34 @@ def test_resume_training(env, trained_ckpt):
                 if d.startswith("ckpt-")]) >= 2
 
 
+def test_resume_continues_schedule_not_doubles(env):
+    """--resume completes the ORIGINAL epoch budget: 1 epoch trained +
+    resume with --epochs 2 => exactly one more epoch (2*S steps total),
+    not 1+2 epochs."""
+    import jax
+
+    import sdbc_tpu.cli.finetune as ft
+
+    base = ["--tiny", "--data_root", env["root"], "--img_size", "32",
+            "--batch_size", "1", "--grad_acc_steps", "1",
+            "--num_examples", "8", "--train_text_encoder", "--no-bf16",
+            "--output_dir", env["out"], "--run_id", "sched"]
+    ft.main(base + ["--epochs", "1"])
+    run_dir = os.path.join(env["out"], "runs", "sched")
+
+    def final_step():
+        latest = max((d for d in os.listdir(run_dir) if d.startswith("ckpt-")),
+                     key=lambda d: int(d.split("-")[1]))
+        with open(os.path.join(run_dir, latest, "metadata.json")) as f:
+            return int(json.load(f)["step"])
+
+    s1 = final_step()
+    # steps/epoch = 8 examples / (batch 1 x dp devices x acc 1)
+    assert s1 == 8 // jax.device_count()
+    ft.main(base + ["--epochs", "2", "--resume"])
+    assert final_step() == 2 * s1  # one ADDITIONAL epoch, not two more
+
+
 def test_tp_fsdp_train_checkpoint_resume(env):
     """Sharded training is durable end-to-end: TP2+FSDP train -> orbax
     checkpoint of the sharded state -> --resume continues on the mesh."""
