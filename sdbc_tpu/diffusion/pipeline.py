@@ -166,7 +166,7 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
 
     if cfg.scheduler == "ddim":
         ts = sched_mod.ddim_timesteps(cfg.schedule, num_inference_steps)
-        ratio = cfg.schedule.num_train_timesteps // num_inference_steps
+        ratio = sched_mod.inference_stride(cfg.schedule, num_inference_steps)
         # hoist the per-ResBlock time projections out of the loop (~3.5 ms/
         # step of latency-bound (8,1280)-sized matmuls at SD-1.5 shapes)
         tproj = unet_mod.precompute_temb(uparams, ts, cfg.unet, dtype=dt)
@@ -197,7 +197,7 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
         # DPM-Solver++(2M): DDIM-level quality at ~20-25 steps (bonus
         # scheduler beyond the reference's three)
         ts = sched_mod.dpm_timesteps(cfg.schedule, num_inference_steps)
-        ratio = cfg.schedule.num_train_timesteps // num_inference_steps
+        ratio = sched_mod.inference_stride(cfg.schedule, num_inference_steps)
         tproj = unet_mod.precompute_temb(uparams, ts, cfg.unet, dtype=dt)
         # lower-order-final safeguard (diffusers semantics): at small step
         # counts the last step drops to first order for stability
@@ -257,7 +257,7 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
         _, lat = jax.lax.fori_loop(0, ts.shape[0], body, (state0, lat))
 
     elif cfg.scheduler == "ddpm":
-        ratio = cfg.schedule.num_train_timesteps // num_inference_steps
+        ratio = sched_mod.inference_stride(cfg.schedule, num_inference_steps)
         ts = (jnp.arange(num_inference_steps) * ratio)[::-1].astype(jnp.int32)
         tproj = unet_mod.precompute_temb(uparams, ts, cfg.unet, dtype=dt)
 
@@ -266,8 +266,11 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
             k, sub = jax.random.split(k)
             t = ts[i]
             eps = eps_fn(lat, t, unet_mod.index_temb(tproj, i))
+            # posterior over the ACTUAL stride (see ddpm_step): the next
+            # grid point, not t-1
             return sched_mod.ddpm_step(sched, eps, t, lat, sub,
-                                       clip_sample=False), k
+                                       clip_sample=False,
+                                       t_prev=t - ratio), k
 
         lat, _ = jax.lax.fori_loop(0, num_inference_steps, body, (lat, key))
     else:
@@ -437,6 +440,11 @@ class SDPipeline:
             if latents.shape[-1] != self.cfg.unet.in_channels \
                     and latents.shape[1] == self.cfg.unet.in_channels:
                 latents = jnp.transpose(latents, (0, 2, 3, 1))
+            if latents.shape[0] > len(prompts):
+                raise ValueError(
+                    f"{latents.shape[0]} latents for {b} prompts — the "
+                    "mismatch would only surface as an opaque shape error "
+                    "inside the UNet trace")
             if latents.shape[0] < len(prompts):  # pad to the bucket
                 reps = [latents[-1:]] * (len(prompts) - latents.shape[0])
                 latents = jnp.concatenate([latents] + reps, axis=0)

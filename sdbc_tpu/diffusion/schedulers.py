@@ -85,23 +85,43 @@ def ddpm_add_noise(sched: Schedule, x0, noise, timesteps):
             + sqrt_1ma * noise.astype(jnp.float32)).astype(x0.dtype)
 
 
-def ddpm_step(sched: Schedule, eps, t, x_t, key, clip_sample: bool = True):
-    """One ancestral DDPM sampling step t → t-1 (epsilon parameterisation)."""
+def ddpm_step(sched: Schedule, eps, t, x_t, key, clip_sample: bool = True,
+              t_prev=None):
+    """One ancestral DDPM sampling step t → t_prev (eps parameterisation).
+
+    The posterior is computed over the ACTUAL stride: with the effective
+    step ᾱ_step = ā_t/ā_prev (β_step = 1−ᾱ_step), the DDPM eq. 7
+    coefficients generalize to any t_prev < t and reduce exactly to the
+    textbook single-step form (β_step = β_t) at stride 1.  A one-step-back
+    posterior under a strided timestep grid removes only 1/ratio of the
+    noise per step — at 50 inference steps the output would retain ~91%
+    of the initial noise.  (diffusers 0.7.2's DDPMScheduler has exactly
+    that bug — strided set_timesteps with a t−1 posterior — fixed in
+    later diffusers via previous_timestep(); we implement the fixed
+    semantics, the reference never samples with DDPM.)
+
+    t_prev defaults to t−1; t_prev < 0 means "final step" (ā_prev = 1,
+    no noise added).
+    """
+    if t_prev is None:
+        t_prev = t - 1
     a_t = sched.alphas_cumprod[t]
-    a_prev = jnp.where(t > 0, sched.alphas_cumprod[jnp.maximum(t - 1, 0)], 1.0)
-    beta_t = sched.betas[t]
+    a_prev = jnp.where(t_prev >= 0,
+                       sched.alphas_cumprod[jnp.maximum(t_prev, 0)], 1.0)
+    a_step = a_t / a_prev
+    beta_step = 1.0 - a_step
     xf, ef = x_t.astype(jnp.float32), eps.astype(jnp.float32)
 
     x0 = (xf - jnp.sqrt(1.0 - a_t) * ef) / jnp.sqrt(a_t)
     if clip_sample:
         x0 = jnp.clip(x0, -1.0, 1.0)
-    # posterior mean coefficients (DDPM eq. 7)
-    coef_x0 = jnp.sqrt(a_prev) * beta_t / (1.0 - a_t)
-    coef_xt = jnp.sqrt(1.0 - beta_t) * (1.0 - a_prev) / (1.0 - a_t)
+    # strided posterior mean coefficients (DDPM eq. 7 over [t_prev, t])
+    coef_x0 = jnp.sqrt(a_prev) * beta_step / (1.0 - a_t)
+    coef_xt = jnp.sqrt(a_step) * (1.0 - a_prev) / (1.0 - a_t)
     mean = coef_x0 * x0 + coef_xt * xf
-    var = jnp.clip(beta_t * (1.0 - a_prev) / (1.0 - a_t), 1e-20, None)
+    var = jnp.clip(beta_step * (1.0 - a_prev) / (1.0 - a_t), 1e-20, None)
     noise = jax.random.normal(key, x_t.shape, jnp.float32)
-    sample = mean + jnp.where(t > 0, jnp.sqrt(var), 0.0) * noise
+    sample = mean + jnp.where(t_prev >= 0, jnp.sqrt(var), 0.0) * noise
     return sample.astype(x_t.dtype)
 
 
@@ -138,12 +158,31 @@ def velocity_target(sched: Schedule, x0, noise, timesteps):
 
 
 # ---------------------------------------------------------------------------
+# timestep grids
+
+
+def inference_stride(cfg: ScheduleConfig, num_inference_steps: int) -> int:
+    """Train-step stride for a grid of num_inference_steps.
+
+    Rejects num_inference_steps > num_train_timesteps up front: the
+    integer ratio would be 0, every timestep would collapse to
+    steps_offset, and each scheduler step would be an exact no-op — the
+    pipeline would silently decode the initial noise (diffusers raises
+    the same error)."""
+    if not 1 <= num_inference_steps <= cfg.num_train_timesteps:
+        raise ValueError(
+            f"num_inference_steps must be in [1, {cfg.num_train_timesteps}] "
+            f"(got {num_inference_steps})")
+    return cfg.num_train_timesteps // num_inference_steps
+
+
+# ---------------------------------------------------------------------------
 # DDIM
 
 
 def ddim_timesteps(cfg: ScheduleConfig, num_inference_steps: int) -> jnp.ndarray:
     """Descending timestep sequence, diffusers DDIM leading-space semantics."""
-    ratio = cfg.num_train_timesteps // num_inference_steps
+    ratio = inference_stride(cfg, num_inference_steps)
     ts = (jnp.arange(num_inference_steps) * ratio).round().astype(jnp.int32)
     ts = ts + cfg.steps_offset
     return ts[::-1]
@@ -197,7 +236,7 @@ def pndm_timesteps(cfg: ScheduleConfig, num_inference_steps: int) -> jnp.ndarray
     then the rest — the second step re-runs t_{N-1} as part of the Heun-style
     warmup.  Sequence length is num_inference_steps + 1.
     """
-    ratio = cfg.num_train_timesteps // num_inference_steps
+    ratio = inference_stride(cfg, num_inference_steps)
     base = (jnp.arange(num_inference_steps) * ratio).astype(jnp.int32) + cfg.steps_offset
     # descending: base[::-1] = [t_max, ..., t_0]
     desc = base[::-1]
@@ -219,7 +258,7 @@ def pndm_step(sched: Schedule, cfg: ScheduleConfig, state: PNDMState, eps, t,
     Implements diffusers PNDMScheduler.step_plms (skip_prk_steps=True) with a
     fixed-size ets ring buffer so it can run inside lax.fori_loop.
     """
-    ratio = cfg.num_train_timesteps // num_inference_steps
+    ratio = inference_stride(cfg, num_inference_steps)
     eps = eps.astype(jnp.float32)
     xf = x_t.astype(jnp.float32)
     count = state.count

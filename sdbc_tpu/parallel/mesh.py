@@ -35,10 +35,13 @@ class MeshConfig:
     def resolve(self, n_devices: int) -> tuple:
         model = self.model
         data = self.data if self.data > 0 else n_devices // model
-        assert data * model == n_devices, (
-            f"mesh {data}x{model} != {n_devices} devices")
-        assert data % self.num_slices == 0, (
-            f"data axis {data} not divisible by {self.num_slices} slices")
+        # real errors, not asserts: python -O would strip them and degrade
+        # user mesh-geometry mistakes to opaque reshape failures
+        if data * model != n_devices:
+            raise ValueError(f"mesh {data}x{model} != {n_devices} devices")
+        if data % self.num_slices:
+            raise ValueError(f"data axis {data} not divisible by "
+                             f"{self.num_slices} slices")
         return data, model
 
 

@@ -66,9 +66,12 @@ _TP_RULES = (
     (r"ff_out/b$", ("model",)),
     (r"proj_out/w$", (None, None, "model", None)),
     # CLIP MLP: Megatron column→row
-    (r"mlp/fc1/w$", (None, "model")),
-    (r"mlp/fc1/b$", ("model",)),
-    (r"mlp/fc2/w$", ("model", None)),
+    # segment-anchored: a bare "mlp/..." suffix would also match the
+    # UNet's time_mlp, which the layout deliberately replicates (tiny
+    # latency-bound matmuls — sharding them only buys collectives)
+    (r"(?:^|/)mlp/fc1/w$", (None, "model")),
+    (r"(?:^|/)mlp/fc1/b$", ("model",)),
+    (r"(?:^|/)mlp/fc2/w$", ("model", None)),
     # UNet ResBlock: conv1/temb column over cout, GN affine follows,
     # conv2 row over cin.  "resnet(s/<i>|1|2)" covers both the block lists
     # (down/up "resnets/0") and the mid block ("resnet1"/"resnet2").

@@ -147,6 +147,10 @@ def test_tp_spec_rules(tiny_cfg, tiny_params):
     assert u["geglu"]["w"] == P("model", None)
     assert u["ff_out"]["w"] == P(None, "model")
     assert u["proj_out"]["w"] == P(None, None, "model", None)
+    # time_mlp stays REPLICATED (latency-bound tiny matmuls; a bare
+    # mlp/ suffix rule used to catch it)
+    assert sp["unet"]["time_mlp"]["fc1"]["w"] == P()
+    assert sp["unet"]["time_mlp"]["fc2"]["w"] == P()
     r = sp["unet"]["mid"]["resnet1"]
     assert r["conv1"]["w"] == P(None, None, None, "model")
     assert r["conv2"]["w"] == P(None, None, "model", None)

@@ -295,3 +295,50 @@ def test_ddim_eta_variance():
     assert not np.allclose(np.asarray(det), np.asarray(z0))
     with pytest.raises(ValueError, match="noise"):
         S.ddim_step(SCHED, eps, t, t_prev, x_t, eta=0.5)
+
+
+def test_ddpm_strided_posterior_identities():
+    """ddpm_step over an arbitrary stride must keep the forward-process
+    marginals: stepping exact x_t = sqrt(a_t) x0 + sqrt(1-a_t) n with the
+    true-eps oracle yields signal coef sqrt(a_prev) and TOTAL noise
+    variance 1 - a_prev. The one-step-back posterior (diffusers 0.7.2's
+    DDPM bug) fails these at stride > 1 — a 50-step chain would retain
+    ~91% of the initial noise."""
+    ac = np.asarray(SCHED.alphas_cumprod, np.float64)
+    key = jax.random.key(3)
+    x = jnp.full((1, 4, 4, 1), 0.73, jnp.float32)
+    e = jnp.full((1, 4, 4, 1), -0.41, jnp.float32)
+    z = jnp.zeros_like(x)
+
+    for t_, tp_ in [(980, 960), (510, 490), (19, -1)]:
+        t = jnp.asarray(t_)
+        step = lambda xv, ev: np.asarray(S.ddpm_step(
+            SCHED, ev, t, xv, key, clip_sample=False,
+            t_prev=jnp.asarray(tp_)))[0, 0, 0, 0]
+        # the step is affine in (x, eps) with key-fixed additive noise:
+        # extract A (x coef), B (eps coef), and the noise term
+        A = (step(2 * x, z) - step(x, z)) / 0.73
+        B = (step(x, 2 * e) - step(x, e)) / -0.41
+        noise_term = step(x, e) - A * 0.73 - B * -0.41
+        a_t, a_prev = ac[t_], (ac[tp_] if tp_ >= 0 else 1.0)
+        # variance of the additive noise: beta_step (1-a_prev)/(1-a_t)
+        var = (1 - a_t / a_prev) * (1 - a_prev) / (1 - a_t)
+        # signal: A sqrt(a_t) == sqrt(a_prev)
+        np.testing.assert_allclose(A * np.sqrt(a_t), np.sqrt(a_prev),
+                                   rtol=1e-5)
+        # total noise: (A sqrt(1-a_t) + B)^2 + var == 1 - a_prev
+        C = A * np.sqrt(1 - a_t) + B
+        np.testing.assert_allclose(C * C + var, 1 - a_prev, atol=1e-6)
+        if tp_ < 0:
+            assert noise_term == 0.0  # final step adds no noise
+
+
+def test_inference_steps_bounds():
+    """num_inference_steps > T would make the stride 0 (all timesteps
+    collapse; every step a no-op; pure-noise output) — reject up front."""
+    import pytest
+
+    for bad in (0, 1001, 1500):
+        with pytest.raises(ValueError, match="num_inference_steps"):
+            S.inference_stride(CFG, bad)
+    assert S.inference_stride(CFG, 1000) == 1
