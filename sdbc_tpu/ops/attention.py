@@ -34,7 +34,17 @@ def xla_attention(q, k, v, *, causal: bool = False, scale: Optional[float] = Non
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                         preferred_element_type=jnp.float32) * scale
     if causal:
-        mask = jnp.tril(jnp.ones((sq, sk), dtype=bool))
+        if sq == sk:
+            mask = jnp.tril(jnp.ones((sq, sk), dtype=bool))
+        else:
+            # right-aligned: query i attends keys 0..i+(sk-sq) — the
+            # standard convention; a plain tril would cut every query off
+            # from the sk-sq oldest keys.  (The sq==sk branch is the same
+            # mask expressed as tril, kept separate so the CLIP graph's
+            # trace — and its TPU compile-cache key — stays byte-stable.)
+            qi = jnp.arange(sq)[:, None]
+            kj = jnp.arange(sk)[None, :]
+            mask = kj <= qi + (sk - sq)
         logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(q.dtype), v,
@@ -54,6 +64,10 @@ def attention(q, k, v, *, causal: bool = False, scale: Optional[float] = None,
         # heuristic and the pipeline's explicit inference dispatch, so
         # SDBC_ATTN_IMPL=xla really does force the reference XLA path
         impl = os.environ.get("SDBC_ATTN_IMPL", impl)
+    if impl not in ("auto", "inference", "xla", "flash", "flash_tt"):
+        # a typo'd ablation override silently benchmarking the XLA
+        # fallback would produce false kernel measurements
+        raise ValueError(f"unknown attention impl {impl!r}")
     if impl == "inference":
         # sampling-path dispatch (set by diffusion.pipeline): fixed-cap Pallas
         # kernel for the UNet's spatial self-attention, XLA for short-kv

@@ -33,8 +33,10 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
                 kv_len: int, block_kv: int, kv_pad: int):
+    # (scale is folded into q host-side — log2-space prescale — so the
+    # kernel itself never applies it)
     q = q_ref[0]                               # (bq, D) native dtype (bf16)
     num_kv = kv_pad // block_kv
     bq, d = q.shape
@@ -98,7 +100,7 @@ def _flash_fwd(q, k, v, scale: float, block_q: int = 512, block_kv: int = 1024):
     grid = (b * h, sq_pad // block_q)
     interpret = jax.default_backend() != "tpu"  # CPU tests run the same kernel
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, kv_len=sk,
+        functools.partial(_fwd_kernel, kv_len=sk,
                           block_kv=block_kv, kv_pad=kv_pad),
         grid=grid,
         in_specs=[
@@ -266,7 +268,7 @@ def _fixed_kernel_raw(q_ref, k_ref, v_ref, o_ref, *, block_kv: int,
 
 
 def _divisor_block(s: int, prefer: int) -> int:
-    for b in (prefer, 1024, 512, 256, 128):
+    for b in (prefer, 512, 256, 128):
         if b <= prefer and s % b == 0:
             return b
     return 0

@@ -82,13 +82,15 @@ def _dq_kernel(qs_ref, kl_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
 
 
 def _dkv_kernel(qs_ref, kl_ref, v_ref, do_ref, lse_ref, delta_ref,
-                dk_ref, dv_ref, *, kv_len, block_q, q_pad, block_kv):
+                dk_ref, dv_ref, *, block_q, q_pad):
+    # no padded-column masking needed here: padded kv columns only feed
+    # dk/dv ROWS that the caller slices off (their p values never touch a
+    # real output), so the per-iteration iota+select the forward kernel
+    # needs is pure waste in this, the hottest training kernel
     kl = kl_ref[0]
     v = v_ref[0]
     bkv, d = kl.shape
     num_q = q_pad // block_q
-    col = (pl.program_id(1) * block_kv
-           + jax.lax.broadcasted_iota(jnp.int32, (1, bkv), 1))
 
     dk = jnp.zeros((bkv, d), jnp.float32)
     dv = jnp.zeros((bkv, d), jnp.float32)
@@ -101,8 +103,6 @@ def _dkv_kernel(qs_ref, kl_ref, v_ref, do_ref, lse_ref, delta_ref,
             jnp.float32)[:, None]
         s2 = jax.lax.dot_general(qs, kl, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        if kv_len is not None:
-            s2 = jnp.where(col < kv_len, s2, _NEG_INF)
         p = jnp.exp2(s2 - lse2)
         pc = p.astype(do.dtype)
         dv = dv + jax.lax.dot_general(pc, do, (((0,), (0,)), ((), ())),
@@ -185,8 +185,7 @@ def flash_bwd(q, k, v, o, do, lse, scale: float,
     )(qs, kl, vp, dop, lse_p, delta_p)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, kv_len=sk,
-                          block_q=block_q, q_pad=sq_pad, block_kv=block_kv),
+        functools.partial(_dkv_kernel, block_q=block_q, q_pad=sq_pad),
         grid=(b * h, kv_pad // block_kv),
         in_specs=[
             pl.BlockSpec((1, sq_pad, d_pad), lambda i, j: (i, 0, 0),

@@ -34,7 +34,7 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _fwd_tt_kernel(qt_ref, kt_ref, vt_ref, o_ref, lse_ref, *, scale: float,
+def _fwd_tt_kernel(qt_ref, kt_ref, vt_ref, o_ref, lse_ref, *,
                    kv_len: int, block_kv: int, kv_pad: int):
     qt = qt_ref[0]                                  # (d, bq) native dtype
     d, bq = qt.shape
@@ -98,7 +98,7 @@ def _flash_fwd_tt(q, k, v, scale: float, block_q: int = 256,
     grid = (b * h, sq_pad // block_q)
     interpret = jax.default_backend() != "tpu"
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_tt_kernel, scale=scale, kv_len=sk,
+        functools.partial(_fwd_tt_kernel, kv_len=sk,
                           block_kv=block_kv, kv_pad=kv_pad),
         grid=grid,
         in_specs=[

@@ -32,7 +32,13 @@ def _fan_in_uniform(key, shape, fan_in, dtype=jnp.float32):
 
 
 def init_linear(key, in_dim: int, out_dim: int, use_bias: bool = True, dtype=jnp.float32):
+    # DELIBERATE deviation from torch nn.Linear's kaiming-uniform default:
+    # normal/sqrt(fan_in) weights + zero bias.  Real runs always port
+    # pretrained weights (models/port.py), so init parity is immaterial to
+    # reference behavior, and the golden-activation fixtures pin this
+    # stream.  (bk reserved: consuming it would shift every init draw.)
     wk, bk = jax.random.split(key)
+    del bk
     scale = 1.0 / math.sqrt(in_dim)
     p = {"w": jax.random.normal(wk, (in_dim, out_dim), dtype) * scale}
     if use_bias:

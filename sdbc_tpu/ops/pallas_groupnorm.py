@@ -31,7 +31,7 @@ _ROW_TILE = 256
 
 
 def _gn_kernel(x_ref, m_ref, scale_ref, bias_ref, y_ref, *, eps: float,
-               count: float, silu: bool, hw_len: int):
+               count: float, silu: bool):
     """x stays VMEM-resident; fp32 temporaries live only per ROW_TILE slab
     (Mosaic materialises whole-block intermediates on the VMEM stack, so
     whole-block fp32 math OOMs at (4096, 320))."""
@@ -83,8 +83,7 @@ def _gn_fwd(x2d, m, scale, bias, num_groups: int, eps: float, silu: bool):
     interpret = jax.default_backend() != "tpu"
     count = float(hw * (c // num_groups))
     out = pl.pallas_call(
-        functools.partial(_gn_kernel, eps=eps, count=count, silu=silu,
-                          hw_len=hw),
+        functools.partial(_gn_kernel, eps=eps, count=count, silu=silu),
         grid=(n,),
         in_specs=[
             pl.BlockSpec((1, hw_pad, c), lambda i: (i, 0, 0),
@@ -137,8 +136,7 @@ def eligible(x, num_groups: int) -> bool:
         return False
     c = x.shape[-1]
     per_sample = (x.size // x.shape[0]) * 4  # fp32 working copy in VMEM
-    return (c % 128 == 0 or c % num_groups == 0) and \
-        per_sample <= _VMEM_BYTES_LIMIT and c % num_groups == 0
+    return c % num_groups == 0 and per_sample <= _VMEM_BYTES_LIMIT
 
 
 def fused_group_norm(p, x, num_groups: int = 32, eps: float = 1e-6,

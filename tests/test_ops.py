@@ -251,3 +251,29 @@ def test_flash_attention_int8_close_to_exact():
         out = _flash_fixed_fwd_int8(q, k, v, d ** -0.5, 256, 256)
         rel = float(jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref)))
         assert rel < 0.04, rel
+
+
+def test_causal_mask_right_aligned_for_rectangular():
+    """causal with sq != sk uses the standard right-aligned convention:
+    query i attends keys 0..i+(sk-sq). A left-aligned tril would cut every
+    query off from the sk-sq oldest keys."""
+    from sdbc_tpu.ops.attention import xla_attention
+
+    key = jax.random.key(0)
+    q = jax.random.normal(key, (1, 1, 2, 8))
+    k = jax.random.normal(jax.random.key(1), (1, 1, 4, 8))
+    v = jax.random.normal(jax.random.key(2), (1, 1, 4, 8))
+    out = xla_attention(q, k, v, causal=True)
+    # query 0 attends keys 0..2, query 1 attends all 4: equal to explicit
+    # softmax over those slices
+    import numpy as np
+
+    def ref_row(qi, nkeys):
+        s = (q[0, 0, qi] @ k[0, 0, :nkeys].T) * (8 ** -0.5)
+        w = np.exp(s - s.max()); w /= w.sum()
+        return w @ v[0, 0, :nkeys]
+
+    np.testing.assert_allclose(np.asarray(out[0, 0, 0]), ref_row(0, 3),
+                               rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(out[0, 0, 1]), ref_row(1, 4),
+                               rtol=2e-5)
