@@ -45,6 +45,9 @@ bool decode_jpeg(const char* path, std::vector<unsigned char>* rgb, int* w,
   if (!f) return false;
   jpeg_decompress_struct cinfo;
   JpegErr jerr;
+  // declared BEFORE setjmp: a longjmp from a mid-decode error must not
+  // skip the vector's destructor (UB + per-corrupt-image heap leak)
+  std::vector<unsigned char*> rows;
   cinfo.err = jpeg_std_error(&jerr.mgr);
   jerr.mgr.error_exit = jpeg_err_exit;
   if (setjmp(jerr.jump)) {
@@ -60,7 +63,7 @@ bool decode_jpeg(const char* path, std::vector<unsigned char>* rgb, int* w,
   *w = cinfo.output_width;
   *h = cinfo.output_height;
   rgb->resize(size_t(*w) * (*h) * 3);
-  std::vector<unsigned char*> rows(*h);
+  rows.resize(*h);
   for (int y = 0; y < *h; ++y) rows[y] = rgb->data() + size_t(y) * (*w) * 3;
   while (cinfo.output_scanline < cinfo.output_height) {
     jpeg_read_scanlines(&cinfo, rows.data() + cinfo.output_scanline,
