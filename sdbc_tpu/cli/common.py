@@ -47,7 +47,10 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--run_id", type=str, default="dev")
     p.add_argument("--tokenizer_dir", type=str, default="",
                    help="dir with CLIP vocab.json+merges.txt")
-    p.add_argument("--scheduler", type=str, default="ddim",
+    # default None = "not explicitly chosen": fresh runs resolve to ddim,
+    # checkpoint loads KEEP the checkpoint's scheduler (an argparse default
+    # would silently flip a resumed pndm run back to ddim)
+    p.add_argument("--scheduler", type=str, default=None,
                    choices=["ddim", "pndm", "ddpm", "dpm"])
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--prompt_bank", type=str, default="native",
@@ -105,7 +108,9 @@ def resolve_params_cfg(args):
             args.wandb_artifact_run, getattr(args, "wandb_key", ""),
             version=args.wandb_artifact_version)
         params, cfg = ckpt_mod.load_pipeline(path)
-        return params, dataclasses.replace(cfg, scheduler=args.scheduler)
+        if args.scheduler is not None:
+            cfg = dataclasses.replace(cfg, scheduler=args.scheduler)
+        return params, cfg
 
     if getattr(args, "diffusers_ckpt", ""):
         from sdbc_tpu.models.port import (pipeline_config_from_diffusers,
@@ -116,16 +121,18 @@ def resolve_params_cfg(args):
         # load_model reconstructs from any save_pretrained dir,
         # utils.py:181-230) — not assumed SD-1.5
         cfg = pipeline_config_from_diffusers(args.diffusers_ckpt,
-                                             args.scheduler)
+                                             args.scheduler or "ddim")
         return params, cfg
 
     if args.ckpt:
         params, cfg = ckpt_mod.load_pipeline(args.ckpt)
-        cfg = dataclasses.replace(cfg, scheduler=args.scheduler)
+        if args.scheduler is not None:
+            cfg = dataclasses.replace(cfg, scheduler=args.scheduler)
         return params, cfg
 
-    cfg = (PipelineConfig.tiny(args.scheduler) if args.tiny
-           else PipelineConfig.sd15(args.scheduler))
+    sched = args.scheduler or "ddim"
+    cfg = (PipelineConfig.tiny(sched) if args.tiny
+           else PipelineConfig.sd15(sched))
     if not args.tiny:
         print("WARNING: no --ckpt given; using RANDOM SD-1.5 weights "
               "(zero-egress image — port real weights via models/port.py)")

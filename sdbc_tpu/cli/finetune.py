@@ -128,7 +128,9 @@ def main(argv=None):
 
         print(f"resuming from {resume_path}")
         params, cfg = ckpt_mod.load_pipeline(resume_path)
-        cfg = dataclasses.replace(cfg, scheduler=args.scheduler)
+        if args.scheduler is not None:  # explicit flag only: a resumed
+            # run keeps its checkpointed scheduler by default
+            cfg = dataclasses.replace(cfg, scheduler=args.scheduler)
         resume_meta = ckpt_mod.load_metadata(resume_path)
     else:
         params, cfg = common.resolve_params_cfg(args)
@@ -227,6 +229,14 @@ def main(argv=None):
 
     profiling = False
     run_steps = 0  # steps executed by THIS process (gstep spans resumes)
+    # warmup-aware steady-state rate (utils/profiling.StepTimer): the first
+    # step includes the XLA compile, so its raw rate is a wildly low
+    # outlier — it is excluded from the steady rate AND not logged at all
+    # (steady_times falls back to the full list until warmup is exceeded).
+    # One timer for the whole run: per-epoch recreation would re-admit the
+    # outlier at every epoch start.
+    timer = StepTimer(micro_global * args.grad_acc_steps,
+                      n_chips=jax.device_count(), warmup=1)
 
     def stop_profile():
         # every exit path must flush an open trace or the dump is lost
@@ -251,11 +261,6 @@ def main(argv=None):
                                  latent_cache=latents_mm,
                                  epoch=epoch)  # host-independent prompt draws
         running, running_n = 0.0, 0
-        # warmup-aware steady-state rate (utils/profiling.StepTimer): the
-        # first step's time includes the XLA compile, so the raw per-step
-        # rate would pollute events.jsonl with a wildly low outlier
-        timer = StepTimer(micro_global * args.grad_acc_steps,
-                          n_chips=jax.device_count(), warmup=1)
         t0 = time.perf_counter()
         for batch in loader:
             # profile a 3-step window after warmup, RELATIVE to this run
@@ -276,15 +281,19 @@ def main(argv=None):
             running_n += 1
             timer.times.append(time.perf_counter() - t0)
             t0 = time.perf_counter()
-            imgs_per_s = timer.images_per_sec_per_chip() * timer.n_chips
+            warm = len(timer.times) > timer.warmup
+            imgs_per_s = (timer.images_per_sec_per_chip() * timer.n_chips
+                          if warm else 0.0)
             skipped = int(metrics.get("notfinite_count", 0))
             tracker.log({"loss": loss, "epoch": epoch,
-                         "images_per_sec": imgs_per_s,
-                         "skipped_updates": skipped}, step=gstep)
+                         "skipped_updates": skipped,
+                         **({"images_per_sec": imgs_per_s} if warm else {})},
+                        step=gstep)
             warn = "" if bool(metrics.get("finite", True)) else \
                 f"  [non-finite update SKIPPED; {skipped} total]"
-            print(f"epoch {epoch} step {gstep} loss {loss:.4f} "
-                  f"({imgs_per_s:.2f} img/s){warn}", flush=True)
+            rate = f" ({imgs_per_s:.2f} img/s)" if warm else " (compiling)"
+            print(f"epoch {epoch} step {gstep} loss {loss:.4f}"
+                  f"{rate}{warn}", flush=True)
 
             if gstep % ckpt_every == 0:
                 mean_loss = running / running_n

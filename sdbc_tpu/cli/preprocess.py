@@ -16,9 +16,13 @@ def main(argv=None):
     p.add_argument("--source_csv", type=str, default="book_data.csv")
     p.add_argument("--n_test", type=int, default=5000)
     p.add_argument("--english_threshold", type=float, default=0.97)
+    p.add_argument("--reverify", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="re-decode both splits before writing (notebook "
+                        "cell 17; ~2x wall-clock)")
     args = p.parse_args(argv)
     preprocess(args.data_root, args.source_csv, args.n_test,
-               args.english_threshold)
+               args.english_threshold, reverify=args.reverify)
 
 
 if __name__ == "__main__":

@@ -178,9 +178,10 @@ def make_dataloader(dataset: GoodreadsDataset, micro_batch: int,
     the process-local visit count (required for multi-host determinism —
     see GoodreadsDataset.set_epoch).
     """
-    # unconditional: a later epoch=None loader must not silently replay a
-    # previously-set epoch's prompt draws
-    dataset.set_epoch(epoch if epoch is not None else 0)
+    # unconditional (None included): a later epoch=None loader must not
+    # silently replay a previously-set epoch's prompt draws — None restores
+    # the per-process visit-count mode (see set_epoch)
+    dataset.set_epoch(epoch)
     step = micro_batch * grad_accum
     order = list(range(len(dataset)))
     rng = random.Random(seed)

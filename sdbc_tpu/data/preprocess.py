@@ -6,7 +6,9 @@ Implements Data_preprocessing.ipynb (SURVEY.md C15, cells 3-17) as functions:
   3. non-English filter: keep-ratio of [ascii-ish chars] / len ≥ threshold
      (0.97 in the notebook) — dropped rows exported for inspection
   4. split the LAST n_test rows as df_test.csv, rest df_train.csv
-  5. re-verify image readability of both splits
+  5. optional --reverify: repeat the readability check on both splits
+     (notebook cell 17; step 1 already fully decodes every image, so this
+     only guards against files changing mid-run)
 """
 from __future__ import annotations
 
@@ -57,8 +59,15 @@ def readable_indices(df, image_dir: str, verbose: bool = False,
 
 def preprocess(data_root: str, source_csv: str = "book_data.csv",
                n_test: int = 5000, english_threshold: float = 0.97,
-               verbose: bool = True) -> Tuple[str, str]:
-    """Run the full pipeline; writes df_train.csv / df_test.csv in data_root."""
+               verbose: bool = True, reverify: bool = False) -> Tuple[str, str]:
+    """Run the full pipeline; writes df_train.csv / df_test.csv in data_root.
+
+    reverify=True repeats the full-decode readability check on both splits
+    just before writing (notebook cell 17's integrity re-read).  Step 1
+    already fully decodes every image in THIS invocation, so the re-pass
+    only guards against files changing on disk mid-run — roughly doubling
+    preprocess wall-clock; off by default (--reverify on the CLI).
+    """
     import pandas as pd
 
     df = pd.read_csv(os.path.join(data_root, source_csv), index_col=0)
@@ -89,18 +98,19 @@ def preprocess(data_root: str, source_csv: str = "book_data.csv",
     df_test = df.iloc[len(df) - n_test:]
     df_train = df.iloc[: len(df) - n_test]
 
-    # step 5: re-verify both splits before writing (notebook cell 17 —
-    # files can change between the first check and the split)
-    for name, part in (("train", df_train), ("test", df_test)):
-        ok = readable_indices(part, image_dir)
-        if len(ok) < len(part):
-            if verbose:
-                print(f"re-verify: dropping {len(part) - len(ok)} "
-                      f"unreadable {name} rows")
-            if name == "train":
-                df_train = part.loc[ok]
-            else:
-                df_test = part.loc[ok]
+    if reverify:
+        # step 5 (opt-in): re-verify both splits before writing (notebook
+        # cell 17 — guards against files changing since step 1's decode)
+        for name, part in (("train", df_train), ("test", df_test)):
+            ok = readable_indices(part, image_dir)
+            if len(ok) < len(part):
+                if verbose:
+                    print(f"re-verify: dropping {len(part) - len(ok)} "
+                          f"unreadable {name} rows")
+                if name == "train":
+                    df_train = part.loc[ok]
+                else:
+                    df_test = part.loc[ok]
 
     train_path = os.path.join(data_root, "df_train.csv")
     test_path = os.path.join(data_root, "df_test.csv")

@@ -440,11 +440,14 @@ class SDPipeline:
             if latents.shape[-1] != self.cfg.unet.in_channels \
                     and latents.shape[1] == self.cfg.unet.in_channels:
                 latents = jnp.transpose(latents, (0, 2, 3, 1))
-            if latents.shape[0] > len(prompts):
+            if latents.shape[0] > b:
+                # compare against the REQUESTED count, not the bucket-padded
+                # prompt list: extra latents that happen to fit the bucket
+                # would silently feed the "" padding slots
                 raise ValueError(
-                    f"{latents.shape[0]} latents for {b} prompts — the "
-                    "mismatch would only surface as an opaque shape error "
-                    "inside the UNet trace")
+                    f"{latents.shape[0]} latents for {b} requested images — "
+                    "the mismatch would only surface as an opaque shape "
+                    "error inside the UNet trace")
             if latents.shape[0] < len(prompts):  # pad to the bucket
                 reps = [latents[-1:]] * (len(prompts) - latents.shape[0])
                 latents = jnp.concatenate([latents] + reps, axis=0)

@@ -134,19 +134,33 @@ def build_latent_cache(dataset, vae_params, vae_cfg, compute_dtype,
         raise TimeoutError(
             f"waited 2h for process 0 to build the latent cache at {path}")
 
-    # sweep orphaned tmp dirs from crashed builders (pid no longer alive):
-    # each holds multi-GB memmaps that would otherwise accumulate forever
+    # sweep orphaned tmp dirs from crashed builders — each holds multi-GB
+    # memmaps that would otherwise accumulate forever.  Two guards, BOTH
+    # required: pid-dead (local liveness; a pid from another NFS host or a
+    # reused pid is inconclusive) AND nothing written for an hour (a live
+    # builder on any host touches its memmaps far more often)
     import glob
     import shutil
+    import time as _time
 
     for stale in glob.glob(f"{path}.tmp.*"):
         try:
             pid = int(stale.rsplit(".", 1)[1])
-            os.kill(pid, 0)  # raises if the builder is gone
-        except (ValueError, ProcessLookupError):
-            shutil.rmtree(stale, ignore_errors=True)
+            os.kill(pid, 0)  # raises if no LOCAL process has this pid
+            continue  # a live local process — certainly not orphaned
+        except ValueError:
+            continue  # not our naming scheme — leave it
         except PermissionError:
-            pass  # alive under another uid — leave it
+            continue  # alive under another uid
+        except ProcessLookupError:
+            pass
+        try:
+            newest = max((os.path.getmtime(os.path.join(stale, f))
+                          for f in os.listdir(stale)), default=0.0)
+            if _time.time() - newest > 3600:
+                shutil.rmtree(stale, ignore_errors=True)
+        except OSError:
+            pass
 
     # build into a private tmp dir, then atomically rename into place:
     # concurrent single-host builders (two finetune runs sharing a

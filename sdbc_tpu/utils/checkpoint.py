@@ -54,10 +54,13 @@ def save_pipeline(path: str, params: dict, cfg: PipelineConfig,
     # completeness marker latest_checkpoint() keys resume on, so a kill
     # mid-save leaves a dir that resume skips instead of a torn restore
     ckptr.wait_until_finished()
-    with open(os.path.join(path, "config.json"), "w") as f:
-        json.dump(config_to_json(cfg), f, indent=2)
+    # metadata BEFORE config.json: config.json is the completeness marker,
+    # so nothing may be written after it (a kill in between would yield a
+    # "complete" checkpoint whose resume restarts at step 0)
     with open(os.path.join(path, "metadata.json"), "w") as f:
         json.dump(metadata or {}, f, indent=2, default=float)
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(config_to_json(cfg), f, indent=2)
 
 
 def load_pipeline(path: str, template_params: Optional[dict] = None,
