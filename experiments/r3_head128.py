@@ -1,0 +1,146 @@
+"""Round-3 lead 3: pad head_dim 40 → 128 inside the projection weights.
+
+Hypothesis: the ~2.9 ms/step of head split/merge layout copies (roofline
+bucket "layout copies", 145 ms/call at 91% HBM efficiency) exist because
+(b,s,h·40) → (b,h,s,40) relayouts move 40-wide lanes.  Zero-padding each
+head to 128 inside W_q/W_k/W_v (and the matching rows of W_o) makes the
+reshape lane-aligned and feeds the flash kernel its native 128-lane width
+with no in-kernel pad.  The price: 3.2× projection FLOPs + 3.2× HBM bytes
+on the q/k/v/out tensors.  QK^T and PV are exact (zero columns contribute
+zero); the softmax scale must stay 40^-0.5.
+
+Measured at the 64² self-attention layer (b=8 CFG, 4096 tokens, 320ch,
+8 heads) — the sampling hot path runs 5 such instances per step.
+"""
+import functools
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sdbc_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+from sdbc_tpu.models import unet
+from sdbc_tpu.ops import nn
+from sdbc_tpu.ops.flash_attention import flash_attention_fixed
+
+
+def sync(x):
+    return np.asarray(jax.block_until_ready(x)).ravel()[:1]
+
+
+def sync_retry(fn, n, attempts=8):
+    for a in range(attempts):
+        try:
+            return sync(fn(n))
+        except Exception as e:
+            print(f"compile attempt {a}: {type(e).__name__} "
+                  f"{str(e)[:120]}", flush=True)
+            time.sleep(20)
+    raise RuntimeError("remote compile kept failing")
+
+
+def slope(fn, n1=10, n2=110, reps=3):
+    sync_retry(fn, n1)
+    t1 = min(
+        (lambda t0: (sync(fn(n1)), time.perf_counter() - t0)[1])(time.perf_counter())
+        for _ in range(reps))
+    t2 = min(
+        (lambda t0: (sync(fn(n2)), time.perf_counter() - t0)[1])(time.perf_counter())
+        for _ in range(reps))
+    return (t2 - t1) / (n2 - n1), t1
+
+
+def pad_heads(p, heads, hd, hd_pad):
+    """Zero-pad per-head columns of W_q/k/v and rows of W_o to hd_pad."""
+    def pad_cols(w):  # (din, h*hd) -> (din, h*hd_pad)
+        din = w.shape[0]
+        w = w.reshape(din, heads, hd)
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, hd_pad - hd)))
+        return w.reshape(din, heads * hd_pad)
+
+    def pad_rows(w):  # (h*hd, dout) -> (h*hd_pad, dout)
+        dout = w.shape[1]
+        w = w.reshape(heads, hd, dout)
+        w = jnp.pad(w, ((0, 0), (0, hd_pad - hd), (0, 0)))
+        return w.reshape(heads * hd_pad, dout)
+
+    return {
+        "q": {"w": pad_cols(p["q"]["w"])},
+        "k": {"w": pad_cols(p["k"]["w"])},
+        "v": {"w": pad_cols(p["v"]["w"])},
+        "o": {"w": pad_rows(p["o"]["w"]), "b": p["o"]["b"]},
+    }
+
+
+def mha_legacy(p, x, heads):
+    b, s, dim = x.shape
+    hd = dim // heads
+
+    def split(t):
+        return t.reshape(b, -1, heads, hd).transpose(0, 2, 1, 3)
+
+    q, k, v = (split(nn.linear(p[n], x)) for n in ("q", "k", "v"))
+    a = flash_attention_fixed(q, k, v)
+    a = a.transpose(0, 2, 1, 3).reshape(b, s, dim)
+    return nn.linear(p["o"], a)
+
+
+def mha_packed(pp, x, heads, hd, hd_pad):
+    b, s, dim = x.shape
+
+    def split(t):
+        return t.reshape(b, -1, heads, hd_pad).transpose(0, 2, 1, 3)
+
+    q, k, v = (split(nn.linear(pp[n], x)) for n in ("q", "k", "v"))
+    a = flash_attention_fixed(q, k, v, scale=hd ** -0.5)
+    a = a.transpose(0, 2, 1, 3).reshape(b, s, heads * hd_pad)
+    return nn.linear(pp["o"], a)
+
+
+def main():
+    dt = jnp.bfloat16
+    dim, heads, hw, b = 320, 8, 64, 8
+    hd = dim // heads
+    key = jax.random.key(0)
+    p = jax.tree.map(lambda x: x.astype(dt),
+                     unet._init_mha(key, dim, dim, heads))
+    x0 = (jax.random.normal(jax.random.key(1), (b, hw * hw, dim)) * 0.3
+          ).astype(dt)
+
+    variants = {"legacy(d=40)": functools.partial(mha_legacy, p, heads=heads)}
+    for hd_pad in (64, 128):
+        pp = pad_heads(p, heads, hd, hd_pad)
+        variants[f"packed(d={hd_pad})"] = functools.partial(
+            mha_packed, pp, heads=heads, hd=hd, hd_pad=hd_pad)
+
+    # correctness first: packed must equal legacy (bf16 tolerance)
+    ref = jax.jit(variants["legacy(d=40)"])(x0)
+    for name, fn in variants.items():
+        out = jax.jit(fn)(x0)
+        d = float(jnp.abs(out.astype(jnp.float32)
+                          - ref.astype(jnp.float32)).max())
+        print(f"{name}: max|Δ| vs legacy = {d:.4g}", flush=True)
+        assert d < 0.02, (name, d)
+
+    for name, fn in variants.items():
+        @jax.jit
+        def loop(n, fn=fn):
+            def body(i, x):
+                return x + 0.001 * fn(x)
+
+            return jax.lax.fori_loop(0, n, body, x0)
+
+        per, base = slope(loop)
+        print(f"mha 64² b={b} {name}: {per*1000:.2f} ms/iter", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -44,6 +44,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--negative_prompt", type=str, default="",
                    help="CFG unconditional text (enter_prompt mode; "
                         "diffusers StableDiffusionPipeline parameter)")
+    p.add_argument("--init_image", type=str, default="",
+                   help="enter_prompt mode: path to an image → img2img "
+                        "(re-diffuse it under --prompt; the diffusers "
+                        "Img2Img surface of the reference's engine)")
+    p.add_argument("--mask_image", type=str, default="",
+                   help="with --init_image: path to a mask image (white = "
+                        "regenerate) → inpainting")
+    p.add_argument("--strength", type=float, default=0.8,
+                   help="img2img strength in (0,1]: fraction of the "
+                        "diffusion run re-applied to --init_image")
     p.add_argument("--samples_per_prompt", type=int, default=None,
                    help="images per prompt/template (grids default 2; "
                         "enter_prompt defaults 1)")
@@ -129,13 +139,29 @@ def main(argv=None):
     if args.mode == "enter_prompt":
         if not args.prompt:
             raise SystemExit("--prompt is required with --mode enter_prompt")
+        if args.mask_image and not args.init_image:
+            raise SystemExit("--mask_image (inpainting) requires --init_image")
+        init_image = mask_image = None
+        if args.init_image:
+            from PIL import Image
+
+            if not os.path.exists(args.init_image):
+                raise SystemExit(f"--init_image {args.init_image} not found")
+            init_image = Image.open(args.init_image)
+            if args.mask_image:
+                if not os.path.exists(args.mask_image):
+                    raise SystemExit(
+                        f"--mask_image {args.mask_image} not found")
+                mask_image = Image.open(args.mask_image)
         imgs = pipe([args.prompt], height=args.img_size, width=args.img_size,
                     num_inference_steps=args.num_inference_steps,
                     guidance_scale=args.guidance_scale, seed=args.seed,
                     cache_interval=args.cache_interval,
                     cache_tail=args.cache_tail,
                     negative_prompt=args.negative_prompt or None,
-                    num_images_per_prompt=args.samples_per_prompt)
+                    num_images_per_prompt=args.samples_per_prompt,
+                    init_image=init_image, strength=args.strength,
+                    mask_image=mask_image)
         pils = pipe.numpy_to_pil(imgs)
         # prompt text becomes a filename: strip path separators ('/' would
         # point into a nonexistent subdir and lose the generated image)

@@ -65,12 +65,13 @@ def encode_text(params, ids, cfg: PipelineConfig, compute_dtype=jnp.bfloat16):
     jax.jit,
     static_argnames=("cfg", "num_inference_steps", "compute_dtype", "decode",
                      "cache_interval", "cache_tail", "attn_impl",
-                     "chunked_decode"))
+                     "chunked_decode", "t_start"))
 def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
            *, cfg: PipelineConfig, num_inference_steps: int = 50,
            compute_dtype=jnp.bfloat16, decode: bool = True,
            cache_interval: int = 0, cache_tail: int = 0,
-           attn_impl: str = "inference", chunked_decode=None):
+           attn_impl: str = "inference", chunked_decode=None,
+           init_image=None, t_start: int = 0, mask=None):
     """Run the full CFG sampling graph.
 
     params: {"text_encoder", "unet", "vae"} param trees (fp32 masters; cast here)
@@ -84,12 +85,42 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
       Pallas kernel on TPU; "xla" = partitionable einsum path — required
       when the params are model-axis (TP) sharded, since the SPMD
       partitioner cannot split a pallas_call)
+
+    img2img / inpainting (the diffusers-0.7.2 Img2Img / Inpaint pipeline
+    surface of the reference's engine — the reference itself only drives
+    text-to-image, inference.py:342-351):
+      init_image: (B, H, W, 3) float in [0, 1].  When given, ``latents``
+        is interpreted as the NOISE added to the VAE-encoded init image at
+        timestep ts[t_start] (the diffusers img2img protocol) instead of
+        the starting latent itself.
+      t_start: static loop start index into the timestep grid; use
+        ``img2img_t_start`` for the strength → t_start map.
+      mask: (B, h/8, w/8, 1) float in [0, 1]; 1 = regenerate (white in the
+        diffusers mask convention), 0 = keep the init image.  After each
+        scheduler step the kept region is replaced by the init latents
+        noised to the CURRENT noise level (clean at the final step) —
+        the corrected blend semantics (diffusers 0.7.2 blended at the
+        pre-step level, acknowledged upstream and fixed in later releases;
+        same deliberate-fix policy as the strided DDPM posterior).
+      Supported for ddim/dpm/ddpm; PNDM's multistep warmup does not
+      truncate cleanly (diffusers' own PLMS img2img re-runs the warmup at
+      t_start, changing the method's order) — rejected loudly.
     Returns (B, H, W, 3) float images in [0, 1] (or raw latents if decode=False).
     """
     if cache_interval and cache_interval > 1 and cfg.scheduler not in (
             "ddim", "dpm"):
         raise ValueError("cache_interval (DeepCache fast mode) is implemented "
                          "for the ddim and dpm schedulers only")
+    if (init_image is not None or t_start or mask is not None) \
+            and cfg.scheduler == "pndm":
+        raise ValueError("img2img/inpaint (init_image/t_start/mask) is "
+                         "implemented for the ddim, dpm and ddpm schedulers "
+                         "only — PNDM's multistep warmup does not truncate "
+                         "cleanly at t_start")
+    if mask is not None and init_image is None:
+        raise ValueError("mask (inpainting) requires init_image")
+    if not 0 <= t_start <= num_inference_steps:
+        raise ValueError(f"t_start={t_start} outside [0, {num_inference_steps}]")
     sched = sched_mod.make_schedule(cfg.schedule)
     dt = compute_dtype
 
@@ -99,6 +130,39 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
     uparams = params["unet"]
     lat = latents.astype(dt)
     gs = jnp.asarray(guidance_scale, jnp.float32)
+
+    orig_lat = noise0 = None
+    if init_image is not None:
+        k_enc, key = jax.random.split(key)
+        mean, logvar = vae_mod.encode_moments(
+            params["vae"], init_image.astype(dt) * 2.0 - 1.0, cfg.vae)
+        orig_lat = (vae_mod.sample(mean, logvar, k_enc).astype(jnp.float32)
+                    * cfg.vae.scaling_factor)
+        noise0 = latents.astype(jnp.float32)
+
+    def noise_to(ts_first):
+        """Start latent: init latents noised to the grid's first timestep."""
+        return sched_mod.ddpm_add_noise(
+            sched, orig_lat, noise0, jnp.full((orig_lat.shape[0],), ts_first,
+                                              jnp.int32)).astype(dt)
+
+    if mask is not None:
+        keep = (1.0 - mask.astype(jnp.float32))
+
+        def blend(lat_next, t_next):
+            """Replace the kept region by the init latents at t_next's
+            noise level (clean original once t_next < 0, the final step)."""
+            tb = jnp.full((orig_lat.shape[0],), jnp.maximum(t_next, 0),
+                          jnp.int32)
+            noised = jnp.where(
+                t_next >= 0,
+                sched_mod.ddpm_add_noise(sched, orig_lat, noise0, tb),
+                orig_lat)
+            out = (noised * keep
+                   + lat_next.astype(jnp.float32) * (1.0 - keep))
+            return out.astype(lat_next.dtype)
+    else:
+        blend = None
 
     def model_out_fn(lat, t, tp=None):
         lat2 = jnp.concatenate([lat, lat], axis=0)
@@ -167,6 +231,9 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
     if cfg.scheduler == "ddim":
         ts = sched_mod.ddim_timesteps(cfg.schedule, num_inference_steps)
         ratio = sched_mod.inference_stride(cfg.schedule, num_inference_steps)
+        if orig_lat is not None:
+            lat = noise_to(ts[t_start]) if t_start < num_inference_steps \
+                else orig_lat.astype(dt)
         # hoist the per-ResBlock time projections out of the loop (~3.5 ms/
         # step of latency-bound (8,1280)-sized matmuls at SD-1.5 shapes)
         tproj = unet_mod.precompute_temb(uparams, ts, cfg.unet, dtype=dt)
@@ -178,26 +245,35 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
                 lat, cache = carry
                 t = ts[i]
                 out, cache = model_out_cached(lat, t, i, cache)
-                return sched_mod.ddim_step(sched, out, t, t - ratio, lat,
-                                           prediction_type=cfg.schedule.prediction_type), cache
+                nlat = sched_mod.ddim_step(sched, out, t, t - ratio, lat,
+                                           prediction_type=cfg.schedule.prediction_type)
+                if blend is not None:
+                    nlat = blend(nlat, t - ratio)
+                return nlat, cache
 
-            lat, _ = jax.lax.fori_loop(0, num_inference_steps, body,
+            lat, _ = jax.lax.fori_loop(t_start, num_inference_steps, body,
                                        (lat, cache0))
         else:
             def body(i, lat):
                 t = ts[i]
                 out = model_out_fn(lat, t, unet_mod.index_temb(tproj, i))
-                return sched_mod.ddim_step(
+                nlat = sched_mod.ddim_step(
                     sched, out, t, t - ratio, lat,
                     prediction_type=cfg.schedule.prediction_type)
+                if blend is not None:
+                    nlat = blend(nlat, t - ratio)
+                return nlat
 
-            lat = jax.lax.fori_loop(0, num_inference_steps, body, lat)
+            lat = jax.lax.fori_loop(t_start, num_inference_steps, body, lat)
 
     elif cfg.scheduler == "dpm":
         # DPM-Solver++(2M): DDIM-level quality at ~20-25 steps (bonus
         # scheduler beyond the reference's three)
         ts = sched_mod.dpm_timesteps(cfg.schedule, num_inference_steps)
         ratio = sched_mod.inference_stride(cfg.schedule, num_inference_steps)
+        if orig_lat is not None:
+            lat = noise_to(ts[t_start]) if t_start < num_inference_steps \
+                else orig_lat.astype(dt)
         tproj = unet_mod.precompute_temb(uparams, ts, cfg.unet, dtype=dt)
         # lower-order-final safeguard (diffusers semantics): at small step
         # counts the last step drops to first order for stability
@@ -222,9 +298,11 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
                 state, lat = sched_mod.dpm_step(sched, cfg.schedule, state,
                                                 out, t, t - ratio, lat,
                                                 first_order=first)
+                if blend is not None:
+                    lat = blend(lat, t - ratio)
                 return state, lat, cache
 
-            _, lat, _ = jax.lax.fori_loop(0, num_inference_steps, body,
+            _, lat, _ = jax.lax.fori_loop(t_start, num_inference_steps, body,
                                           (state0, lat, cache0))
         else:
             def body(i, carry):
@@ -236,9 +314,11 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
                 state, lat = sched_mod.dpm_step(sched, cfg.schedule, state,
                                                 eps, t, t - ratio, lat,
                                                 first_order=first)
+                if blend is not None:
+                    lat = blend(lat, t - ratio)
                 return state, lat
 
-            _, lat = jax.lax.fori_loop(0, num_inference_steps, body,
+            _, lat = jax.lax.fori_loop(t_start, num_inference_steps, body,
                                        (state0, lat))
 
     elif cfg.scheduler == "pndm":
@@ -259,6 +339,9 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
     elif cfg.scheduler == "ddpm":
         ratio = sched_mod.inference_stride(cfg.schedule, num_inference_steps)
         ts = (jnp.arange(num_inference_steps) * ratio)[::-1].astype(jnp.int32)
+        if orig_lat is not None:
+            lat = noise_to(ts[t_start]) if t_start < num_inference_steps \
+                else orig_lat.astype(dt)
         tproj = unet_mod.precompute_temb(uparams, ts, cfg.unet, dtype=dt)
 
         def body(i, carry):
@@ -268,11 +351,14 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
             eps = eps_fn(lat, t, unet_mod.index_temb(tproj, i))
             # posterior over the ACTUAL stride (see ddpm_step): the next
             # grid point, not t-1
-            return sched_mod.ddpm_step(sched, eps, t, lat, sub,
-                                       clip_sample=False,
-                                       t_prev=t - ratio), k
+            nlat = sched_mod.ddpm_step(sched, eps, t, lat, sub,
+                                       clip_sample=False, t_prev=t - ratio)
+            if blend is not None:
+                nlat = blend(nlat, t - ratio)
+            return nlat, k
 
-        lat, _ = jax.lax.fori_loop(0, num_inference_steps, body, (lat, key))
+        lat, _ = jax.lax.fori_loop(t_start, num_inference_steps, body,
+                                   (lat, key))
     else:
         raise ValueError(f"unknown scheduler {cfg.scheduler}")
 
@@ -299,6 +385,86 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
     else:
         img = vae_mod.decode(params["vae"], lat_s, cfg.vae)
     return jnp.clip(img.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
+
+
+def img2img_t_start(num_inference_steps: int, strength: float,
+                    steps_offset: int = 0) -> int:
+    """diffusers img2img strength → static loop start index.
+
+    strength ∈ (0, 1]: fraction of the diffusion run re-applied to the init
+    image (1.0 ≈ full text-to-image from a noised init).  Mirrors the
+    diffusers Img2Img get_timesteps arithmetic: init_timestep =
+    min(int(steps·strength) + offset, steps); t_start = steps −
+    init_timestep + offset (clipped at 0).
+    """
+    if not 0.0 < strength <= 1.0:
+        raise ValueError(f"strength must be in (0, 1], got {strength}")
+    init_timestep = min(int(num_inference_steps * strength) + steps_offset,
+                        num_inference_steps)
+    return max(num_inference_steps - init_timestep + steps_offset, 0)
+
+
+def preprocess_image(image, height: int, width: int) -> np.ndarray:
+    """PIL image / (H,W,3) / (B,H,W,3) array → (B,H,W,3) float32 in [0,1].
+
+    PIL inputs are bicubic-resized to (width, height); array inputs must
+    already match (resizing numeric data would silently change user
+    pixels).  uint8 arrays are scaled by 1/255.
+    """
+    if hasattr(image, "convert"):  # PIL.Image duck-type
+        from PIL import Image
+
+        image = image.convert("RGB")
+        if image.size != (width, height):
+            image = image.resize((width, height), Image.BICUBIC)
+        return (np.asarray(image, np.float32) / 255.0)[None]
+    arr = np.asarray(image)
+    if arr.ndim == 3:
+        arr = arr[None]
+    if arr.ndim != 4 or arr.shape[-1] != 3:
+        raise ValueError(f"init image must be (H,W,3) or (B,H,W,3), "
+                         f"got {arr.shape}")
+    if arr.shape[1] != height or arr.shape[2] != width:
+        raise ValueError(f"init image array is {arr.shape[1]}x{arr.shape[2]} "
+                         f"but height/width = {height}x{width}; resize it "
+                         "or pass a PIL image to resize automatically")
+    if arr.dtype == np.uint8:
+        arr = arr.astype(np.float32) / 255.0
+    return arr.astype(np.float32)
+
+
+def preprocess_mask(mask, lat_h: int, lat_w: int) -> np.ndarray:
+    """Inpainting mask → (B, lat_h, lat_w, 1) float32, 1 = regenerate.
+
+    Accepts a PIL image (converted to L, nearest-resized to the latent
+    grid — the diffusers convention: white = inpaint) or an array at either
+    image or latent resolution (pixel-space arrays are max-pooled down so a
+    partially-masked latent cell regenerates).
+    """
+    if hasattr(mask, "convert"):
+        from PIL import Image
+
+        m = mask.convert("L").resize((lat_w, lat_h), Image.NEAREST)
+        arr = np.asarray(m, np.float32) / 255.0
+        arr = arr[None]
+    else:
+        arr = np.asarray(mask, np.float32)
+        if arr.ndim == 2:
+            arr = arr[None]
+        if arr.ndim == 4 and arr.shape[-1] == 1:
+            arr = arr[..., 0]
+        if arr.ndim != 3:
+            raise ValueError(f"mask must be (H,W) or (B,H,W), got {arr.shape}")
+        if arr.shape[1:] != (lat_h, lat_w):
+            fh, fw = arr.shape[1] // lat_h, arr.shape[2] // lat_w
+            if fh * lat_h != arr.shape[1] or fw * lat_w != arr.shape[2]:
+                raise ValueError(
+                    f"mask {arr.shape[1]}x{arr.shape[2]} is neither the "
+                    f"latent grid {lat_h}x{lat_w} nor an integer multiple")
+            arr = arr.reshape(arr.shape[0], lat_h, fh, lat_w, fw).max((2, 4))
+    if arr.min() < 0.0 or arr.max() > 1.0:
+        raise ValueError("mask values must lie in [0, 1]")
+    return arr[..., None].astype(np.float32)
 
 
 class SDPipeline:
@@ -380,15 +546,32 @@ class SDPipeline:
                  latents: Optional[np.ndarray] = None, seed: int = 42,
                  decode: bool = True, cache_interval: int = 0,
                  cache_tail: int = 0, negative_prompt=None,
-                 num_images_per_prompt: int = 1):
+                 num_images_per_prompt: int = 1, init_image=None,
+                 strength: float = 0.8, mask_image=None):
         """``negative_prompt``: str or per-prompt list encoded as the CFG
         unconditional branch instead of "" (the diffusers-0.7.2
         StableDiffusionPipeline parameter the reference's engine exposes);
         same compiled graph — only the uncond token ids change.
         ``num_images_per_prompt``: diffusers parameter — each prompt is
-        repeated n times with distinct initial latents (one seed stream)."""
+        repeated n times with distinct initial latents (one seed stream).
+
+        ``init_image`` (PIL or array, see preprocess_image) switches to
+        img2img: the image is VAE-encoded and noised to ``strength``'s
+        start point, and only the remaining steps run (the diffusers
+        Img2Img pipeline of the reference's engine).  ``mask_image``
+        (white = regenerate, see preprocess_mask) additionally inpaints:
+        the kept region is re-blended from the init image every step.
+        With ``init_image``, explicit ``latents`` are the ADDED NOISE
+        (latent-shaped), not the starting latent."""
         if isinstance(prompts, str):
             prompts = [prompts]
+        if mask_image is not None and init_image is None:
+            raise ValueError("mask_image (inpainting) requires init_image")
+        if init_image is not None and self.spatial:
+            raise NotImplementedError(
+                "img2img/inpaint under spatial serving is not wired up "
+                "(the init-image encode would need row sharding too); "
+                "drop spatial=True or use batch sharding")
         b = len(prompts)
         if negative_prompt is None:
             negative_prompt = [""] * b
@@ -451,6 +634,35 @@ class SDPipeline:
             if latents.shape[0] < len(prompts):  # pad to the bucket
                 reps = [latents[-1:]] * (len(prompts) - latents.shape[0])
                 latents = jnp.concatenate([latents] + reps, axis=0)
+
+        img_arr = mask_arr = None
+        t_start = 0
+        if init_image is not None:
+            img_arr = preprocess_image(init_image, height, width)
+            if img_arr.shape[0] == 1 and b > 1:
+                img_arr = np.tile(img_arr, (b, 1, 1, 1))
+            if img_arr.shape[0] != b:
+                raise ValueError(f"{img_arr.shape[0]} init images for {b} "
+                                 "requested images (pass 1, or one per image)")
+            if img_arr.shape[0] < len(prompts):  # pad to the bucket
+                pad = np.zeros((len(prompts) - img_arr.shape[0],)
+                               + img_arr.shape[1:], np.float32)
+                img_arr = np.concatenate([img_arr, pad], axis=0)
+            t_start = img2img_t_start(num_inference_steps, strength,
+                                      self.cfg.schedule.steps_offset)
+            if mask_image is not None:
+                f = self.cfg.vae_scale
+                mask_arr = preprocess_mask(mask_image, height // f, width // f)
+                if mask_arr.shape[0] == 1 and b > 1:
+                    mask_arr = np.tile(mask_arr, (b, 1, 1, 1))
+                if mask_arr.shape[0] != b:
+                    raise ValueError(f"{mask_arr.shape[0]} masks for {b} "
+                                     "requested images (pass 1, or one per "
+                                     "image)")
+                if mask_arr.shape[0] < len(prompts):
+                    pad = np.ones((len(prompts) - mask_arr.shape[0],)
+                                  + mask_arr.shape[1:], np.float32)
+                    mask_arr = np.concatenate([mask_arr, pad], axis=0)
         if self.mesh is not None:
             from sdbc_tpu.parallel.mesh import (data_sharding, replicate,
                                                 spatial_sharding)
@@ -473,14 +685,45 @@ class SDPipeline:
                 put = lambda x: jax.device_put(
                     x, data_sharding(self.mesh, jnp.ndim(x)))
                 cond, uncond, latents = put(cond), put(uncond), put(latents)
+                if img_arr is not None:
+                    img_arr = put(img_arr)
+                if mask_arr is not None:
+                    mask_arr = put(mask_arr)
         imgs = sample(self.params, cond, uncond, latents, sampler_key,
                       guidance_scale, cfg=self.cfg,
                       num_inference_steps=num_inference_steps,
                       compute_dtype=self.compute_dtype, decode=decode,
                       cache_interval=cache_interval, cache_tail=cache_tail,
                       attn_impl=self._attn_impl,
-                      chunked_decode=self.mesh is None)
+                      chunked_decode=self.mesh is None,
+                      init_image=img_arr, t_start=t_start, mask=mask_arr)
         return np.asarray(imgs)[:b]
+
+    def img2img(self, prompts, image, *, strength: float = 0.8, **kw):
+        """Image-to-image: re-diffuse ``image`` under ``prompts``.
+
+        The diffusers StableDiffusionImg2ImgPipeline surface (same engine
+        version the reference pins); height/width default to the image's
+        own size for array inputs.  strength ∈ (0, 1] — how much of the
+        diffusion run to re-apply.
+        """
+        if not hasattr(image, "convert"):
+            arr = np.asarray(image)
+            kw.setdefault("height", arr.shape[-3])
+            kw.setdefault("width", arr.shape[-2])
+        return self(prompts, init_image=image, strength=strength, **kw)
+
+    def inpaint(self, prompts, image, mask_image, *,
+                strength: float = 0.8, **kw):
+        """Inpainting: regenerate the white region of ``mask_image`` inside
+        ``image`` under ``prompts`` (diffusers StableDiffusionInpaintPipeline
+        surface, corrected per-step blend — see ``sample``)."""
+        if not hasattr(image, "convert"):
+            arr = np.asarray(image)
+            kw.setdefault("height", arr.shape[-3])
+            kw.setdefault("width", arr.shape[-2])
+        return self(prompts, init_image=image, mask_image=mask_image,
+                    strength=strength, **kw)
 
     def numpy_to_pil(self, imgs: np.ndarray):
         from PIL import Image

@@ -275,3 +275,40 @@ def test_sharded_state_rejects_8bit_adam(tmp_path):
         with pytest.raises(SystemExit, match="8bit"):
             finetune.main(["--tiny", "--data_root", str(tmp_path),
                            "--use_8bit_adam"] + extra)
+
+
+def test_enter_prompt_img2img_and_inpaint(env, trained_ckpt, tmp_path):
+    """--init_image switches enter_prompt to img2img; adding --mask_image
+    inpaints (the diffusers Img2Img/Inpaint surface through the CLI)."""
+    from PIL import Image
+
+    import sdbc_tpu.cli.inference as inf
+
+    init = str(tmp_path / "init.png")
+    Image.fromarray(
+        (np.random.RandomState(3).rand(32, 32, 3) * 255).astype(np.uint8)
+    ).save(init)
+    mask = str(tmp_path / "mask.png")
+    m = np.zeros((32, 32), np.uint8)
+    m[8:24, 8:24] = 255
+    Image.fromarray(m).save(mask)
+
+    base = ["--mode", "enter_prompt", "--prompt", "a remixed cover",
+            "--tiny", "--ckpt", trained_ckpt, "--img_size", "32",
+            "--num_inference_steps", "3", "--no-bf16",
+            "--save_dir", env["out"] + "/gen"]
+    inf.main(base + ["--init_image", init, "--strength", "0.7",
+                     "--run_id", "i2itest"])
+    outdir = os.path.join(env["out"], "gen", "i2itest inference")
+    assert any(f.endswith(".png") for f in os.listdir(outdir))
+
+    inf.main(base + ["--init_image", init, "--mask_image", mask,
+                     "--run_id", "inpainttest"])
+    outdir = os.path.join(env["out"], "gen", "inpainttest inference")
+    assert any(f.endswith(".png") for f in os.listdir(outdir))
+
+    with pytest.raises(SystemExit, match="requires --init_image"):
+        inf.main(base + ["--mask_image", mask, "--run_id", "badmask"])
+    with pytest.raises(SystemExit, match="not found"):
+        inf.main(base + ["--init_image", str(tmp_path / "missing.png"),
+                         "--run_id", "badinit"])
