@@ -105,9 +105,29 @@ def mha_packed(pp, x, heads, hd, hd_pad):
     return nn.linear(pp["o"], a)
 
 
-def main():
+def kernel_only(b, heads, s, d, dt, hd_logical):
+    """flash_attention_fixed alone on pre-transposed (b,h,s,d) inputs —
+    separates kernel-time from transpose/projection effects."""
+    q = (jax.random.normal(jax.random.key(2), (b, heads, s, d)) * 0.3
+         ).astype(dt)
+    if d > hd_logical:  # zero the padded tail like the packed path would
+        q = q.at[..., hd_logical:].set(0)
+    k = v = q
+
+    @jax.jit
+    def loop(n):
+        def body(i, x):
+            return x + 0.001 * flash_attention_fixed(
+                x, k, v, scale=hd_logical ** -0.5)
+
+        return jax.lax.fori_loop(0, n, body, q)
+
+    per, _ = slope(loop)
+    return per
+
+
+def run_shape(dim, heads, hw, b, pads):
     dt = jnp.bfloat16
-    dim, heads, hw, b = 320, 8, 64, 8
     hd = dim // heads
     key = jax.random.key(0)
     p = jax.tree.map(lambda x: x.astype(dt),
@@ -115,19 +135,20 @@ def main():
     x0 = (jax.random.normal(jax.random.key(1), (b, hw * hw, dim)) * 0.3
           ).astype(dt)
 
-    variants = {"legacy(d=40)": functools.partial(mha_legacy, p, heads=heads)}
-    for hd_pad in (64, 128):
+    variants = {f"legacy(d={hd})": functools.partial(mha_legacy, p,
+                                                     heads=heads)}
+    for hd_pad in pads:
         pp = pad_heads(p, heads, hd, hd_pad)
         variants[f"packed(d={hd_pad})"] = functools.partial(
             mha_packed, pp, heads=heads, hd=hd, hd_pad=hd_pad)
 
     # correctness first: packed must equal legacy (bf16 tolerance)
-    ref = jax.jit(variants["legacy(d=40)"])(x0)
+    ref = jax.jit(variants[f"legacy(d={hd})"])(x0)
     for name, fn in variants.items():
         out = jax.jit(fn)(x0)
         d = float(jnp.abs(out.astype(jnp.float32)
                           - ref.astype(jnp.float32)).max())
-        print(f"{name}: max|Δ| vs legacy = {d:.4g}", flush=True)
+        print(f"{hw}² {name}: max|Δ| vs legacy = {d:.4g}", flush=True)
         assert d < 0.02, (name, d)
 
     for name, fn in variants.items():
@@ -139,7 +160,19 @@ def main():
             return jax.lax.fori_loop(0, n, body, x0)
 
         per, base = slope(loop)
-        print(f"mha 64² b={b} {name}: {per*1000:.2f} ms/iter", flush=True)
+        print(f"mha {hw}² b={b} {name}: {per*1000:.2f} ms/iter", flush=True)
+
+
+def main():
+    b = 8
+    # kernel-only mechanism probe at the 64² shape
+    for d, hdl in ((40, 40), (64, 40), (128, 40)):
+        per = kernel_only(b, 8, 4096, d, jnp.bfloat16, hdl)
+        print(f"kernel-only 64² d={d}: {per*1000:.2f} ms/iter", flush=True)
+    # the three spatial self-attention shapes of the SD-1.5 UNet
+    run_shape(320, 8, 64, b, pads=(64, 128))
+    run_shape(640, 8, 32, b, pads=(128,))
+    run_shape(1280, 8, 16, b, pads=(256,))
 
 
 if __name__ == "__main__":

@@ -205,6 +205,11 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
             lat2 = jnp.concatenate([lat, lat], axis=0)
             tb = jnp.full((b2,), t, jnp.int32)
             tp = unet_mod.index_temb(tproj, i)
+            # cache phase is relative to the loop START: an img2img run
+            # (t_start > 0) must recompute the trunk on its first executed
+            # step, not whenever i happens to hit a multiple of the
+            # interval (the guard keeps the t_start=0 trace byte-stable)
+            ii = i - t_start if t_start else i
 
             def full(cache):
                 return unet_mod.apply(uparams, lat2, tb, context,
@@ -221,7 +226,7 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
                                      temb_proj=tp)
                 return out, cache
 
-            out, cache = jax.lax.cond(i % cache_interval == 0, full,
+            out, cache = jax.lax.cond(ii % cache_interval == 0, full,
                                       reuse, cache)
             out_u, out_c = jnp.split(out.astype(jnp.float32), 2, axis=0)
             return out_u + gs * (out_c - out_u), cache

@@ -180,3 +180,19 @@ def test_preprocess_mask_contracts():
     pil = PIL.fromarray(np.full((32, 32), 255, np.uint8))
     m3 = preprocess_mask(pil, 8, 8)
     assert m3.shape == (1, 8, 8, 1) and (m3 == 1.0).all()
+
+
+def test_img2img_with_deepcache_first_step_recomputes(pipe, init_img):
+    """DeepCache + img2img: the cache phase is relative to t_start, so the
+    first EXECUTED step always recomputes the trunk (a zeroed cache fed to
+    the reuse branch would silently corrupt the first cached step).
+    strength=0.75 @ 4 steps → t_start=1 (odd) exercises the phase shift."""
+    out = pipe.img2img(["x"], init_img, strength=0.75,
+                       num_inference_steps=4, seed=11, cache_interval=2)
+    assert np.isfinite(out).all()
+    # k=1 (cache on, but recompute every step) must equal no cache at all
+    a = pipe.img2img(["x"], init_img, strength=0.75,
+                     num_inference_steps=4, seed=11, cache_interval=0)
+    b = pipe.img2img(["x"], init_img, strength=0.75,
+                     num_inference_steps=4, seed=11, cache_interval=1)
+    np.testing.assert_allclose(a, b, atol=1e-5)
