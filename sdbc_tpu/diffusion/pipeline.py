@@ -65,13 +65,14 @@ def encode_text(params, ids, cfg: PipelineConfig, compute_dtype=jnp.bfloat16):
     jax.jit,
     static_argnames=("cfg", "num_inference_steps", "compute_dtype", "decode",
                      "cache_interval", "cache_tail", "attn_impl",
-                     "chunked_decode", "t_start"))
+                     "chunked_decode", "t_start", "pack_heads"))
 def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
            *, cfg: PipelineConfig, num_inference_steps: int = 50,
            compute_dtype=jnp.bfloat16, decode: bool = True,
            cache_interval: int = 0, cache_tail: int = 0,
            attn_impl: str = "inference", chunked_decode=None,
-           init_image=None, t_start: int = 0, mask=None):
+           init_image=None, t_start: int = 0, mask=None,
+           pack_heads: Optional[bool] = None):
     """Run the full CFG sampling graph.
 
     params: {"text_encoder", "unet", "vae"} param trees (fp32 masters; cast here)
@@ -128,6 +129,20 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
     ctx_u = encode_text(params, uncond_ids, cfg, dt)
     context = jnp.concatenate([ctx_u, ctx_c], axis=0)  # (2B, ctx, hid)
     uparams = params["unet"]
+    if pack_heads is None:
+        # default OFF: the isolated 64²-level MHA layer measures 1.50× with
+        # d=40→64 packing, but the FULL graph measures 1.336 vs 1.376 img/s
+        # (back-to-back, batch 4 ddim-50) — the 1.6× projection FLOPs at the
+        # 320-ch level cost more than the kernel+relayout savings once XLA
+        # has fused the projections with their neighbors (PERF_NOTES.md,
+        # round 3).  SDBC_PACK_HEADS=1 re-enables for re-measurement on
+        # other TPU generations.
+        import os as _os
+        pack_heads = (attn_impl == "inference"
+                      and _os.environ.get("SDBC_PACK_HEADS", "0") == "1"
+                      and _os.environ.get("SDBC_MHA", "legacy") == "legacy")
+    if pack_heads:
+        uparams = unet_mod.pack_attention_heads(uparams, cfg.unet)
     lat = latents.astype(dt)
     gs = jnp.asarray(guidance_scale, jnp.float32)
 

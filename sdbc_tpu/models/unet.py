@@ -115,6 +115,12 @@ def _mha(p, x, ctx, heads, impl="auto"):
     than the transposes save (round-1 profile lead 2 falsified).
     SDBC_MHA=headmajor|fused keeps the variants for re-measurement on other
     topologies.
+
+    The projection weights may be head-PACKED (``pack_attention_heads``):
+    each head zero-padded to hd_pad columns inside W_q/k/v (and matching
+    rows of W_o).  The layout is inferred from the weight shape; the
+    softmax scale stays the LOGICAL head dim's rsqrt, making the packed
+    path bit-exact math (zero columns contribute zero to QKᵀ and PV).
     """
     import os
 
@@ -123,13 +129,20 @@ def _mha(p, x, ctx, heads, impl="auto"):
     dt = x.dtype
 
     if os.environ.get("SDBC_MHA", "legacy") == "legacy":
+        proj_dim = p["q"]["w"].shape[1]          # heads·hd_pad (= dim unpacked)
+        hd_pad = proj_dim // heads
+
         def split(t):
-            return t.reshape(b, -1, heads, hd).transpose(0, 2, 1, 3)
+            return t.reshape(b, -1, heads, hd_pad).transpose(0, 2, 1, 3)
 
         q = split(nn.linear(p["q"], x))
         k = split(nn.linear(p["k"], ctx))
         v = split(nn.linear(p["v"], ctx))
-        a = attention(q, k, v, impl=impl).transpose(0, 2, 1, 3).reshape(b, s, dim)
+        # scale=None when unpacked keeps the trace byte-identical to the
+        # historical graph (persistent-compile-cache stability)
+        a = attention(q, k, v, impl=impl,
+                      scale=hd ** -0.5 if hd_pad != hd else None)
+        a = a.transpose(0, 2, 1, 3).reshape(b, s, proj_dim)
         return nn.linear(p["o"], a)
 
     # only reachable when SDBC_MHA is set and != "legacy" (benchmarking
@@ -293,6 +306,82 @@ def init(key, cfg: UNetConfig):
     p["norm_out"] = nn.init_group_norm(ch[0])
     p["conv_out"] = nn.init_conv(next(keys), ch[0], cfg.out_channels, 3)
     return p
+
+
+# ---------------------------------------------------------------------------
+# head packing (sampling fast path)
+
+
+def _pad_mha_heads(p, heads, hd, hd_pad):
+    """Zero-pad each head to hd_pad: W_q/k/v per-head columns, W_o rows."""
+    def pad_cols(w):                             # (din, h·hd) → (din, h·hd_pad)
+        din = w.shape[0]
+        w = w.reshape(din, heads, hd)
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, hd_pad - hd)))
+        return w.reshape(din, heads * hd_pad)
+
+    def pad_rows(w):                             # (h·hd, dout) → (h·hd_pad, dout)
+        dout = w.shape[1]
+        w = w.reshape(heads, hd, dout)
+        w = jnp.pad(w, ((0, 0), (0, hd_pad - hd), (0, 0)))
+        return w.reshape(heads * hd_pad, dout)
+
+    return {"q": {"w": pad_cols(p["q"]["w"])},
+            "k": {"w": pad_cols(p["k"]["w"])},
+            "v": {"w": pad_cols(p["v"]["w"])},
+            "o": {"w": pad_rows(p["o"]["w"]), "b": p["o"]["b"]}}
+
+
+def pack_attention_heads(params, cfg: UNetConfig, pad_to: int = 64):
+    """Pad sub-``pad_to`` self-attention heads to ``pad_to`` inside the
+    projection weights (sampling fast path).
+
+    SD-1.x's 64² level has head_dim 40 (320ch / 8 heads); the MXU contracts
+    in 128-lane chunks, so the flash kernel wastes 3.2× on d=40 math, and
+    every head split/merge relayout moves misaligned 40-wide lanes.
+    Zero-padding each head to 64 inside W_q/W_k/W_v (and the matching rows
+    of W_o) is EXACT — zero columns contribute zero to QKᵀ and PV, and
+    ``_mha`` keeps the softmax scale at the logical 40^-0.5 — while the
+    kernel reads a lane-friendly d=64 (measured 1.50× on the isolated 64²
+    MHA layer, experiments/r3_head128b.py; d=80→128 neutral, d=160→256
+    slower, hence pad_to=64 packs only the sub-64 level).
+
+    FALSIFIED end-to-end on v5e: the full sampling graph measures 1.336 vs
+    1.376 img/s back-to-back (batch 4, ddim-50) — the 1.6× projection
+    FLOPs at the 320-ch level outweigh the kernel+relayout savings once
+    XLA fuses the projections with their neighbors.  Kept as an opt-in
+    re-measurement hook (``SDBC_PACK_HEADS=1`` or ``sample(...,
+    pack_heads=True)``); see PERF_NOTES.md round 3.
+
+    Trace-time transform applied by ``diffusion.pipeline.sample`` on the
+    inference attention path only: checkpoints, ports, and the training
+    graph keep the standard diffusers layout (reference engine layout,
+    finetune_sd.py:328-330).  Cross-attention (attn2) and levels with
+    head_dim ≥ pad_to are left untouched.
+    """
+    heads = cfg.attention_heads
+
+    def pack_tfm(tfm):
+        dim = tfm["attn1"]["q"]["w"].shape[0]
+        hd = dim // heads
+        if hd >= pad_to:
+            return tfm
+        out = dict(tfm)
+        out["attn1"] = _pad_mha_heads(tfm["attn1"], heads, hd, pad_to)
+        return out
+
+    def pack_blk(blk):
+        out = dict(blk)
+        out["attns"] = [pack_tfm(t) for t in blk["attns"]]
+        return out
+
+    out = dict(params)
+    out["down"] = [pack_blk(b) for b in params["down"]]
+    out["up"] = [pack_blk(b) for b in params["up"]]
+    mid = dict(params["mid"])
+    mid["attn"] = pack_tfm(params["mid"]["attn"])
+    out["mid"] = mid
+    return out
 
 
 # ---------------------------------------------------------------------------
