@@ -101,3 +101,28 @@ def test_sample_pack_heads_equivalence():
                  pack_heads=True, **kw)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=5e-5, rtol=1e-4)
+
+
+def test_sample_pack_heads_with_deepcache_and_img2img():
+    """pack_heads composes with the DeepCache trunk cache and the img2img
+    t_start/init_image path (the packed tree feeds both unet call sites)."""
+    params, cfg = _tiny_params_cfg()
+    b = 1
+    cond = jnp.ones((b, cfg.clip.ctx), jnp.int32)
+    uncond = jnp.zeros((b, cfg.clip.ctx), jnp.int32)
+    lat = jax.random.normal(jax.random.key(5), (b, 8, 8, 4), jnp.float32)
+    # tiny VAE downscale factor is 2: (16, 16, 3) encodes to the (8, 8, 4)
+    # latent grid above
+    init = jnp.clip(jax.random.uniform(jax.random.key(7), (b, 16, 16, 3)),
+                    0.0, 1.0)
+    for kw in (
+        dict(num_inference_steps=4, cache_interval=2, cache_tail=1),
+        dict(num_inference_steps=4, t_start=2, init_image=init),
+    ):
+        kw = dict(cfg=cfg, compute_dtype=jnp.float32, **kw)
+        ref = sample(params, cond, uncond, lat, jax.random.key(6), 7.5,
+                     pack_heads=False, **kw)
+        out = sample(params, cond, uncond, lat, jax.random.key(6), 7.5,
+                     pack_heads=True, **kw)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=5e-5, rtol=1e-4)
