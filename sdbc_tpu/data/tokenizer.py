@@ -85,7 +85,8 @@ class CLIPTokenizer:
 
     def __init__(self, vocab: Optional[Dict[str, int]] = None,
                  merges: Optional[List[Tuple[str, str]]] = None,
-                 vocab_size: int = 49408):
+                 vocab_size: int = 49408,
+                 pad_token: Optional[str] = None):
         self.byte_encoder = _bytes_to_unicode()
         self.vocab_size = vocab_size
         if vocab is not None:
@@ -99,6 +100,11 @@ class CLIPTokenizer:
             self.hash_mode = True
         self.bot_id = self.encoder[self.BOT]
         self.eot_id = self.encoder[self.EOT]
+        # SD-1.x tokenizers pad with EOT; SD-2.x declares pad_token "!"
+        # (id 0) and the pad ids DO reach cross-attention, so honoring the
+        # declared token matters for SD-2 parity.
+        self.pad_id = (self.encoder[pad_token] if pad_token is not None
+                       else self.eot_id)
         self.decoder = {v: k for k, v in self.encoder.items()}
         self.cache: Dict[str, str] = {}
 
@@ -106,7 +112,12 @@ class CLIPTokenizer:
 
     @classmethod
     def from_pretrained(cls, path: str) -> "CLIPTokenizer":
-        """Load vocab.json + merges.txt from a tokenizer directory."""
+        """Load vocab.json + merges.txt from a tokenizer directory.
+
+        Honors the dir's declared pad_token (special_tokens_map.json /
+        tokenizer_config.json): SD-1.x declares ``<|endoftext|>``,
+        SD-2.x declares ``!`` (id 0).
+        """
         with open(os.path.join(path, "vocab.json")) as f:
             vocab = json.load(f)
         merges: List[Tuple[str, str]] = []
@@ -121,7 +132,18 @@ class CLIPTokenizer:
                 continue
             a, _, b = line.partition(" ")
             merges.append((a, b.strip()))
-        return cls(vocab=vocab, merges=merges, vocab_size=len(vocab))
+        pad = None
+        for meta in ("special_tokens_map.json", "tokenizer_config.json"):
+            mp = os.path.join(path, meta)
+            if pad is None and os.path.exists(mp):
+                with open(mp) as f:
+                    tok = json.load(f).get("pad_token")
+                if isinstance(tok, dict):  # AddedToken serialization
+                    tok = tok.get("content")
+                if isinstance(tok, str) and tok in vocab:
+                    pad = tok
+        return cls(vocab=vocab, merges=merges, vocab_size=len(vocab),
+                   pad_token=pad)
 
     @classmethod
     def fallback(cls, vocab_size: int = 49408) -> "CLIPTokenizer":
@@ -183,7 +205,7 @@ class CLIPTokenizer:
 
     def encode(self, text: str, max_length: int = 77) -> List[int]:
         ids = [self.bot_id] + self._token_ids(text)[: max_length - 2] + [self.eot_id]
-        ids += [self.eot_id] * (max_length - len(ids))
+        ids += [self.pad_id] * (max_length - len(ids))
         return ids
 
     def batch_encode(self, texts: Sequence[str], max_length: int = 77):
@@ -194,7 +216,8 @@ class CLIPTokenizer:
             return ""  # hash buckets are not invertible
         byte_decoder = {v: k for k, v in self.byte_encoder.items()}
         text = "".join(self.decoder.get(int(i), "") for i in ids
-                       if int(i) not in (self.bot_id, self.eot_id))
+                       if int(i) not in (self.bot_id, self.eot_id,
+                                         self.pad_id))
         raw = bytearray(byte_decoder[c] for c in text if c in byte_decoder)
         return raw.decode("utf-8", errors="replace").replace("</w>", " ").strip()
 

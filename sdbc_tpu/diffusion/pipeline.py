@@ -49,6 +49,20 @@ class PipelineConfig:
                               sched_mod.ScheduleConfig.sd15(), scheduler)
 
     @staticmethod
+    def sd21(scheduler: str = "ddim",
+             prediction_type: str = "v_prediction") -> "PipelineConfig":
+        """SD-2.x family (beyond the reference's SD-1.5): OpenCLIP-shape
+        text encoder, per-level head counts, v-prediction by default
+        (SD-2.1 768); pass prediction_type="epsilon" for the 512 -base
+        checkpoints.  Same VAE as SD-1.x."""
+        import dataclasses as _dc
+        sched = _dc.replace(sched_mod.ScheduleConfig.sd15(),
+                            prediction_type=prediction_type)
+        return PipelineConfig(clip_mod.CLIPTextConfig.sd2(),
+                              unet_mod.UNetConfig.sd21(),
+                              vae_mod.VAEConfig.sd15(), sched, scheduler)
+
+    @staticmethod
     def tiny(scheduler: str = "ddim") -> "PipelineConfig":
         return PipelineConfig(clip_mod.CLIPTextConfig.tiny(),
                               unet_mod.UNetConfig.tiny(),

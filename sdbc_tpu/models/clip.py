@@ -28,10 +28,21 @@ class CLIPTextConfig:
     mlp: int = 3072
     ctx: int = 77
     eps: float = 1e-5
+    # "quick_gelu" (OpenAI CLIP / SD-1.x) or "gelu" (exact erf — OpenCLIP
+    # ViT-H as shipped in SD-2.x text_encoder configs)
+    act: str = "quick_gelu"
 
     @staticmethod
     def sd15() -> "CLIPTextConfig":
         return CLIPTextConfig()
+
+    @staticmethod
+    def sd2() -> "CLIPTextConfig":
+        # SD-2.x text encoder: OpenCLIP ViT-H text tower as saved by
+        # diffusers — 23 layers (the penultimate-layer trick is baked into
+        # the shipped config), hidden 1024, exact-erf gelu
+        return CLIPTextConfig(hidden=1024, layers=23, heads=16, mlp=4096,
+                              act="gelu")
 
     @staticmethod
     def tiny() -> "CLIPTextConfig":
@@ -89,7 +100,13 @@ def _layer_apply(p, x, cfg: CLIPTextConfig):
 
     res = x
     y = nn.layer_norm(p["ln2"], x, eps=cfg.eps)
-    y = nn.quick_gelu(nn.linear(p["mlp"]["fc1"], y))
+    y = nn.linear(p["mlp"]["fc1"], y)
+    if cfg.act == "quick_gelu":
+        y = nn.quick_gelu(y)
+    elif cfg.act == "gelu":  # transformers' "gelu" is the exact erf form
+        y = nn.gelu(y, approximate=False)
+    else:
+        raise ValueError(f"unsupported CLIP hidden_act {cfg.act!r}")
     x = res + nn.linear(p["mlp"]["fc2"], y)
     return x
 

@@ -297,12 +297,11 @@ def unet_config_from_diffusers(cfg: dict):
             f"{down}; this UNet layout is unsupported")
     heads = cfg.get("attention_head_dim", 8)
     if isinstance(heads, (list, tuple)):
-        if len(set(heads)) != 1:
-            raise ValueError(
-                f"per-block attention_head_dim {heads} unsupported")
-        heads = heads[0]
+        # SD-2.x style: one entry per block (5,10,20,20)
+        heads = tuple(heads) if len(set(heads)) > 1 else heads[0]
     # diffusers-0.7.2 passes attention_head_dim as Transformer2DModel's
-    # num_attention_heads (the SD-1.x value 8 is a head COUNT)
+    # num_attention_heads (the SD-1.x value 8 and SD-2.x's per-block
+    # (5,10,20,20) are head COUNTS under that era's constructor quirk)
     return UNetConfig(
         in_channels=cfg.get("in_channels", 4),
         out_channels=cfg.get("out_channels", 4),
@@ -348,6 +347,7 @@ def clip_config_from_diffusers(cfg: dict):
         mlp=cfg.get("intermediate_size", 3072),
         ctx=cfg.get("max_position_embeddings", 77),
         eps=cfg.get("layer_norm_eps", 1e-5),
+        act=cfg.get("hidden_act", "quick_gelu"),
     )
 
 

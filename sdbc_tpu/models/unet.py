@@ -38,7 +38,9 @@ class UNetConfig:
     block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
     layers_per_block: int = 2
     cross_attention_dim: int = 768
-    attention_heads: int = 8
+    # int = same head count at every level (SD-1.x); tuple = per-level head
+    # counts (SD-2.x keeps head_dim=64, so heads vary with the channel width)
+    attention_heads: int | Tuple[int, ...] = 8
     norm_groups: int = 32
     # which blocks carry cross-attention transformers (SD-1.x: all but deepest)
     cross_attn_blocks: Tuple[bool, ...] = (True, True, True, False)
@@ -47,9 +49,28 @@ class UNetConfig:
     def time_embed_dim(self) -> int:
         return self.block_out_channels[0] * 4
 
+    @property
+    def heads_per_level(self) -> Tuple[int, ...]:
+        """attention_heads normalized to one head count per resolution level."""
+        h = self.attention_heads
+        if isinstance(h, (tuple, list)):
+            if len(h) != len(self.block_out_channels):
+                raise ValueError(
+                    f"attention_heads {h} must have one entry per block "
+                    f"({len(self.block_out_channels)})")
+            return tuple(h)
+        return (h,) * len(self.block_out_channels)
+
     @staticmethod
     def sd15() -> "UNetConfig":
         return UNetConfig()
+
+    @staticmethod
+    def sd21() -> "UNetConfig":
+        # SD-2.x: head_dim fixed at 64 → heads per level (5,10,20,20) over
+        # the (320,640,1280,1280) widths; OpenCLIP ViT-H context dim 1024
+        return UNetConfig(cross_attention_dim=1024,
+                          attention_heads=(5, 10, 20, 20))
 
     @staticmethod
     def tiny() -> "UNetConfig":
@@ -259,6 +280,7 @@ def init(key, cfg: UNetConfig):
         },
     }
 
+    nheads = cfg.heads_per_level
     skip_ch = [ch[0]]
     down = []
     cin = ch[0]
@@ -269,7 +291,7 @@ def init(key, cfg: UNetConfig):
                                                cout, ted))
             if cfg.cross_attn_blocks[i]:
                 blk["attns"].append(_init_transformer(
-                    next(keys), cout, cfg.cross_attention_dim, cfg.attention_heads))
+                    next(keys), cout, cfg.cross_attention_dim, nheads[i]))
             skip_ch.append(cout)
         if i < len(ch) - 1:
             blk["downsample"] = nn.init_conv(next(keys), cout, cout, 3)
@@ -281,13 +303,14 @@ def init(key, cfg: UNetConfig):
     p["mid"] = {
         "resnet1": _init_resnet(next(keys), ch[-1], ch[-1], ted),
         "attn": _init_transformer(next(keys), ch[-1], cfg.cross_attention_dim,
-                                  cfg.attention_heads),
+                                  nheads[-1]),
         "resnet2": _init_resnet(next(keys), ch[-1], ch[-1], ted),
     }
 
     up = []
     rev = list(reversed(ch))
     rev_cross = list(reversed(cfg.cross_attn_blocks))
+    rev_heads = list(reversed(nheads))
     prev = ch[-1]
     for i, cout in enumerate(rev):
         blk = {"resnets": [], "attns": []}
@@ -296,7 +319,7 @@ def init(key, cfg: UNetConfig):
             blk["resnets"].append(_init_resnet(next(keys), prev + skip, cout, ted))
             if rev_cross[i]:
                 blk["attns"].append(_init_transformer(
-                    next(keys), cout, cfg.cross_attention_dim, cfg.attention_heads))
+                    next(keys), cout, cfg.cross_attention_dim, rev_heads[i]))
             prev = cout
         if i < len(rev) - 1:
             blk["upsample"] = nn.init_conv(next(keys), cout, cout, 3)
@@ -359,9 +382,9 @@ def pack_attention_heads(params, cfg: UNetConfig, pad_to: int = 64):
     finetune_sd.py:328-330).  Cross-attention (attn2) and levels with
     head_dim ≥ pad_to are left untouched.
     """
-    heads = cfg.attention_heads
+    nheads = cfg.heads_per_level
 
-    def pack_tfm(tfm):
+    def pack_tfm(tfm, heads):
         dim = tfm["attn1"]["q"]["w"].shape[0]
         hd = dim // heads
         if hd >= pad_to:
@@ -370,16 +393,18 @@ def pack_attention_heads(params, cfg: UNetConfig, pad_to: int = 64):
         out["attn1"] = _pad_mha_heads(tfm["attn1"], heads, hd, pad_to)
         return out
 
-    def pack_blk(blk):
+    def pack_blk(blk, heads):
         out = dict(blk)
-        out["attns"] = [pack_tfm(t) for t in blk["attns"]]
+        out["attns"] = [pack_tfm(t, heads) for t in blk["attns"]]
         return out
 
     out = dict(params)
-    out["down"] = [pack_blk(b) for b in params["down"]]
-    out["up"] = [pack_blk(b) for b in params["up"]]
+    out["down"] = [pack_blk(b, nheads[i])
+                   for i, b in enumerate(params["down"])]
+    out["up"] = [pack_blk(b, h)
+                 for b, h in zip(params["up"], reversed(nheads))]
     mid = dict(params["mid"])
-    mid["attn"] = pack_tfm(params["mid"]["attn"])
+    mid["attn"] = pack_tfm(params["mid"]["attn"], nheads[-1])
     out["mid"] = mid
     return out
 
@@ -453,7 +478,8 @@ def apply(params, latents, timesteps, encoder_hidden_states, cfg: UNetConfig,
     bit-identical to the plain forward for any cache_tail.
     """
     g = cfg.norm_groups
-    heads = cfg.attention_heads
+    nheads = cfg.heads_per_level
+    rev_heads = tuple(reversed(nheads))
     ctx = encoder_hidden_states
 
     res_fn = _resnet
@@ -485,23 +511,23 @@ def apply(params, latents, timesteps, encoder_hidden_states, cfg: UNetConfig,
         tp_down, tp_mid, tp_up = (temb_proj["down"], temb_proj["mid"],
                                   temb_proj["up"])
 
-    def run_block_down(blk, tp, h, skips):
+    def run_block_down(blk, tp, h, skips, nh):
         for j, r in enumerate(blk["resnets"]):
             h = res_fn(r, h, temb, g, tp["resnets"][j])
             if blk["attns"]:
-                h = attn_fn(blk["attns"][j], h, ctx, heads, g)
+                h = attn_fn(blk["attns"][j], h, ctx, nh, g)
             skips.append(h)
         if "downsample" in blk:
             h = nn.conv2d(blk["downsample"], h, stride=2, padding=1)
             skips.append(h)
         return h
 
-    def run_block_up(blk, tp, h, skips):
+    def run_block_up(blk, tp, h, skips, nh):
         for j, r in enumerate(blk["resnets"]):
             h = jnp.concatenate([h, skips.pop()], axis=-1)
             h = res_fn(r, h, temb, g, tp["resnets"][j])
             if blk["attns"]:
-                h = attn_fn(blk["attns"][j], h, ctx, heads, g)
+                h = attn_fn(blk["attns"][j], h, ctx, nh, g)
         if "upsample" in blk:
             h = nn.upsample_nearest_2x(h)
             h = nn.conv2d(blk["upsample"], h)
@@ -515,9 +541,10 @@ def apply(params, latents, timesteps, encoder_hidden_states, cfg: UNetConfig,
     head_resnets = ct - 1  # down[0] resnets whose skips the fresh tail pops
 
     def run_resnet_j(blk, tp, j, h, skips=None):
+        # only ever used on down[0] and up[-1] — both at level 0
         h = res_fn(blk["resnets"][j], h, temb, g, tp["resnets"][j])
         if blk["attns"]:
-            h = attn_fn(blk["attns"][j], h, ctx, heads, g)
+            h = attn_fn(blk["attns"][j], h, ctx, nheads[0], g)
         if skips is not None:
             skips.append(h)
         return h
@@ -535,13 +562,14 @@ def apply(params, latents, timesteps, encoder_hidden_states, cfg: UNetConfig,
         if "downsample" in blk0:
             d = nn.conv2d(blk0["downsample"], d, stride=2, padding=1)
             deep_skips.append(d)
-        for blk, tp in zip(params["down"][1:], tp_down[1:]):
-            d = run_block_down(blk, tp, d, deep_skips)
+        for i, (blk, tp) in enumerate(zip(params["down"][1:], tp_down[1:]),
+                                      start=1):
+            d = run_block_down(blk, tp, d, deep_skips, nheads[i])
         d = res_fn(params["mid"]["resnet1"], d, temb, g, tp_mid["resnet1"])
-        d = attn_fn(params["mid"]["attn"], d, ctx, heads, g)
+        d = attn_fn(params["mid"]["attn"], d, ctx, nheads[-1], g)
         d = res_fn(params["mid"]["resnet2"], d, temb, g, tp_mid["resnet2"])
-        for blk, tp in zip(params["up"][:-1], tp_up[:-1]):
-            d = run_block_up(blk, tp, d, deep_skips)
+        for i, (blk, tp) in enumerate(zip(params["up"][:-1], tp_up[:-1])):
+            d = run_block_up(blk, tp, d, deep_skips, rev_heads[i])
         # deep-owned leading resnets of the last up block
         for j in range(total_tail - ct):
             d = jnp.concatenate([d, deep_skips.pop()], axis=-1)

@@ -229,9 +229,9 @@ def validate_tp(cfg, m: int) -> tuple:
     if m <= 1:
         return ()
     u, c = cfg.unet, cfg.clip
-    if u.attention_heads % m:
-        raise ValueError(f"model axis {m} must divide UNet attention_heads "
-                         f"{u.attention_heads}")
+    if any(h % m for h in u.heads_per_level):
+        raise ValueError(f"model axis {m} must divide the UNet head count "
+                         f"at every level ({u.heads_per_level})")
     if u.norm_groups % m:
         raise ValueError(f"model axis {m} must divide UNet norm_groups "
                          f"{u.norm_groups} (keeps GroupNorm groups intact "
