@@ -34,7 +34,7 @@ class PipelineConfig:
     unet: unet_mod.UNetConfig
     vae: vae_mod.VAEConfig
     schedule: sched_mod.ScheduleConfig
-    scheduler: str = "ddim"  # "ddim" | "pndm" | "ddpm" | "dpm"
+    scheduler: str = "ddim"  # "ddim" | "pndm" | "ddpm" | "dpm" | "euler_a"
 
     @property
     def vae_scale(self) -> int:
@@ -92,7 +92,7 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
     params: {"text_encoder", "unet", "vae"} param trees (fp32 masters; cast here)
     cond_ids/uncond_ids: (B, ctx) int32 token ids
     latents: (B, h/8, w/8, 4) initial noise (inject for fixed-seed parity)
-    key: PRNG key (used by the DDPM ancestral sampler only)
+    key: PRNG key (used by the ddpm/euler_a stochastic samplers only)
     cache_interval: >1 enables DeepCache-style fast sampling on the DDIM
       path — the UNet's deep trunk is recomputed every cache_interval steps
       and reused in between (approximate; 0/1 = exact reference sampling)
@@ -354,6 +354,33 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
 
             _, lat = jax.lax.fori_loop(t_start, num_inference_steps, body,
                                        (state0, lat))
+
+    elif cfg.scheduler == "euler_a":
+        # Euler ancestral (k-diffusion) — stochastic sampling with a noise
+        # split distinct from DDPM's posterior (bonus scheduler; the plain
+        # Euler step is exactly DDIM eta=0 on this grid, so it isn't a
+        # separate mode)
+        ts = sched_mod.ddim_timesteps(cfg.schedule, num_inference_steps)
+        ratio = sched_mod.inference_stride(cfg.schedule, num_inference_steps)
+        if orig_lat is not None:
+            lat = noise_to(ts[t_start]) if t_start < num_inference_steps \
+                else orig_lat.astype(dt)
+        tproj = unet_mod.precompute_temb(uparams, ts, cfg.unet, dtype=dt)
+
+        def body(i, carry):
+            lat, k = carry
+            k, sub = jax.random.split(k)
+            t = ts[i]
+            eps = eps_fn(lat, t, unet_mod.index_temb(tproj, i))
+            noise = jax.random.normal(sub, lat.shape, jnp.float32)
+            nlat = sched_mod.euler_step(sched, eps, t, t - ratio, lat,
+                                        noise=noise, ancestral=True)
+            if blend is not None:
+                nlat = blend(nlat, t - ratio)
+            return nlat, k
+
+        lat, _ = jax.lax.fori_loop(t_start, num_inference_steps, body,
+                                   (lat, key))
 
     elif cfg.scheduler == "pndm":
         ts = sched_mod.pndm_timesteps(cfg.schedule, num_inference_steps)

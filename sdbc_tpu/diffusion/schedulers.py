@@ -303,6 +303,58 @@ def pndm_step(sched: Schedule, cfg: ScheduleConfig, state: PNDMState, eps, t,
 
 
 # ---------------------------------------------------------------------------
+# Euler ancestral (k-diffusion get_ancestral_step / diffusers
+# EulerAncestralDiscreteScheduler) — beyond-reference bonus: a stochastic
+# sampler distinct from DDPM's posterior sampling.
+#
+# Formulated in VE (sigma) coordinates internally but operating on the
+# pipeline's variance-preserving latents: x_ve = x_vp / sqrt(ā_t) with
+# σ = sqrt((1-ā)/ā), so no scale_model_input hook is needed.  The
+# NON-ancestral Euler step is the exact identity x0 + σ_prev·ε̂ — i.e.
+# byte-for-byte the DDIM (eta=0) update on the same grid (tested) — so only
+# the ancestral variant is exposed as a scheduler; the grid is our leading
+# integer grid (== diffusers timestep_spacing="leading"; diffusers' own
+# default for Euler is interpolated "linspace", a grid choice, not a
+# method difference).
+
+
+def _ve_sigma(alpha_bar):
+    return jnp.sqrt((1.0 - alpha_bar) / jnp.maximum(alpha_bar, 1e-20))
+
+
+def euler_step(sched: Schedule, eps, t, t_prev, x_t, noise=None,
+               ancestral: bool = False):
+    """One Euler step t → t_prev on VP latents (eps parameterisation).
+
+    t_prev < 0 is the final step: σ_prev = 0 (the appended terminal sigma
+    of the k-diffusion grid), returning the x0 prediction exactly.
+    ancestral=True adds k-diffusion's ancestral noise split
+    (σ_down² + σ_up² = σ_prev², σ_up = σ_prev·sqrt(1 − σ_prev²/σ_t²))
+    and requires ``noise`` (standard normal, x_t-shaped).
+    """
+    a_t = sched.alphas_cumprod[t]
+    a_prev = jnp.where(t_prev >= 0,
+                       sched.alphas_cumprod[jnp.maximum(t_prev, 0)], 1.0)
+    s_t = _ve_sigma(a_t)
+    s_p = _ve_sigma(a_prev)
+    xf = x_t.astype(jnp.float32)
+    ef = eps.astype(jnp.float32)
+    x_ve = xf / jnp.sqrt(a_t)
+    if ancestral:
+        if noise is None:
+            raise ValueError("euler_step with ancestral=True needs `noise`")
+        var_up = s_p ** 2 * (s_t ** 2 - s_p ** 2) / jnp.maximum(s_t ** 2,
+                                                                1e-20)
+        s_up = jnp.sqrt(jnp.maximum(var_up, 0.0))
+        s_down = jnp.sqrt(jnp.maximum(s_p ** 2 - var_up, 0.0))
+        x_ve = (x_ve + (s_down - s_t) * ef
+                + s_up * noise.astype(jnp.float32))
+    else:
+        x_ve = x_ve + (s_p - s_t) * ef
+    return (x_ve * jnp.sqrt(a_prev)).astype(x_t.dtype)
+
+
+# ---------------------------------------------------------------------------
 # DPM-Solver++ (2M) — beyond-reference bonus: DDIM-quality samples in
 # ~20-25 steps.  Second-order multistep solver in log-SNR (lambda) space,
 # data-prediction formulation (Lu et al. 2022, multistep variant).

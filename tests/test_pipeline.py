@@ -187,3 +187,18 @@ def test_rectangular_generation(pipe):
                 num_inference_steps=2)
     assert imgs.shape == (1, 48, 32, 3)
     assert np.isfinite(imgs).all()
+
+
+def test_euler_ancestral_scheduler_runs(tiny_cfg, tiny_params):
+    """euler_a end-to-end: deterministic per seed, genuinely stochastic
+    across seeds even at fixed initial latents (unlike ddim/pndm/dpm)."""
+    cfg = dataclasses.replace(tiny_cfg, scheduler="euler_a")
+    tok = CLIPTokenizer.fallback(cfg.clip.vocab_size)
+    p = SDPipeline(tiny_params, cfg, tok, compute_dtype=jnp.float32)
+    lat = per_sample_fixed_latents(1, (4, 8, 8), seed=3)
+    a = p(["e"], num_inference_steps=3, latents=lat, seed=7)
+    b = p(["e"], num_inference_steps=3, latents=lat, seed=7)
+    c = p(["e"], num_inference_steps=3, latents=lat, seed=8)
+    np.testing.assert_array_equal(a, b)
+    assert np.isfinite(a).all()
+    assert not np.allclose(a, c)

@@ -342,3 +342,54 @@ def test_inference_steps_bounds():
         with pytest.raises(ValueError, match="num_inference_steps"):
             S.inference_stride(CFG, bad)
     assert S.inference_stride(CFG, 1000) == 1
+
+
+def test_euler_plain_step_equals_ddim():
+    """The non-ancestral Euler step in VE coordinates is algebraically the
+    DDIM (eta=0) update — x0 + sigma_prev*eps in VE — on any non-final
+    stride (the final step differs by design: Euler's grid terminates at
+    sigma=0 while DDIM uses final_alpha_cumprod)."""
+    x_t = jax.random.normal(jax.random.key(20), (1, 4, 4, 2))
+    eps = jax.random.normal(jax.random.key(21), x_t.shape)
+    for t, t_prev in ((981, 961), (601, 581), (41, 21), (21, 1)):
+        a = S.euler_step(SCHED, eps, jnp.asarray(t), jnp.asarray(t_prev), x_t)
+        b = S.ddim_step(SCHED, eps, jnp.asarray(t), jnp.asarray(t_prev), x_t)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+def test_euler_ancestral_step():
+    """k-diffusion ancestral split: sigma_down^2 + sigma_up^2 = sigma_prev^2
+    (zero-noise ancestral == plain Euler to sigma_down), the final step
+    returns the x0 prediction exactly, and noise is required."""
+    import pytest
+
+    x0 = jax.random.normal(jax.random.key(22), (1, 4, 4, 2))
+    noise = jax.random.normal(jax.random.key(23), x0.shape)
+    t, t_prev = jnp.asarray(601), jnp.asarray(581)
+    x_t = S.ddpm_add_noise(SCHED, x0, noise, t[None])
+
+    with pytest.raises(ValueError, match="needs `noise`"):
+        S.euler_step(SCHED, noise, t, t_prev, x_t, ancestral=True)
+
+    # variance split: with unit noise, (out - zero-noise out) has std
+    # sigma_up * sqrt(a_prev); check against the closed form
+    z = jax.random.normal(jax.random.key(24), x_t.shape)
+    out_z = S.euler_step(SCHED, noise, t, t_prev, x_t, noise=z,
+                         ancestral=True)
+    out_0 = S.euler_step(SCHED, noise, t, t_prev, x_t,
+                         noise=jnp.zeros_like(z), ancestral=True)
+    a_t = float(SCHED.alphas_cumprod[601])
+    a_p = float(SCHED.alphas_cumprod[581])
+    s_t2 = (1 - a_t) / a_t
+    s_p2 = (1 - a_p) / a_p
+    s_up = (s_p2 * (s_t2 - s_p2) / s_t2) ** 0.5
+    np.testing.assert_allclose(np.asarray(out_z - out_0),
+                               np.asarray(z) * s_up * a_p ** 0.5, atol=1e-5)
+
+    # final step (t_prev < 0): sigma_prev = 0 so sigma_up = sigma_down = 0
+    # and the output is exactly the x0 prediction regardless of noise
+    fin = S.euler_step(SCHED, noise, jnp.asarray(1), jnp.asarray(-19), x_t,
+                       noise=z, ancestral=True)
+    _, x0_pred = S.to_eps_x0(SCHED, noise, jnp.asarray(1), x_t, "epsilon")
+    np.testing.assert_allclose(np.asarray(fin), np.asarray(x0_pred),
+                               atol=1e-5)
