@@ -58,6 +58,10 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
                    help="'reference' renders byte-exact reference template "
                         "strings (first-slot legible interpolation) for "
                         "apples-to-apples FID/grid comparisons")
+    p.add_argument("--lora_path", type=str, default="",
+                   help="lora.npz adapter (train/lora.py) merged into the "
+                        "resolved base weights at load — serve any base + "
+                        "adapter combination without re-exporting")
     bool_flag(p, "tiny", False, "tiny test config instead of SD-1.5")
     bool_flag(p, "bf16", True, "bfloat16 compute")
 
@@ -99,6 +103,15 @@ def resolve_params_cfg(args):
 
     import dataclasses
 
+    def finish(params, cfg):
+        lp = getattr(args, "lora_path", "")
+        if lp:
+            from sdbc_tpu.train import lora as lora_mod
+
+            params = lora_mod.merge_file(params, lp)
+            print(f"merged LoRA adapter {lp}")
+        return params, cfg
+
     if getattr(args, "wandb_artifact_run", ""):
         # wandb-artifact branch of the reference's 3-way resolution
         # (utils.py:232-253); requires wandb + network
@@ -110,7 +123,7 @@ def resolve_params_cfg(args):
         params, cfg = ckpt_mod.load_pipeline(path)
         if args.scheduler is not None:
             cfg = dataclasses.replace(cfg, scheduler=args.scheduler)
-        return params, cfg
+        return finish(params, cfg)
 
     if getattr(args, "diffusers_ckpt", ""):
         from sdbc_tpu.models.port import (pipeline_config_from_diffusers,
@@ -122,13 +135,13 @@ def resolve_params_cfg(args):
         # utils.py:181-230) — not assumed SD-1.5
         cfg = pipeline_config_from_diffusers(args.diffusers_ckpt,
                                              args.scheduler or "ddim")
-        return params, cfg
+        return finish(params, cfg)
 
     if args.ckpt:
         params, cfg = ckpt_mod.load_pipeline(args.ckpt)
         if args.scheduler is not None:
             cfg = dataclasses.replace(cfg, scheduler=args.scheduler)
-        return params, cfg
+        return finish(params, cfg)
 
     sched = args.scheduler or "ddim"
     cfg = (PipelineConfig.tiny(sched) if args.tiny
@@ -145,7 +158,7 @@ def resolve_params_cfg(args):
             "vae": vae.init(k3, cfg.vae),
         }
 
-    return build(jax.random.key(args.seed)), cfg
+    return finish(build(jax.random.key(args.seed)), cfg)
 
 
 def compute_dtype(args):

@@ -50,6 +50,14 @@ def build_parser() -> argparse.ArgumentParser:
                      "opt-in scale_lr branch, finetune_sd.py:367-371)")
     common.bool_flag(p, "train_unet", False)
     common.bool_flag(p, "train_text_encoder", True)
+    p.add_argument("--lora_rank", type=int, default=0,
+                   help="> 0 trains LoRA adapters of this rank on the "
+                        "attention projections of the selected components "
+                        "(train_unet/train_text_encoder) instead of full "
+                        "fine-tuning (train/lora.py); checkpoints store the "
+                        "frozen base + lora.npz and load merged")
+    p.add_argument("--lora_alpha", type=float, default=8.0,
+                   help="LoRA scale numerator: dW = (alpha/rank) * A@B")
     p.add_argument("--grad_ckpt", action=argparse.BooleanOptionalAction,
                    default=None,
                    help="gradient checkpointing (default: on with "
@@ -100,6 +108,12 @@ def main(argv=None):
                          "the fused int8 update kernel is not partitionable "
                          "over sharded state (FSDP alone already shards the "
                          "fp32 moments)")
+    use_lora = args.lora_rank > 0
+    if use_lora and (args.tp > 1 or args.fsdp):
+        raise SystemExit("--lora_rank trains <1% of the parameters; "
+                         "sharding the base weights buys nothing and the "
+                         "TP/FSDP spec walkers don't cover adapter trees — "
+                         "use plain data parallelism (adapters replicate)")
     common.maybe_init_distributed()
     from sdbc_tpu.data.dataset import DatasetConfig, GoodreadsDataset, make_dataloader
     from sdbc_tpu.diffusion.pipeline import SDPipeline
@@ -127,7 +141,11 @@ def main(argv=None):
         import dataclasses
 
         print(f"resuming from {resume_path}")
-        params, cfg = ckpt_mod.load_pipeline(resume_path)
+        # a LoRA resume needs the RAW base (the adapter is restored onto
+        # the fresh state below, keeping Adam moments aligned with a/b);
+        # a full-finetune resume of any checkpoint takes the merged weights
+        params, cfg = ckpt_mod.load_pipeline(resume_path,
+                                             merge_lora=not use_lora)
         if args.scheduler is not None:  # explicit flag only: a resumed
             # run keeps its checkpointed scheduler by default
             cfg = dataclasses.replace(cfg, scheduler=args.scheduler)
@@ -168,13 +186,47 @@ def main(argv=None):
         train_unet=args.train_unet,
         train_text_encoder=args.train_text_encoder, grad_ckpt=grad_ckpt,
         remat_mode=args.remat_mode,
-        use_8bit_adam=args.use_8bit_adam, lr_scale_by_dp=args.scale_lr)
+        use_8bit_adam=args.use_8bit_adam, lr_scale_by_dp=args.scale_lr,
+        lora_rank=args.lora_rank, lora_alpha=args.lora_alpha)
 
-    state = init_train_state(params, tcfg, dp_size=dp, compute_dtype=dt)
+    state = init_train_state(
+        params, tcfg, dp_size=dp, compute_dtype=dt,
+        key=jax.random.fold_in(jax.random.key(args.seed), 0x10A))
+    base_host = None
+    if use_lora:
+        from sdbc_tpu.train import lora as lora_mod
+
+        print(f"LoRA rank {args.lora_rank} alpha {args.lora_alpha}: "
+              f"{len(state.trainable['lora'])} adapted projections, "
+              f"{lora_mod.count_params(state.trainable['lora']):,} "
+              "trainable parameters")
+        # host snapshot of the fp32 base for checkpointing: the donated
+        # train step invalidates the original device buffers after step 1
+        # (state.frozen aliases them when compute dtype is fp32)
+        base_host = jax.device_get(params)
     if resume_path:
         # full training-state continuity: Adam moments + schedule step
         # (the reference saves optimizer.pt but never restores it —
         # finetune_sd.py:536-537; we restore both, VERDICT round-1 item 3)
+        if use_lora:
+            lpath = os.path.join(resume_path, "lora.npz")
+            if os.path.exists(lpath):
+                restored, lmeta = lora_mod.load_lora(lpath)
+                if (int(lmeta["rank"]) != args.lora_rank
+                        or float(lmeta["alpha"]) != args.lora_alpha):
+                    raise SystemExit(
+                        f"checkpoint adapter is rank {lmeta['rank']} alpha "
+                        f"{lmeta['alpha']} but the CLI asked for rank "
+                        f"{args.lora_rank} alpha {args.lora_alpha} — the "
+                        "restored Adam moments would be wrong; match the "
+                        "flags or start a new run")
+                state = state._replace(trainable={"lora": restored})
+            else:
+                raise SystemExit(
+                    f"--lora_rank resume from {resume_path} which has no "
+                    "lora.npz (a full-finetune checkpoint) — resume without "
+                    "--lora_rank, or start a fresh LoRA run on it via "
+                    "--ckpt")
         opt_state = ckpt_mod.load_opt_state(resume_path, state.opt_state)
         if opt_state is not None:
             state = state._replace(
@@ -203,6 +255,20 @@ def main(argv=None):
     step_fn = make_train_step(cfg, tcfg, mesh=mesh, dp_size=dp,
                               compute_dtype=dt, donate=True,
                               cached_latents=latents_mm is not None)
+
+    def save_ckpt(path, metadata):
+        if use_lora:
+            # base components are untouched by LoRA training: save the
+            # original fp32 tree + the adapter (load_pipeline merges them)
+            ckpt_mod.save_pipeline(
+                path, base_host, cfg, opt_state=state.opt_state,
+                metadata=metadata,
+                lora=jax.device_get(state.trainable["lora"]),
+                lora_rank=args.lora_rank, lora_alpha=args.lora_alpha)
+        else:
+            ckpt_mod.save_pipeline(path, merged_params(state), cfg,
+                                   opt_state=state.opt_state,
+                                   metadata=metadata)
 
     tracker = Tracker(args.output_dir, args.run_id,
                       config={**vars(args), "total_steps": total_steps,
@@ -307,41 +373,36 @@ def main(argv=None):
                     path = ckpt_mod.new_checkpoint_path(
                         args.output_dir, args.run_id, gstep)
                     print(f"new best mean loss {mean_loss:.4f}; saving {path}")
-                    ckpt_mod.save_pipeline(
-                        path, merged_params(state), cfg,
-                        opt_state=state.opt_state,
-                        metadata={"step": gstep, "epoch": epoch,
-                                  "best_mean_loss": best_mean_loss,
-                                  "mean_loss": mean_loss})
+                    save_ckpt(path,
+                              metadata={"step": gstep, "epoch": epoch,
+                                        "best_mean_loss": best_mean_loss,
+                                        "mean_loss": mean_loss})
                     tracker.log_artifact(path)
 
             if preempted["flag"]:
                 stop_profile()
                 path = ckpt_mod.new_checkpoint_path(args.output_dir,
                                                     args.run_id, gstep)
-                ckpt_mod.save_pipeline(
-                    path, merged_params(state), cfg,
-                    opt_state=state.opt_state,
-                    metadata={"step": gstep, "epoch": epoch,
-                              "best_mean_loss": best_mean_loss,
-                              "preempted": True})
+                save_ckpt(path,
+                          metadata={"step": gstep, "epoch": epoch,
+                                    "best_mean_loss": best_mean_loss,
+                                    "preempted": True})
                 print(f"preemption checkpoint saved: {path}")
                 tracker.finish()
                 return
 
     stop_profile()
     final = ckpt_mod.new_checkpoint_path(args.output_dir, args.run_id, gstep)
-    ckpt_mod.save_pipeline(final, merged_params(state), cfg,
-                           opt_state=state.opt_state,
-                           metadata={"step": gstep, "epoch": args.epochs,
-                                     "best_mean_loss": best_mean_loss,
-                                     "final": True})
+    save_ckpt(final,
+              metadata={"step": gstep, "epoch": args.epochs,
+                        "best_mean_loss": best_mean_loss, "final": True})
     print(f"saved final checkpoint: {final}")
 
     if args.final_grids:
         from sdbc_tpu.eval.visualize import visualize_prompts
 
-        pipe = SDPipeline(merged_params(state), cfg, tok, compute_dtype=dt)
+        pipe = SDPipeline(merged_params(state, tcfg), cfg, tok,
+                          compute_dtype=dt)
         grid_dir = os.path.join(tracker.dir, "grids")
         for include_desc in (False,):
             _, _, path = visualize_prompts(

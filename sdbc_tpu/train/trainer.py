@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any, NamedTuple
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -64,9 +64,20 @@ class TrainConfig:
     # grad_accum * batch_size * num_processes but DEFAULTS OFF
     # (utils hyperparam scale_lr=False; conditional at finetune_sd.py:367-371)
     lr_scale_by_dp: bool = False
+    # LoRA (train/lora.py): rank > 0 trains low-rank attention deltas
+    # instead of full components — train_unet/train_text_encoder then
+    # select which components get adapters.  alpha follows the usual
+    # ΔW = (alpha/rank)·A·B scaling.  (Beyond the reference, which only
+    # supports full fine-tuning, finetune_sd.py:374-399.)
+    lora_rank: int = 0
+    lora_alpha: float = 8.0
     # NOTE: no `seed` field — all training RNG comes from the explicit
     # `key` argument to the step function (utils/prng.py discipline); a
     # config seed here would look authoritative while doing nothing
+
+    @property
+    def lora_scale(self) -> float:
+        return self.lora_alpha / self.lora_rank
 
     def trainable_keys(self):
         keys = []
@@ -84,8 +95,20 @@ class TrainState(NamedTuple):
     step: jax.Array
 
 
-def _split_params(params, tcfg: TrainConfig, compute_dtype=jnp.bfloat16):
+def _split_params(params, tcfg: TrainConfig, compute_dtype=jnp.bfloat16,
+                  key=None):
     tkeys = tcfg.trainable_keys()
+    if tcfg.lora_rank > 0:
+        # LoRA: EVERY component freezes to bf16; the trainable tree is the
+        # flat adapter dict (fp32 masters), merged inside the loss
+        from sdbc_tpu.train import lora as lora_mod
+
+        lora = lora_mod.init_lora(
+            key if key is not None else jax.random.key(0),
+            params, tcfg.lora_rank, components=tkeys)
+        frozen = {k: cast_floating(v, compute_dtype)
+                  for k, v in params.items()}
+        return {"lora": lora}, frozen
     trainable = {k: params[k] for k in tkeys}
     frozen = {k: cast_floating(v, compute_dtype)
               for k, v in params.items() if k not in tkeys}
@@ -121,24 +144,44 @@ def make_optimizer(tcfg: TrainConfig, dp_size: int = 1) -> optax.GradientTransfo
 
 
 def init_train_state(params, tcfg: TrainConfig, dp_size: int = 1,
-                     compute_dtype=jnp.bfloat16) -> TrainState:
+                     compute_dtype=jnp.bfloat16, key=None) -> TrainState:
+    """``key`` seeds the LoRA a-init when tcfg.lora_rank > 0 (b is zero,
+    so the adapted model is exactly the base at step 0 either way)."""
     if not tcfg.trainable_keys():
         # the reference's torch optimizer raises 'empty parameter list'
         # here; without this a full run executes and updates nothing
         raise ValueError(
             "nothing to train: set train_unet and/or train_text_encoder")
-    trainable, frozen = _split_params(params, tcfg, compute_dtype)
+    trainable, frozen = _split_params(params, tcfg, compute_dtype, key=key)
     opt = make_optimizer(tcfg, dp_size)
     return TrainState(trainable=trainable, frozen=frozen,
                       opt_state=opt.init(trainable),
                       step=jnp.zeros((), jnp.int32))
 
 
-def merged_params(state: TrainState):
-    """Full {text_encoder, unet, vae} tree for inference/checkpointing."""
-    out = dict(state.frozen)
-    out.update(state.trainable)
+def _merge(trainable, frozen, tcfg: TrainConfig):
+    """Full {text_encoder, unet, vae} param tree from a state's halves."""
+    if "lora" in trainable and tcfg is not None and tcfg.lora_rank > 0:
+        from sdbc_tpu.train import lora as lora_mod
+
+        return lora_mod.apply_lora(dict(frozen), trainable["lora"],
+                                   tcfg.lora_scale)
+    out = dict(frozen)
+    out.update(trainable)
     return out
+
+
+def merged_params(state: TrainState, tcfg: Optional[TrainConfig] = None):
+    """Full {text_encoder, unet, vae} tree for inference/checkpointing.
+
+    LoRA states (trainable == {"lora": ...}) need ``tcfg`` for the
+    alpha/rank scale; passing none raises rather than silently serving
+    the unadapted base.
+    """
+    if "lora" in state.trainable and (tcfg is None or tcfg.lora_rank <= 0):
+        raise ValueError("merged_params on a LoRA state needs the "
+                         "TrainConfig (for the alpha/rank merge scale)")
+    return _merge(state.trainable, state.frozen, tcfg)
 
 
 def diffusion_loss(trainable, frozen, batch, key, cfg: PipelineConfig,
@@ -146,8 +189,10 @@ def diffusion_loss(trainable, frozen, batch, key, cfg: PipelineConfig,
                    compute_dtype=jnp.bfloat16, attn_impl: str = "auto",
                    data_sharded=None):
     """Single-micro-batch denoising MSE (reference finetune_sd.py:460-483)."""
-    params = dict(frozen)
-    params.update(trainable)
+    # LoRA: merge the low-rank deltas into the frozen base INSIDE the loss
+    # so autodiff reaches exactly {a, b}; otherwise overlay the trainable
+    # components over the frozen ones
+    params = _merge(trainable, frozen, tcfg)
     dt = compute_dtype
     ids = batch["input_ids"]                           # (B, ctx) int32
 

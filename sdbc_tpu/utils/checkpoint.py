@@ -41,7 +41,13 @@ def _ckpt():
 
 
 def save_pipeline(path: str, params: dict, cfg: PipelineConfig,
-                  opt_state: Any = None, metadata: Optional[dict] = None) -> None:
+                  opt_state: Any = None, metadata: Optional[dict] = None,
+                  lora: Optional[dict] = None, lora_rank: int = 0,
+                  lora_alpha: float = 0.0) -> None:
+    """``lora``: optional adapter dict (train/lora.py).  A LoRA checkpoint
+    stores the UNTOUCHED base components plus ``lora.npz``; load_pipeline
+    merges them by default, so every consumer sees the tuned model while
+    the adapter stays separately shippable."""
     path = os.path.abspath(path)
     os.makedirs(path, exist_ok=True)
     ckptr = _ckpt()
@@ -50,6 +56,11 @@ def save_pipeline(path: str, params: dict, cfg: PipelineConfig,
             ckptr.save(os.path.join(path, comp), params[comp], force=True)
     if opt_state is not None:
         ckptr.save(os.path.join(path, "opt_state"), opt_state, force=True)
+    if lora is not None:
+        from sdbc_tpu.train import lora as lora_mod
+
+        lora_mod.save_lora(os.path.join(path, "lora.npz"), lora,
+                           lora_rank, lora_alpha)
     # all component saves must land BEFORE config.json: it doubles as the
     # completeness marker latest_checkpoint() keys resume on, so a kill
     # mid-save leaves a dir that resume skips instead of a torn restore
@@ -64,9 +75,14 @@ def save_pipeline(path: str, params: dict, cfg: PipelineConfig,
 
 
 def load_pipeline(path: str, template_params: Optional[dict] = None,
-                  with_opt_state: bool = False):
+                  with_opt_state: bool = False, merge_lora: bool = True):
     """→ (params, cfg[, opt_state]).  template_params enables sharded/typed
-    restore onto an existing layout; without it arrays restore as saved."""
+    restore onto an existing layout; without it arrays restore as saved.
+
+    A ``lora.npz`` adapter saved alongside the components is merged into
+    the base weights by default (the checkpoint's tuned model); pass
+    merge_lora=False to get the raw base (LoRA training resume restores
+    the adapter separately so Adam moments stay aligned with a/b)."""
     path = os.path.abspath(path)
     with open(os.path.join(path, "config.json")) as f:
         cfg = config_from_json(json.load(f))
@@ -78,6 +94,11 @@ def load_pipeline(path: str, template_params: Optional[dict] = None,
             target = template_params.get(comp) if template_params else None
             params[comp] = ckptr.restore(cpath, target) if target is not None \
                 else ckptr.restore(cpath)
+    lpath = os.path.join(path, "lora.npz")
+    if merge_lora and os.path.exists(lpath):
+        from sdbc_tpu.train import lora as lora_mod
+
+        params = lora_mod.merge_file(params, lpath)
     if with_opt_state:
         opath = os.path.join(path, "opt_state")
         opt_state = ckptr.restore(opath) if os.path.exists(opath) else None
