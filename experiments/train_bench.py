@@ -10,6 +10,8 @@ pixels — measures the uplift from skipping the in-step VAE encode.
 Optional third arg overrides the UNet gradient-checkpointing strategy for
 modes B/C: "noremat" disables it entirely, "selective" keeps flash
 attention outside the checkpoint regions (models/unet.py remat_mode).
+An extra "lora" arg anywhere switches the mode's components to LoRA
+adapters (rank 8, train/lora.py) instead of full fine-tuning.
 """
 import os
 import sys
@@ -60,13 +62,23 @@ def main():
                            grad_accum=4, num_examples=1000)
         micro = 2
 
-    cached = len(sys.argv) > 2 and sys.argv[2].lower() == "cached"
-    remat = sys.argv[3].lower() if len(sys.argv) > 3 else ""
+    extra = [a.lower() for a in sys.argv[2:]]
+    cached = "cached" in extra
+    remat = next((a for a in extra if a in ("noremat", "selective")), "")
+    lora = "lora" in extra
+    for a in extra:  # "microN" overrides the mode's per-step micro batch
+        if a.startswith("micro") and a[5:].isdigit():
+            micro = int(a[5:])
     if remat == "noremat":
         tcfg = TrainConfig(**{**tcfg.__dict__, "grad_ckpt": False})
     elif remat == "selective":
         tcfg = TrainConfig(**{**tcfg.__dict__, "remat_mode": "selective"})
-    state = init_train_state(params, tcfg, compute_dtype=jnp.bfloat16)
+    if lora:
+        # the int8 update kernel's blocking is pointless on tiny adapters
+        tcfg = TrainConfig(**{**tcfg.__dict__, "lora_rank": 8,
+                              "lora_alpha": 16.0, "use_8bit_adam": False})
+    state = init_train_state(params, tcfg, compute_dtype=jnp.bfloat16,
+                             key=jax.random.key(2))
     del params
     step = make_train_step(cfg, tcfg, compute_dtype=jnp.bfloat16, donate=True,
                            cached_latents=cached)
@@ -103,6 +115,10 @@ def main():
     tag = f"{mode}+cached" if cached else mode
     if remat:
         tag += f"+{remat}"
+    if lora:
+        tag += "+lora8"
+    tag += f"+micro{micro}" if any(a.startswith("micro") for a in extra) \
+        else ""
     print(f"mode {tag}: {dt:.3f}s/step, {imgs/dt:.2f} train imgs/s/chip "
           f"(micro {micro} x accum {tcfg.grad_accum})", flush=True)
 

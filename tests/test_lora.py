@@ -218,3 +218,39 @@ def test_finetune_cli_lora_end_to_end(tmp_path):
     argv_r3[argv_r3.index("--lora_rank") + 1] = "3"
     with pytest.raises(SystemExit, match="rank"):
         ft.main(argv_r3 + ["--resume"])
+
+
+def test_lora_dp_step_matches_single_device(tiny_cfg, base):
+    """LoRA under DP-8: the psum'd adapter gradients drive the identical
+    update as single-device (adapters replicate over the mesh)."""
+    from sdbc_tpu.parallel.mesh import MeshConfig, make_mesh, replicate_tree
+
+    tcfg = T.TrainConfig(train_unet=True, train_text_encoder=True,
+                         grad_accum=1, learning_rate=1e-4, num_examples=100,
+                         lora_rank=2, lora_alpha=4.0)
+    batch = {
+        "pixel_values": jax.random.normal(jax.random.key(0),
+                                          (1, 8, 32, 32, 3)),
+        "input_ids": jnp.ones((1, 8, tiny_cfg.clip.ctx), jnp.int32),
+    }
+    key = jax.random.key(5)
+    ikey = jax.random.key(6)
+
+    s_single = T.init_train_state(base, tcfg, compute_dtype=jnp.float32,
+                                  key=ikey)
+    step_single = T.make_train_step(tiny_cfg, tcfg, compute_dtype=jnp.float32)
+    s1, m1 = step_single(s_single, batch, key)
+
+    mesh = make_mesh(MeshConfig(data=8))
+    s_dp = T.init_train_state(base, tcfg, compute_dtype=jnp.float32, key=ikey)
+    s_dp = replicate_tree(s_dp, mesh)
+    step_dp = T.make_train_step(tiny_cfg, tcfg, mesh=mesh, dp_size=8,
+                                compute_dtype=jnp.float32)
+    s2, m2 = step_dp(s_dp, batch, key)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-4)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-4, atol=1e-5),
+        s1.trainable["lora"], s2.trainable["lora"])
