@@ -58,6 +58,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "frozen base + lora.npz and load merged")
     p.add_argument("--lora_alpha", type=float, default=8.0,
                    help="LoRA scale numerator: dW = (alpha/rank) * A@B")
+    p.add_argument("--ema_decay", type=float, default=0.0,
+                   help="> 0 keeps an exponential-moving-average shadow of "
+                        "the trained components (decay ramped in as "
+                        "min(d, (1+t)/(10+t)), the diffusers EMAModel "
+                        "convention; 0.9999 is the usual value). "
+                        "Checkpoints store raw masters + ema/; loads and "
+                        "final grids serve the EMA weights")
     p.add_argument("--grad_ckpt", action=argparse.BooleanOptionalAction,
                    default=None,
                    help="gradient checkpointing (default: on with "
@@ -109,6 +116,11 @@ def main(argv=None):
                          "over sharded state (FSDP alone already shards the "
                          "fp32 moments)")
     use_lora = args.lora_rank > 0
+    if use_lora and args.ema_decay > 0:
+        raise SystemExit("--ema_decay cannot combine with --lora_rank: an "
+                         "adapter shadow has no component slot in the "
+                         "checkpoint's ema/ overlay (and LoRA runs are "
+                         "short enough that EMA buys little) — drop one")
     if use_lora and (args.tp > 1 or args.fsdp):
         raise SystemExit("--lora_rank trains <1% of the parameters; "
                          "sharding the base weights buys nothing and the "
@@ -144,8 +156,11 @@ def main(argv=None):
         # a LoRA resume needs the RAW base (the adapter is restored onto
         # the fresh state below, keeping Adam moments aligned with a/b);
         # a full-finetune resume of any checkpoint takes the merged weights
+        # raw masters, never the EMA overlay: resume must continue the
+        # optimizer trajectory (the shadow restores separately below)
         params, cfg = ckpt_mod.load_pipeline(resume_path,
-                                             merge_lora=not use_lora)
+                                             merge_lora=not use_lora,
+                                             use_ema=False)
         if args.scheduler is not None:  # explicit flag only: a resumed
             # run keeps its checkpointed scheduler by default
             cfg = dataclasses.replace(cfg, scheduler=args.scheduler)
@@ -187,7 +202,8 @@ def main(argv=None):
         train_text_encoder=args.train_text_encoder, grad_ckpt=grad_ckpt,
         remat_mode=args.remat_mode,
         use_8bit_adam=args.use_8bit_adam, lr_scale_by_dp=args.scale_lr,
-        lora_rank=args.lora_rank, lora_alpha=args.lora_alpha)
+        lora_rank=args.lora_rank, lora_alpha=args.lora_alpha,
+        ema_decay=args.ema_decay)
 
     state = init_train_state(
         params, tcfg, dp_size=dp, compute_dtype=dt,
@@ -232,6 +248,14 @@ def main(argv=None):
             state = state._replace(
                 opt_state=opt_state,
                 step=jnp.asarray(int(resume_meta.get("step", 0)), jnp.int32))
+        if args.ema_decay > 0:
+            shadow = ckpt_mod.load_ema(resume_path, template=state.ema)
+            if shadow is not None:
+                state = state._replace(ema=shadow)
+            else:  # pre-EMA checkpoint: init_train_state already seeded the
+                # shadow from the restored masters; it ramps in from here
+                print("resume: checkpoint has no ema/ — EMA shadow starts "
+                      "from the restored masters")
     latents_mm = None
     if args.cache_latents:
         from sdbc_tpu.train import latent_cache as lc
@@ -266,9 +290,13 @@ def main(argv=None):
                 lora=jax.device_get(state.trainable["lora"]),
                 lora_rank=args.lora_rank, lora_alpha=args.lora_alpha)
         else:
-            ckpt_mod.save_pipeline(path, merged_params(state), cfg,
-                                   opt_state=state.opt_state,
-                                   metadata=metadata)
+            if args.ema_decay > 0:
+                metadata = {**metadata, "ema_decay": args.ema_decay}
+            ckpt_mod.save_pipeline(
+                path, merged_params(state), cfg,
+                opt_state=state.opt_state, metadata=metadata,
+                ema=(jax.device_get(state.ema)
+                     if state.ema is not None else None))
 
     tracker = Tracker(args.output_dir, args.run_id,
                       config={**vars(args), "total_steps": total_steps,
@@ -401,8 +429,9 @@ def main(argv=None):
     if args.final_grids:
         from sdbc_tpu.eval.visualize import visualize_prompts
 
-        pipe = SDPipeline(merged_params(state, tcfg), cfg, tok,
-                          compute_dtype=dt)
+        pipe = SDPipeline(
+            merged_params(state, tcfg, use_ema=state.ema is not None),
+            cfg, tok, compute_dtype=dt)
         grid_dir = os.path.join(tracker.dir, "grids")
         for include_desc in (False,):
             _, _, path = visualize_prompts(

@@ -71,6 +71,12 @@ class TrainConfig:
     # supports full fine-tuning, finetune_sd.py:374-399.)
     lora_rank: int = 0
     lora_alpha: float = 8.0
+    # EMA of the trainable tree (beyond the reference; standard diffusion
+    # practice — diffusers' train scripts keep an EMAModel of the UNet).
+    # 0 = off.  >0 maintains a shadow copy updated after every optimizer
+    # step with the warmup-ramped decay min(ema_decay, (1+t)/(10+t)), and
+    # checkpoints/eval serve the EMA weights (utils/checkpoint.py `ema`).
+    ema_decay: float = 0.0
     # NOTE: no `seed` field — all training RNG comes from the explicit
     # `key` argument to the step function (utils/prng.py discipline); a
     # config seed here would look authoritative while doing nothing
@@ -93,6 +99,10 @@ class TrainState(NamedTuple):
     frozen: Any         # bf16 frozen params (vae + non-trained components)
     opt_state: Any
     step: jax.Array
+    # EMA shadow of `trainable` (None when ema_decay == 0).  Same tree
+    # structure as trainable, so TP/FSDP spec walkers shard it by the same
+    # path-suffix rules and a None field is an empty pytree everywhere.
+    ema: Any = None
 
 
 def _split_params(params, tcfg: TrainConfig, compute_dtype=jnp.bfloat16,
@@ -154,9 +164,13 @@ def init_train_state(params, tcfg: TrainConfig, dp_size: int = 1,
             "nothing to train: set train_unet and/or train_text_encoder")
     trainable, frozen = _split_params(params, tcfg, compute_dtype, key=key)
     opt = make_optimizer(tcfg, dp_size)
+    # EMA starts as a COPY (jnp.array) of the masters: the donated train
+    # step would otherwise alias-invalidate the shared buffers on step 1
+    ema = (jax.tree.map(jnp.array, trainable) if tcfg.ema_decay > 0
+           else None)
     return TrainState(trainable=trainable, frozen=frozen,
                       opt_state=opt.init(trainable),
-                      step=jnp.zeros((), jnp.int32))
+                      step=jnp.zeros((), jnp.int32), ema=ema)
 
 
 def _merge(trainable, frozen, tcfg: TrainConfig):
@@ -171,17 +185,26 @@ def _merge(trainable, frozen, tcfg: TrainConfig):
     return out
 
 
-def merged_params(state: TrainState, tcfg: Optional[TrainConfig] = None):
+def merged_params(state: TrainState, tcfg: Optional[TrainConfig] = None,
+                  use_ema: bool = False):
     """Full {text_encoder, unet, vae} tree for inference/checkpointing.
 
     LoRA states (trainable == {"lora": ...}) need ``tcfg`` for the
     alpha/rank scale; passing none raises rather than silently serving
-    the unadapted base.
+    the unadapted base.  ``use_ema=True`` merges the EMA shadow instead of
+    the raw masters (raises if the state carries no EMA — silently serving
+    raw weights when the caller asked for EMA would be a quality bug).
     """
-    if "lora" in state.trainable and (tcfg is None or tcfg.lora_rank <= 0):
+    trainable = state.trainable
+    if use_ema:
+        if state.ema is None:
+            raise ValueError("use_ema=True on a state with no EMA shadow "
+                             "(train with TrainConfig.ema_decay > 0)")
+        trainable = state.ema
+    if "lora" in trainable and (tcfg is None or tcfg.lora_rank <= 0):
         raise ValueError("merged_params on a LoRA state needs the "
                          "TrainConfig (for the alpha/rank merge scale)")
-    return _merge(state.trainable, state.frozen, tcfg)
+    return _merge(trainable, state.frozen, tcfg)
 
 
 def diffusion_loss(trainable, frozen, batch, key, cfg: PipelineConfig,
@@ -285,8 +308,20 @@ def make_train_step(cfg: PipelineConfig, tcfg: TrainConfig, mesh=None,
         updates, new_opt = opt.update(grads, state.opt_state, state.trainable)
         new_trainable = optax.apply_updates(state.trainable, updates)
 
+        new_ema = state.ema
+        if tcfg.ema_decay > 0:
+            # warmup-ramped decay (diffusers EMAModel convention): early
+            # steps weight fresh params heavily, converging to ema_decay.
+            # t = number of COMPLETED updates after this one.  A NaN-skipped
+            # step (apply_if_finite zero update) decays toward unchanged
+            # params — a no-op in the limit, harmless.
+            t = (state.step + 1).astype(jnp.float32)
+            d = jnp.minimum(tcfg.ema_decay, (1.0 + t) / (10.0 + t))
+            new_ema = jax.tree.map(
+                lambda e, p: e * d + p * (1.0 - d), state.ema, new_trainable)
+
         new_state = TrainState(new_trainable, state.frozen, new_opt,
-                               state.step + 1)
+                               state.step + 1, new_ema)
         # "finite" reflects what apply_if_finite actually checked — the
         # UPDATE tree (a finite fp32 loss can still hide an inf in the bf16
         # backward, silently skipping the step); total_notfinite is the

@@ -43,11 +43,18 @@ def _ckpt():
 def save_pipeline(path: str, params: dict, cfg: PipelineConfig,
                   opt_state: Any = None, metadata: Optional[dict] = None,
                   lora: Optional[dict] = None, lora_rank: int = 0,
-                  lora_alpha: float = 0.0) -> None:
+                  lora_alpha: float = 0.0,
+                  ema: Optional[dict] = None) -> None:
     """``lora``: optional adapter dict (train/lora.py).  A LoRA checkpoint
     stores the UNTOUCHED base components plus ``lora.npz``; load_pipeline
     merges them by default, so every consumer sees the tuned model while
-    the adapter stays separately shippable."""
+    the adapter stays separately shippable.
+
+    ``ema``: optional EMA shadow of the trained components
+    ({component: params} subset, TrainState.ema).  Stored under
+    ``<dir>/ema``; load_pipeline overlays it by default (EMA weights are
+    what diffusion checkpoints serve), while resume restores the raw
+    components + the shadow separately so Adam moments stay aligned."""
     path = os.path.abspath(path)
     os.makedirs(path, exist_ok=True)
     ckptr = _ckpt()
@@ -56,6 +63,14 @@ def save_pipeline(path: str, params: dict, cfg: PipelineConfig,
             ckptr.save(os.path.join(path, comp), params[comp], force=True)
     if opt_state is not None:
         ckptr.save(os.path.join(path, "opt_state"), opt_state, force=True)
+    if ema is not None:
+        bad = set(ema) - set(COMPONENTS)
+        if bad:
+            # a {"lora": ...} shadow has no component to overlay at load —
+            # the finetune CLI refuses --ema_decay with --lora_rank up front
+            raise ValueError(f"ema tree may only hold component subtrees "
+                             f"{COMPONENTS}, got extra keys {sorted(bad)}")
+        ckptr.save(os.path.join(path, "ema"), ema, force=True)
     if lora is not None:
         from sdbc_tpu.train import lora as lora_mod
 
@@ -75,14 +90,20 @@ def save_pipeline(path: str, params: dict, cfg: PipelineConfig,
 
 
 def load_pipeline(path: str, template_params: Optional[dict] = None,
-                  with_opt_state: bool = False, merge_lora: bool = True):
+                  with_opt_state: bool = False, merge_lora: bool = True,
+                  use_ema: bool = True):
     """→ (params, cfg[, opt_state]).  template_params enables sharded/typed
     restore onto an existing layout; without it arrays restore as saved.
 
     A ``lora.npz`` adapter saved alongside the components is merged into
     the base weights by default (the checkpoint's tuned model); pass
     merge_lora=False to get the raw base (LoRA training resume restores
-    the adapter separately so Adam moments stay aligned with a/b)."""
+    the adapter separately so Adam moments stay aligned with a/b).
+
+    An ``ema/`` shadow (saved by --ema_decay training) likewise overlays
+    the raw components by default — EMA weights are the checkpoint's
+    servable model; pass use_ema=False for the raw masters (training
+    resume)."""
     path = os.path.abspath(path)
     with open(os.path.join(path, "config.json")) as f:
         cfg = config_from_json(json.load(f))
@@ -94,6 +115,10 @@ def load_pipeline(path: str, template_params: Optional[dict] = None,
             target = template_params.get(comp) if template_params else None
             params[comp] = ckptr.restore(cpath, target) if target is not None \
                 else ckptr.restore(cpath)
+    epath = os.path.join(path, "ema")
+    if use_ema and os.path.exists(epath):
+        shadow = ckptr.restore(epath)
+        params.update(shadow)  # component-keyed subset of the params tree
     lpath = os.path.join(path, "lora.npz")
     if merge_lora and os.path.exists(lpath):
         from sdbc_tpu.train import lora as lora_mod
@@ -119,6 +144,20 @@ def load_opt_state(path: str, template: Any):
     if not os.path.exists(opath):
         return None
     return _ckpt().restore(opath, template)
+
+
+def load_ema(path: str, template: Any = None):
+    """Restore the EMA shadow tree, or None when the checkpoint has none.
+
+    ``template`` (e.g. a fresh TrainState.ema) enables typed/sharded
+    restore, exactly as load_opt_state does for optimizer state.
+    """
+    epath = os.path.join(os.path.abspath(path), "ema")
+    if not os.path.exists(epath):
+        return None
+    ckptr = _ckpt()
+    return ckptr.restore(epath, template) if template is not None \
+        else ckptr.restore(epath)
 
 
 def load_metadata(path: str) -> dict:
