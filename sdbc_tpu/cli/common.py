@@ -83,11 +83,34 @@ def resolve_img_size(args):
 
 
 def make_tokenizer(args, vocab_size: int):
+    """``vocab_size``: the BASE vocab (without textual-inversion rows — a
+    TI checkpoint's added_tokens.json re-registers those below)."""
+    import json as _json
+
     from sdbc_tpu.data.tokenizer import CLIPTokenizer
 
+    # textual-inversion checkpoints carry their placeholder registration
+    # (utils/checkpoint.save_pipeline ti=...); without it the placeholder
+    # string would BPE into ordinary tokens and miss the learned rows
+    added = {}
+    ck = getattr(args, "ckpt", "") or ""
+    atp = os.path.join(ck, "added_tokens.json") if ck else ""
+    if atp and os.path.exists(atp):
+        with open(atp) as f:
+            raw = _json.load(f)
+        added = {k: (v if isinstance(v, list) else [v])
+                 for k, v in raw.items()}
     if args.tokenizer_dir:
-        return CLIPTokenizer.from_pretrained(args.tokenizer_dir)
-    return CLIPTokenizer.fallback(vocab_size)
+        tok = CLIPTokenizer.from_pretrained(args.tokenizer_dir)
+    else:
+        # a TI checkpoint's cfg.clip.vocab_size includes the appended rows;
+        # the fallback's hash buckets must span only the BASE vocab or
+        # bucket ids would collide with the placeholder ids
+        n_added = sum(len(v) for v in added.values())
+        tok = CLIPTokenizer.fallback(vocab_size - n_added)
+    if added and not tok.added_tokens:
+        tok.added_tokens.update(added)
+    return tok
 
 
 def resolve_params_cfg(args):

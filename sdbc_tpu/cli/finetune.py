@@ -58,6 +58,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "frozen base + lora.npz and load merged")
     p.add_argument("--lora_alpha", type=float, default=8.0,
                    help="LoRA scale numerator: dW = (alpha/rank) * A@B")
+    p.add_argument("--ti_token", type=str, default="",
+                   help="textual inversion: register this placeholder "
+                        "(e.g. '<cover-style>') and train ONLY its new "
+                        "embedding rows; every pretrained weight stays "
+                        "frozen (train/textual_inversion.py). Training "
+                        "prompts gain ', in the style of <token>'; at "
+                        "inference use the token in any prompt")
+    p.add_argument("--ti_vectors", type=int, default=1,
+                   help="embedding rows the placeholder expands to "
+                        "(multi-vector inversion captures more detail)")
+    p.add_argument("--ti_init_token", type=str, default="",
+                   help="initializer word whose mean embedding seeds the "
+                        "new rows (default: embedding-table mean)")
     p.add_argument("--ema_decay", type=float, default=0.0,
                    help="> 0 keeps an exponential-moving-average shadow of "
                         "the trained components (decay ramped in as "
@@ -116,6 +129,18 @@ def main(argv=None):
                          "over sharded state (FSDP alone already shards the "
                          "fp32 moments)")
     use_lora = args.lora_rank > 0
+    use_ti = bool(args.ti_token)
+    if use_ti and use_lora:
+        raise SystemExit("--ti_token and --lora_rank are mutually "
+                         "exclusive: pick one parameter-efficient mode")
+    if use_ti and args.ema_decay > 0:
+        raise SystemExit("--ema_decay cannot combine with --ti_token: the "
+                         "checkpoint's ema/ overlay holds component trees, "
+                         "not embedding rows")
+    if use_ti and (args.tp > 1 or args.fsdp):
+        raise SystemExit("--ti_token trains a handful of embedding rows; "
+                         "TP/FSDP buy nothing and the spec walkers don't "
+                         "cover the rows tree — use plain data parallelism")
     if use_lora and args.ema_decay > 0:
         raise SystemExit("--ema_decay cannot combine with --lora_rank: an "
                          "adapter shadow has no component slot in the "
@@ -160,6 +185,7 @@ def main(argv=None):
         # optimizer trajectory (the shadow restores separately below)
         params, cfg = ckpt_mod.load_pipeline(resume_path,
                                              merge_lora=not use_lora,
+                                             merge_ti=not use_ti,
                                              use_ema=False)
         if args.scheduler is not None:  # explicit flag only: a resumed
             # run keeps its checkpointed scheduler by default
@@ -168,13 +194,34 @@ def main(argv=None):
     else:
         params, cfg = common.resolve_params_cfg(args)
     tok = common.make_tokenizer(args, cfg.clip.vocab_size)
+    ti_ids, ti_init_ids = None, None
+    if use_ti:
+        ti_ids = tok.add_placeholder(args.ti_token, args.ti_vectors)
+        if args.ti_init_token:
+            ti_init_ids = tok._token_ids(args.ti_init_token)
+        print(f"textual inversion: {args.ti_token!r} -> ids {ti_ids}"
+              + (f" (init from {args.ti_init_token!r})"
+                 if args.ti_init_token else ""))
 
     dcfg = DatasetConfig(
         data_root=args.data_root, img_size=args.img_size,
         size=args.num_examples, legible_text_prob=args.legible_text_prob,
         include_desc=args.include_desc, max_length=cfg.clip.ctx,
-        seed=args.seed, prompt_bank=args.prompt_bank)
+        seed=args.seed, prompt_bank=args.prompt_bank,
+        style_token=args.ti_token.strip().lower() if use_ti else "")
     ds = GoodreadsDataset(dcfg, tok)
+    if use_ti and len(ds):
+        # a long title can push the style suffix past the context window —
+        # the placeholder ids then never reach the text encoder and the
+        # inversion silently learns nothing for that example
+        import random as _random
+
+        probe = ds.prompt_for(0, rng=_random.Random(0))
+        if not set(ti_ids) <= set(tok.encode(probe, cfg.clip.ctx)):
+            print(f"WARNING: sample prompt truncates the {args.ti_token!r} "
+                  f"placeholder out of the {cfg.clip.ctx}-token context "
+                  f"(prompt: {probe!r}); such examples contribute no "
+                  "inversion gradient")
 
     mesh = make_mesh(MeshConfig(model=args.tp))
     dp = mesh.shape["data"]
@@ -203,12 +250,18 @@ def main(argv=None):
         remat_mode=args.remat_mode,
         use_8bit_adam=args.use_8bit_adam, lr_scale_by_dp=args.scale_lr,
         lora_rank=args.lora_rank, lora_alpha=args.lora_alpha,
+        ti_token=args.ti_token, ti_vectors=args.ti_vectors,
         ema_decay=args.ema_decay)
 
     state = init_train_state(
         params, tcfg, dp_size=dp, compute_dtype=dt,
-        key=jax.random.fold_in(jax.random.key(args.seed), 0x10A))
+        key=jax.random.fold_in(jax.random.key(args.seed), 0x10A),
+        ti_init_ids=ti_init_ids)
     base_host = None
+    if use_ti:
+        # host snapshot of the fp32 base for checkpointing (same donation
+        # rationale as the LoRA branch below)
+        base_host = jax.device_get(params)
     if use_lora:
         from sdbc_tpu.train import lora as lora_mod
 
@@ -243,6 +296,24 @@ def main(argv=None):
                     "lora.npz (a full-finetune checkpoint) — resume without "
                     "--lora_rank, or start a fresh LoRA run on it via "
                     "--ckpt")
+        if use_ti:
+            from sdbc_tpu.train import textual_inversion as ti_mod
+
+            tpath = os.path.join(resume_path, "ti.npz")
+            if not os.path.exists(tpath):
+                raise SystemExit(
+                    f"--ti_token resume from {resume_path} which has no "
+                    "ti.npz — resume without --ti_token, or start a fresh "
+                    "inversion on it via --ckpt")
+            rows, tmeta = ti_mod.load_ti(tpath)
+            if (tmeta["token"] != args.ti_token.strip().lower()
+                    or list(tmeta["ids"]) != list(ti_ids)):
+                raise SystemExit(
+                    f"checkpoint inversion is {tmeta['token']!r} ids "
+                    f"{tmeta['ids']} but the CLI asked for "
+                    f"{args.ti_token!r} ids {ti_ids} — match the flags or "
+                    "start a new run")
+            state = state._replace(trainable={"ti": {"rows": rows}})
         opt_state = ckpt_mod.load_opt_state(resume_path, state.opt_state)
         if opt_state is not None:
             state = state._replace(
@@ -281,7 +352,16 @@ def main(argv=None):
                               cached_latents=latents_mm is not None)
 
     def save_ckpt(path, metadata):
-        if use_lora:
+        if use_ti:
+            # untouched base + the learned rows (+ added_tokens.json so any
+            # loader's tokenizer knows the placeholder ids)
+            ckpt_mod.save_pipeline(
+                path, base_host, cfg, opt_state=state.opt_state,
+                metadata={**metadata, "ti_token": args.ti_token,
+                          "ti_vectors": args.ti_vectors},
+                ti=(jax.device_get(state.trainable["ti"]["rows"]),
+                    args.ti_token.strip().lower(), ti_ids))
+        elif use_lora:
             # base components are untouched by LoRA training: save the
             # original fp32 tree + the adapter (load_pipeline merges them)
             ckpt_mod.save_pipeline(

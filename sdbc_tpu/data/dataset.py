@@ -43,6 +43,11 @@ class DatasetConfig:
     # (byte-exact reference strings + first-slot legible interpolation,
     # templates.py REFERENCE_* — for apples-to-apples comparisons)
     prompt_bank: str = "native"
+    # textual inversion: a registered placeholder (e.g. "<cover-style>")
+    # appended to every training prompt as ", in the style of <tok>" so the
+    # new embedding rows absorb the dataset's cover style
+    # (train/textual_inversion.py)
+    style_token: str = ""
 
 
 class GoodreadsDataset:
@@ -113,13 +118,17 @@ class GoodreadsDataset:
         if rng is None:
             rng = self._prompt_rng(idx)
         if self.cfg.prompt_bank == "reference":
-            return templates.format_reference_training_prompt(
+            prompt = templates.format_reference_training_prompt(
                 author, title, desc=desc, rng=rng,
                 legible_text_prob=self.cfg.legible_text_prob,
                 include_desc=self.cfg.include_desc)
-        return templates.format_training_prompt(
-            author, title, desc=desc, rng=rng,
-            legible_text_prob=self.cfg.legible_text_prob)
+        else:
+            prompt = templates.format_training_prompt(
+                author, title, desc=desc, rng=rng,
+                legible_text_prob=self.cfg.legible_text_prob)
+        if self.cfg.style_token:
+            prompt = f"{prompt}, in the style of {self.cfg.style_token}"
+        return prompt
 
     def __getitem__(self, idx: int) -> dict:
         t0 = time.perf_counter()

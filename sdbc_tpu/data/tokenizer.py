@@ -86,7 +86,8 @@ class CLIPTokenizer:
     def __init__(self, vocab: Optional[Dict[str, int]] = None,
                  merges: Optional[List[Tuple[str, str]]] = None,
                  vocab_size: int = 49408,
-                 pad_token: Optional[str] = None):
+                 pad_token: Optional[str] = None,
+                 added_tokens: Optional[Dict[str, List[int]]] = None):
         self.byte_encoder = _bytes_to_unicode()
         self.vocab_size = vocab_size
         if vocab is not None:
@@ -107,6 +108,60 @@ class CLIPTokenizer:
                        else self.eot_id)
         self.decoder = {v: k for k, v in self.encoder.items()}
         self.cache: Dict[str, str] = {}
+        # placeholder tokens (textual inversion): string → list of ids at/
+        # above the base vocab.  Matched verbatim BEFORE BPE, so any marker
+        # string (e.g. "<cover-style>") maps to its ids regardless of the
+        # pre-tokenization regex; multi-vector placeholders expand to
+        # several consecutive ids (train/textual_inversion.py).
+        self.added_tokens: Dict[str, List[int]] = dict(added_tokens or {})
+
+    # -- placeholder tokens -------------------------------------------------
+
+    @property
+    def total_vocab(self) -> int:
+        """Base vocab + appended placeholder rows (the embedding-table
+        length a checkpoint trained with these tokens carries)."""
+        n_added = sum(len(v) for v in self.added_tokens.values())
+        return self.vocab_size + n_added
+
+    def add_placeholder(self, token: str, n_vectors: int = 1) -> List[int]:
+        """Register ``token`` as ``n_vectors`` new ids appended after the
+        current vocabulary (id = total_vocab + k).  Lowercased to survive
+        the CLIP lowercasing normalizer; idempotent for an identical
+        re-registration."""
+        token = token.strip().lower()
+        if not token:
+            raise ValueError("placeholder token must be non-empty")
+        if token in self.added_tokens:
+            ids = self.added_tokens[token]
+            if len(ids) != n_vectors:
+                raise ValueError(
+                    f"placeholder {token!r} already registered with "
+                    f"{len(ids)} vectors, asked for {n_vectors}")
+            return list(ids)
+        base = self.total_vocab
+        ids = list(range(base, base + n_vectors))
+        self.added_tokens[token] = ids
+        return ids
+
+    def _split_added(self, text: str):
+        """→ [(segment, ids-or-None)] with placeholder strings isolated."""
+        segs: List[Tuple[str, Optional[List[int]]]] = [(text, None)]
+        for tok in sorted(self.added_tokens, key=len, reverse=True):
+            ids = self.added_tokens[tok]
+            out: List[Tuple[str, Optional[List[int]]]] = []
+            for s, sid in segs:
+                if sid is not None:
+                    out.append((s, sid))
+                    continue
+                parts = s.split(tok)
+                for i, p in enumerate(parts):
+                    if i:
+                        out.append((tok, ids))
+                    if p:
+                        out.append((p, None))
+            segs = out
+        return segs
 
     # -- loading ------------------------------------------------------------
 
@@ -142,8 +197,16 @@ class CLIPTokenizer:
                     tok = tok.get("content")
                 if isinstance(tok, str) and tok in vocab:
                     pad = tok
+        added = None
+        ap = os.path.join(path, "added_tokens.json")
+        if os.path.exists(ap):
+            with open(ap) as f:
+                raw = json.load(f)
+            # ours: {token: [ids]}; HF writes {token: id} — accept both
+            added = {k: (v if isinstance(v, list) else [v])
+                     for k, v in raw.items()}
         return cls(vocab=vocab, merges=merges, vocab_size=len(vocab),
-                   pad_token=pad)
+                   pad_token=pad, added_tokens=added)
 
     @classmethod
     def fallback(cls, vocab_size: int = 49408) -> "CLIPTokenizer":
@@ -190,15 +253,22 @@ class CLIPTokenizer:
     def _token_ids(self, text: str) -> List[int]:
         text = _whitespace_clean(text).lower()
         ids: List[int] = []
-        for tok in _PAT.findall(text):
-            tok_bytes = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
-            if self.hash_mode:
-                for piece in self._bpe(tok_bytes).split(" "):
-                    # stable bucket, avoiding the two special ids
-                    ids.append(hash_bucket(piece, self.vocab_size - 2))
-            else:
-                for piece in self._bpe(tok_bytes).split(" "):
-                    ids.append(self.encoder.get(piece, self.eot_id))
+        segments = (self._split_added(text) if self.added_tokens
+                    else [(text, None)])
+        for seg, seg_ids in segments:
+            if seg_ids is not None:
+                ids.extend(seg_ids)
+                continue
+            for tok in _PAT.findall(seg):
+                tok_bytes = "".join(self.byte_encoder[b]
+                                    for b in tok.encode("utf-8"))
+                if self.hash_mode:
+                    for piece in self._bpe(tok_bytes).split(" "):
+                        # stable bucket, avoiding the two special ids
+                        ids.append(hash_bucket(piece, self.vocab_size - 2))
+                else:
+                    for piece in self._bpe(tok_bytes).split(" "):
+                        ids.append(self.encoder.get(piece, self.eot_id))
         return ids
 
     # -- public API ---------------------------------------------------------
@@ -214,10 +284,14 @@ class CLIPTokenizer:
     def decode(self, ids: Sequence[int]) -> str:
         if self.hash_mode:
             return ""  # hash buckets are not invertible
+        # placeholder ids render as their token string (only the FIRST id of
+        # a multi-vector placeholder, so it round-trips to one marker)
+        added_first = {v[0]: (k + "</w>") for k, v in self.added_tokens.items()}
         byte_decoder = {v: k for k, v in self.byte_encoder.items()}
-        text = "".join(self.decoder.get(int(i), "") for i in ids
-                       if int(i) not in (self.bot_id, self.eot_id,
-                                         self.pad_id))
+        text = "".join(
+            added_first.get(int(i)) or self.decoder.get(int(i), "")
+            for i in ids
+            if int(i) not in (self.bot_id, self.eot_id, self.pad_id))
         raw = bytearray(byte_decoder[c] for c in text if c in byte_decoder)
         return raw.decode("utf-8", errors="replace").replace("</w>", " ").strip()
 

@@ -71,6 +71,12 @@ class TrainConfig:
     # supports full fine-tuning, finetune_sd.py:374-399.)
     lora_rank: int = 0
     lora_alpha: float = 8.0
+    # Textual inversion (train/textual_inversion.py): a non-empty token
+    # trains ONLY ti_vectors new embedding rows appended to the CLIP table
+    # (ids registered by data/tokenizer.add_placeholder); every component
+    # stays frozen.  Mutually exclusive with lora_rank.
+    ti_token: str = ""
+    ti_vectors: int = 1
     # EMA of the trainable tree (beyond the reference; standard diffusion
     # practice — diffusers' train scripts keep an EMAModel of the UNet).
     # 0 = off.  >0 maintains a shadow copy updated after every optimizer
@@ -106,8 +112,21 @@ class TrainState(NamedTuple):
 
 
 def _split_params(params, tcfg: TrainConfig, compute_dtype=jnp.bfloat16,
-                  key=None):
+                  key=None, ti_init_ids=None):
     tkeys = tcfg.trainable_keys()
+    if tcfg.ti_token:
+        # textual inversion: everything freezes; the trainable tree is the
+        # appended embedding rows, concatenated inside the loss (merge)
+        from sdbc_tpu.train import textual_inversion as ti_mod
+
+        if tcfg.lora_rank > 0:
+            raise ValueError("ti_token and lora_rank are mutually exclusive")
+        rows = ti_mod.init_rows(
+            params["text_encoder"]["token_embedding"]["table"],
+            tcfg.ti_vectors, init_ids=ti_init_ids)
+        frozen = {k: cast_floating(v, compute_dtype)
+                  for k, v in params.items()}
+        return {"ti": {"rows": rows}}, frozen
     if tcfg.lora_rank > 0:
         # LoRA: EVERY component freezes to bf16; the trainable tree is the
         # flat adapter dict (fp32 masters), merged inside the loss
@@ -154,15 +173,19 @@ def make_optimizer(tcfg: TrainConfig, dp_size: int = 1) -> optax.GradientTransfo
 
 
 def init_train_state(params, tcfg: TrainConfig, dp_size: int = 1,
-                     compute_dtype=jnp.bfloat16, key=None) -> TrainState:
+                     compute_dtype=jnp.bfloat16, key=None,
+                     ti_init_ids=None) -> TrainState:
     """``key`` seeds the LoRA a-init when tcfg.lora_rank > 0 (b is zero,
-    so the adapted model is exactly the base at step 0 either way)."""
-    if not tcfg.trainable_keys():
+    so the adapted model is exactly the base at step 0 either way).
+    ``ti_init_ids``: token ids of the textual-inversion initializer word
+    (tcfg.ti_token mode only)."""
+    if not tcfg.trainable_keys() and not tcfg.ti_token:
         # the reference's torch optimizer raises 'empty parameter list'
         # here; without this a full run executes and updates nothing
         raise ValueError(
             "nothing to train: set train_unet and/or train_text_encoder")
-    trainable, frozen = _split_params(params, tcfg, compute_dtype, key=key)
+    trainable, frozen = _split_params(params, tcfg, compute_dtype, key=key,
+                                      ti_init_ids=ti_init_ids)
     opt = make_optimizer(tcfg, dp_size)
     # EMA starts as a COPY (jnp.array) of the masters: the donated train
     # step would otherwise alias-invalidate the shared buffers on step 1
@@ -175,6 +198,10 @@ def init_train_state(params, tcfg: TrainConfig, dp_size: int = 1,
 
 def _merge(trainable, frozen, tcfg: TrainConfig):
     """Full {text_encoder, unet, vae} param tree from a state's halves."""
+    if "ti" in trainable:
+        from sdbc_tpu.train import textual_inversion as ti_mod
+
+        return ti_mod.merge(dict(frozen), trainable["ti"]["rows"])
     if "lora" in trainable and tcfg is not None and tcfg.lora_rank > 0:
         from sdbc_tpu.train import lora as lora_mod
 

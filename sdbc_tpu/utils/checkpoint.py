@@ -44,7 +44,8 @@ def save_pipeline(path: str, params: dict, cfg: PipelineConfig,
                   opt_state: Any = None, metadata: Optional[dict] = None,
                   lora: Optional[dict] = None, lora_rank: int = 0,
                   lora_alpha: float = 0.0,
-                  ema: Optional[dict] = None) -> None:
+                  ema: Optional[dict] = None,
+                  ti: Optional[tuple] = None) -> None:
     """``lora``: optional adapter dict (train/lora.py).  A LoRA checkpoint
     stores the UNTOUCHED base components plus ``lora.npz``; load_pipeline
     merges them by default, so every consumer sees the tuned model while
@@ -54,7 +55,12 @@ def save_pipeline(path: str, params: dict, cfg: PipelineConfig,
     ({component: params} subset, TrainState.ema).  Stored under
     ``<dir>/ema``; load_pipeline overlays it by default (EMA weights are
     what diffusion checkpoints serve), while resume restores the raw
-    components + the shadow separately so Adam moments stay aligned."""
+    components + the shadow separately so Adam moments stay aligned.
+
+    ``ti``: optional (rows, token, ids) textual-inversion triple
+    (train/textual_inversion.py).  Stored as ``ti.npz`` + the tokenizer's
+    ``added_tokens.json``; load_pipeline merges the rows into the embedding
+    table (and bumps clip.vocab_size) by default."""
     path = os.path.abspath(path)
     os.makedirs(path, exist_ok=True)
     ckptr = _ckpt()
@@ -76,6 +82,13 @@ def save_pipeline(path: str, params: dict, cfg: PipelineConfig,
 
         lora_mod.save_lora(os.path.join(path, "lora.npz"), lora,
                            lora_rank, lora_alpha)
+    if ti is not None:
+        from sdbc_tpu.train import textual_inversion as ti_mod
+
+        rows, token, ids = ti
+        ti_mod.save_ti(os.path.join(path, "ti.npz"), rows, token, ids)
+        with open(os.path.join(path, "added_tokens.json"), "w") as f:
+            json.dump({token: list(map(int, ids))}, f, indent=2)
     # all component saves must land BEFORE config.json: it doubles as the
     # completeness marker latest_checkpoint() keys resume on, so a kill
     # mid-save leaves a dir that resume skips instead of a torn restore
@@ -91,7 +104,7 @@ def save_pipeline(path: str, params: dict, cfg: PipelineConfig,
 
 def load_pipeline(path: str, template_params: Optional[dict] = None,
                   with_opt_state: bool = False, merge_lora: bool = True,
-                  use_ema: bool = True):
+                  use_ema: bool = True, merge_ti: bool = True):
     """→ (params, cfg[, opt_state]).  template_params enables sharded/typed
     restore onto an existing layout; without it arrays restore as saved.
 
@@ -124,6 +137,17 @@ def load_pipeline(path: str, template_params: Optional[dict] = None,
         from sdbc_tpu.train import lora as lora_mod
 
         params = lora_mod.merge_file(params, lpath)
+    tpath = os.path.join(path, "ti.npz")
+    if merge_ti and os.path.exists(tpath):
+        from sdbc_tpu.train import textual_inversion as ti_mod
+
+        params, meta = ti_mod.merge_file(params, tpath)
+        # the merged table is longer than the saved config's vocab — keep
+        # the returned cfg consistent with the params it describes
+        cfg = dataclasses.replace(
+            cfg, clip=dataclasses.replace(
+                cfg.clip,
+                vocab_size=cfg.clip.vocab_size + len(meta["ids"])))
     if with_opt_state:
         opath = os.path.join(path, "opt_state")
         opt_state = ckptr.restore(opath) if os.path.exists(opath) else None
