@@ -34,7 +34,7 @@ class PipelineConfig:
     unet: unet_mod.UNetConfig
     vae: vae_mod.VAEConfig
     schedule: sched_mod.ScheduleConfig
-    scheduler: str = "ddim"  # "ddim" | "pndm" | "ddpm" | "dpm" | "euler_a"
+    scheduler: str = "ddim"  # "ddim" | "pndm" | "ddpm" | "dpm" | "euler_a" | "lms"
 
     @property
     def vae_scale(self) -> int:
@@ -127,11 +127,11 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
         raise ValueError("cache_interval (DeepCache fast mode) is implemented "
                          "for the ddim and dpm schedulers only")
     if (init_image is not None or t_start or mask is not None) \
-            and cfg.scheduler == "pndm":
+            and cfg.scheduler in ("pndm", "lms"):
         raise ValueError("img2img/inpaint (init_image/t_start/mask) is "
                          "implemented for the ddim, dpm and ddpm schedulers "
-                         "only — PNDM's multistep warmup does not truncate "
-                         "cleanly at t_start")
+                         "only — the PNDM/LMS multistep warmup does not "
+                         "truncate cleanly at t_start")
     if mask is not None and init_image is None:
         raise ValueError("mask (inpainting) requires init_image")
     if not 0 <= t_start <= num_inference_steps:
@@ -381,6 +381,26 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
 
         lat, _ = jax.lax.fori_loop(t_start, num_inference_steps, body,
                                    (lat, key))
+
+    elif cfg.scheduler == "lms":
+        # k-LMS (diffusers-0.7.2 LMSDiscreteScheduler): deterministic
+        # 4th-order multistep on the eps history; coefficient table is
+        # computed exactly host-side (static grid) and indexed in-loop
+        ts = sched_mod.lms_timesteps(cfg.schedule, num_inference_steps)
+        ratio = sched_mod.inference_stride(cfg.schedule, num_inference_steps)
+        coeffs = sched_mod.lms_coeff_table(cfg.schedule, num_inference_steps)
+        tproj = unet_mod.precompute_temb(uparams, ts, cfg.unet, dtype=dt)
+
+        def body(i, carry):
+            state, lat = carry
+            t = ts[i]
+            eps = eps_fn(lat, t, unet_mod.index_temb(tproj, i))
+            state, lat = sched_mod.lms_step(sched, state, eps, t, t - ratio,
+                                            lat, coeffs[i])
+            return state, lat
+
+        state0 = sched_mod.lms_init_state(lat.shape)
+        _, lat = jax.lax.fori_loop(0, num_inference_steps, body, (state0, lat))
 
     elif cfg.scheduler == "pndm":
         ts = sched_mod.pndm_timesteps(cfg.schedule, num_inference_steps)

@@ -355,6 +355,99 @@ def euler_step(sched: Schedule, eps, t, t_prev, x_t, noise=None,
 
 
 # ---------------------------------------------------------------------------
+# k-LMS (diffusers-0.7.2 LMSDiscreteScheduler / Katherine Crowson's
+# k-diffusion sampler) — the remaining member of the diffusers-0.7.2
+# sampler family the reference's engine ships.  Linear multistep in VE
+# sigma space with Lagrange-polynomial coefficients; diffusers evaluates
+# the coefficient integrals numerically (scipy.integrate.quad) — the
+# integrand is a degree-(order-1) polynomial, so we integrate it EXACTLY
+# host-side (numpy polyint) into a static (N, order) table the jitted
+# fori_loop indexes.  Grid: the repo's leading integer grid (same
+# deliberate grid choice as euler_a; diffusers' own LMS default is an
+# interpolated "linspace" grid — a spacing choice, not a method change).
+
+
+class LMSState(NamedTuple):
+    ders: jax.Array     # (order, *latent_shape) eps history, newest first
+    count: jax.Array    # () int32 — steps taken so far
+
+
+LMS_ORDER = 4
+
+
+def lms_timesteps(cfg: ScheduleConfig, num_inference_steps: int) -> jnp.ndarray:
+    """Same leading-space descending sequence as DDIM."""
+    return ddim_timesteps(cfg, num_inference_steps)
+
+
+def lms_coeff_table(cfg: ScheduleConfig, num_inference_steps: int,
+                    order: int = LMS_ORDER) -> jnp.ndarray:
+    """(N, order) integrated Lagrange coefficients over the sigma grid.
+
+    Row i gives the weights of the last min(i+1, order) eps predictions
+    (newest first; unused slots zero) for the update
+    x_ve += sum_j coeff[i, j] * eps_hist[j] integrating from sigma_i to
+    sigma_{i+1} (terminal sigma 0).  Exact polynomial integration of
+    diffusers' get_lms_coefficient quad integrand, in float64.
+    """
+    import numpy as np
+
+    ratio = inference_stride(cfg, num_inference_steps)
+    ts = (np.arange(num_inference_steps) * ratio + cfg.steps_offset)[::-1]
+    if cfg.beta_schedule == "scaled_linear":
+        betas = np.linspace(cfg.beta_start ** 0.5, cfg.beta_end ** 0.5,
+                            cfg.num_train_timesteps, dtype=np.float64) ** 2
+    else:
+        betas = np.linspace(cfg.beta_start, cfg.beta_end,
+                            cfg.num_train_timesteps, dtype=np.float64)
+    ac = np.cumprod(1.0 - betas)
+    sig = np.sqrt((1.0 - ac[ts]) / ac[ts])
+    sig = np.append(sig, 0.0)  # terminal
+    n = num_inference_steps
+    table = np.zeros((n, order), np.float64)
+    for i in range(n):
+        cur = min(i + 1, order)
+        for j in range(cur):
+            poly = np.poly1d([1.0])
+            for k in range(cur):
+                if k == j:
+                    continue
+                poly = poly * np.poly1d([1.0, -sig[i - k]]) \
+                    / (sig[i - j] - sig[i - k])
+            integ = np.polyint(poly)
+            table[i, j] = integ(sig[i + 1]) - integ(sig[i])
+    return jnp.asarray(table, jnp.float32)
+
+
+def lms_init_state(latent_shape, order: int = LMS_ORDER) -> LMSState:
+    return LMSState(ders=jnp.zeros((order,) + tuple(latent_shape),
+                                   jnp.float32),
+                    count=jnp.asarray(0, jnp.int32))
+
+
+def lms_step(sched: Schedule, state: LMSState, eps, t, t_prev, x_t,
+             coeff_row):
+    """One k-LMS step t → t_prev.  Returns (new_state, x_prev).
+
+    eps is the (guided) epsilon prediction — in VE coordinates the
+    derivative (x_ve − x0)/σ equals ε̂ exactly, so the history stores eps.
+    ``coeff_row``: the timestep's row of lms_coeff_table (zero-padded, so
+    the full dot over the order-4 history is exact at any warmup count —
+    row i only weights the min(i+1, 4) entries that exist).
+    """
+    a_t = sched.alphas_cumprod[t]
+    a_prev = jnp.where(t_prev >= 0,
+                       sched.alphas_cumprod[jnp.maximum(t_prev, 0)], 1.0)
+    xf = x_t.astype(jnp.float32)
+    ef = eps.astype(jnp.float32)
+    x_ve = xf / jnp.sqrt(a_t)
+    ders = jnp.roll(state.ders, 1, axis=0).at[0].set(ef)
+    upd = jnp.tensordot(coeff_row.astype(jnp.float32), ders, axes=1)
+    x_prev = (x_ve + upd) * jnp.sqrt(a_prev)
+    return LMSState(ders=ders, count=state.count + 1), x_prev.astype(x_t.dtype)
+
+
+# ---------------------------------------------------------------------------
 # DPM-Solver++ (2M) — beyond-reference bonus: DDIM-quality samples in
 # ~20-25 steps.  Second-order multistep solver in log-SNR (lambda) space,
 # data-prediction formulation (Lu et al. 2022, multistep variant).

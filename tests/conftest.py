@@ -10,6 +10,35 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+
+def _ensure_map_count(min_needed: int = 262144) -> None:
+    """Raise vm.max_map_count for the full-suite run (root only; no-op
+    otherwise).
+
+    One pytest process jit-compiles hundreds of CPU graphs; every LLVM JIT
+    executable holds its own code mappings, and the process crosses ~65k
+    VMAs a bit past the suite's midpoint.  At the default limit (65530)
+    the next JIT mmap fails and LLVM SEGFAULTS the process mid-compile —
+    a deterministic crash that looks like an XLA bug but is pure map
+    exhaustion (measured: maps=65359 at the crash point, rc=139 in
+    jax _src/compiler.py backend_compile_and_load).
+    """
+    path = "/proc/sys/vm/max_map_count"
+    try:
+        with open(path) as f:
+            cur = int(f.read())
+        if cur < min_needed:
+            with open(path, "w") as f:
+                f.write(str(min_needed))
+    except (OSError, ValueError):
+        print(f"WARNING: cannot raise {path} (need >= {min_needed}); a "
+              "full-suite run may exhaust memory mappings and segfault "
+              "late in the run — raise it as root or run the suite in "
+              "two halves")
+
+
+_ensure_map_count()
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

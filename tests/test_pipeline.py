@@ -46,7 +46,7 @@ def test_prompt_matters(pipe):
     assert not np.allclose(a, b)
 
 
-@pytest.mark.parametrize("scheduler", ["pndm", "ddpm"])
+@pytest.mark.parametrize("scheduler", ["pndm", "ddpm", "lms"])
 def test_other_schedulers_run(tiny_cfg, tiny_params, scheduler):
     cfg = dataclasses.replace(tiny_cfg, scheduler=scheduler)
     tok = CLIPTokenizer.fallback(cfg.clip.vocab_size)

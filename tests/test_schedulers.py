@@ -393,3 +393,79 @@ def test_euler_ancestral_step():
     _, x0_pred = S.to_eps_x0(SCHED, noise, jnp.asarray(1), x_t, "epsilon")
     np.testing.assert_allclose(np.asarray(fin), np.asarray(x0_pred),
                                atol=1e-5)
+
+
+def test_lms_coeff_table_invariants():
+    """Row 0 is pure Euler (one term = Δσ); every row's terms sum to Δσ
+    (the Lagrange basis sums to 1, so the integral of the sum is Δσ);
+    unused history slots are exactly zero."""
+    n = 10
+    tab = np.asarray(S.lms_coeff_table(CFG, n))
+    ratio = CFG.num_train_timesteps // n
+    ts = (np.arange(n) * ratio + CFG.steps_offset)[::-1]
+    ac = np.asarray(SCHED.alphas_cumprod)[ts].astype(np.float64)
+    sig = np.append(np.sqrt((1 - ac) / ac), 0.0)
+    dsig = sig[1:] - sig[:-1]
+    assert tab.shape == (n, 4)
+    np.testing.assert_allclose(tab[0], [dsig[0], 0, 0, 0], rtol=1e-5)
+    assert np.all(tab[0, 1:] == 0) and np.all(tab[1, 2:] == 0) \
+        and np.all(tab[2, 3:] == 0)
+    np.testing.assert_allclose(tab.sum(axis=1), dsig, rtol=2e-4)
+
+
+def test_lms_first_step_equals_euler():
+    """With an empty history the LMS step is exactly the plain Euler step
+    (row 0 coefficient = σ_prev − σ_t)."""
+    n = 10
+    tab = S.lms_coeff_table(CFG, n)
+    ts = np.asarray(S.lms_timesteps(CFG, n))
+    ratio = CFG.num_train_timesteps // n
+    x_t = jax.random.normal(jax.random.key(30), (1, 4, 4, 2))
+    eps = jax.random.normal(jax.random.key(31), x_t.shape)
+    state = S.lms_init_state(x_t.shape)
+    t = jnp.asarray(int(ts[0]))
+    _, a = S.lms_step(SCHED, state, eps, t, t - ratio, x_t, tab[0])
+    b = S.euler_step(SCHED, eps, t, t - ratio, x_t)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+def test_lms_constant_eps_collapses_to_euler_chain():
+    """With a CONSTANT model output the multistep history is constant, so
+    every coefficient row contracts (sum = Δσ) and the whole LMS chain
+    equals the plain Euler chain — catching any history-ordering or
+    coefficient-indexing bug."""
+    n = 8
+    tab = S.lms_coeff_table(CFG, n)
+    ts = np.asarray(S.lms_timesteps(CFG, n))
+    ratio = CFG.num_train_timesteps // n
+    eps = jax.random.normal(jax.random.key(33), (1, 4, 4, 2)) * 0.3
+    x_lms = x_eul = jax.random.normal(jax.random.key(34), eps.shape)
+    state = S.lms_init_state(eps.shape)
+    for i, t in enumerate(ts):
+        t = jnp.asarray(int(t))
+        state, x_lms = S.lms_step(SCHED, state, eps, t, t - ratio,
+                                  x_lms, tab[i])
+        x_eul = S.euler_step(SCHED, eps, t, t - ratio, x_eul)
+        np.testing.assert_allclose(np.asarray(x_lms), np.asarray(x_eul),
+                                   rtol=2e-4, atol=2e-4)
+    assert np.isfinite(np.asarray(x_lms)).all()
+
+
+def test_lms_uses_history():
+    """A varying model output must produce a different trajectory than
+    Euler from step 2 on (the 2nd-order correction kicks in)."""
+    n = 8
+    tab = S.lms_coeff_table(CFG, n)
+    ts = np.asarray(S.lms_timesteps(CFG, n))
+    ratio = CFG.num_train_timesteps // n
+    key = jax.random.key(35)
+    x_lms = x_eul = jax.random.normal(jax.random.key(36), (1, 4, 4, 2))
+    state = S.lms_init_state(x_lms.shape)
+    for i, t in enumerate(ts[:3]):
+        key, sub = jax.random.split(key)
+        eps = jax.random.normal(sub, x_lms.shape)
+        t = jnp.asarray(int(t))
+        state, x_lms = S.lms_step(SCHED, state, eps, t, t - ratio,
+                                  x_lms, tab[i])
+        x_eul = S.euler_step(SCHED, eps, t, t - ratio, x_eul)
+    assert np.abs(np.asarray(x_lms) - np.asarray(x_eul)).max() > 1e-4
