@@ -71,6 +71,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ti_init_token", type=str, default="",
                    help="initializer word whose mean embedding seeds the "
                         "new rows (default: embedding-table mean)")
+    p.add_argument("--min_snr_gamma", type=float, default=0.0,
+                   help="min-SNR loss weighting (arXiv:2303.09556): weight "
+                        "each example by min(SNR_t, gamma)/SNR_t — "
+                        "down-weights the near-noiseless low-t steps "
+                        "(0 = off, the paper recommends 5)")
+    p.add_argument("--noise_offset", type=float, default=0.0,
+                   help="offset-noise strength: add a per-(example, "
+                        "channel) constant to the training noise so the "
+                        "model can shift global brightness (0 = off, "
+                        "typical 0.05-0.1)")
     p.add_argument("--ema_decay", type=float, default=0.0,
                    help="> 0 keeps an exponential-moving-average shadow of "
                         "the trained components (decay ramped in as "
@@ -251,7 +261,8 @@ def main(argv=None):
         use_8bit_adam=args.use_8bit_adam, lr_scale_by_dp=args.scale_lr,
         lora_rank=args.lora_rank, lora_alpha=args.lora_alpha,
         ti_token=args.ti_token, ti_vectors=args.ti_vectors,
-        ema_decay=args.ema_decay)
+        ema_decay=args.ema_decay, min_snr_gamma=args.min_snr_gamma,
+        noise_offset=args.noise_offset)
 
     state = init_train_state(
         params, tcfg, dp_size=dp, compute_dtype=dt,

@@ -39,6 +39,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "higher-order solver; smallest measured drift from "
                         "the exact protocol — experiments/PERF_NOTES.md)")
     p.add_argument("--guidance_scale", type=float, default=7.5)
+    p.add_argument("--guidance_rescale", type=float, default=0.0,
+                   help="CFG rescale factor (arXiv:2305.08891): renormalize "
+                        "the guided prediction's std toward the conditional "
+                        "branch's — counteracts detail washout at high "
+                        "guidance scales (0 = off, try 0.7)")
     p.add_argument("--fid_stats_path", type=str, default="./fid_stats.npz")
     p.add_argument("--prompt", type=str, default="")
     p.add_argument("--negative_prompt", type=str, default="",
@@ -161,7 +166,8 @@ def main(argv=None):
                     negative_prompt=args.negative_prompt or None,
                     num_images_per_prompt=args.samples_per_prompt,
                     init_image=init_image, strength=args.strength,
-                    mask_image=mask_image)
+                    mask_image=mask_image,
+                    guidance_rescale=args.guidance_rescale)
         pils = pipe.numpy_to_pil(imgs)
         # prompt text becomes a filename: strip path separators ('/' would
         # point into a nonexistent subdir and lose the generated image)

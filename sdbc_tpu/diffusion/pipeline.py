@@ -79,14 +79,16 @@ def encode_text(params, ids, cfg: PipelineConfig, compute_dtype=jnp.bfloat16):
     jax.jit,
     static_argnames=("cfg", "num_inference_steps", "compute_dtype", "decode",
                      "cache_interval", "cache_tail", "attn_impl",
-                     "chunked_decode", "t_start", "pack_heads"))
+                     "chunked_decode", "t_start", "pack_heads",
+                     "guidance_rescale"))
 def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
            *, cfg: PipelineConfig, num_inference_steps: int = 50,
            compute_dtype=jnp.bfloat16, decode: bool = True,
            cache_interval: int = 0, cache_tail: int = 0,
            attn_impl: str = "inference", chunked_decode=None,
            init_image=None, t_start: int = 0, mask=None,
-           pack_heads: Optional[bool] = None):
+           pack_heads: Optional[bool] = None,
+           guidance_rescale: float = 0.0):
     """Run the full CFG sampling graph.
 
     params: {"text_encoder", "unet", "vae"} param trees (fp32 masters; cast here)
@@ -193,13 +195,28 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
     else:
         blend = None
 
+    def cfg_combine(out_u, out_c):
+        out = out_u + gs * (out_c - out_u)
+        if guidance_rescale > 0.0:
+            # CFG rescale (Lin et al. 2023, arXiv:2305.08891 eq. 16): CFG
+            # inflates the prediction's std, washing out detail at high
+            # scales; renormalize toward the conditional branch's std and
+            # lerp by the rescale factor.  Static flag: the default-0
+            # sampling graph is byte-identical to before.
+            axes = tuple(range(1, out.ndim))
+            std_c = jnp.std(out_c, axis=axes, keepdims=True)
+            std_g = jnp.maximum(jnp.std(out, axis=axes, keepdims=True), 1e-8)
+            out = (guidance_rescale * (out * std_c / std_g)
+                   + (1.0 - guidance_rescale) * out)
+        return out
+
     def model_out_fn(lat, t, tp=None):
         lat2 = jnp.concatenate([lat, lat], axis=0)
         tb = jnp.full((lat2.shape[0],), t, jnp.int32)
         out = unet_mod.apply(uparams, lat2, tb, context, cfg.unet,
                              attn_impl=attn_impl, temb_proj=tp)
         out_u, out_c = jnp.split(out.astype(jnp.float32), 2, axis=0)
-        return out_u + gs * (out_c - out_u)
+        return cfg_combine(out_u, out_c)
 
     def eps_fn(lat, t, tp=None):
         """Guided model output converted to epsilon parameterisation.
@@ -258,7 +275,7 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
             out, cache = jax.lax.cond(ii % cache_interval == 0, full,
                                       reuse, cache)
             out_u, out_c = jnp.split(out.astype(jnp.float32), 2, axis=0)
-            return out_u + gs * (out_c - out_u), cache
+            return cfg_combine(out_u, out_c), cache
 
         return cache0, model_out_cached
 
@@ -628,7 +645,8 @@ class SDPipeline:
                  decode: bool = True, cache_interval: int = 0,
                  cache_tail: int = 0, negative_prompt=None,
                  num_images_per_prompt: int = 1, init_image=None,
-                 strength: float = 0.8, mask_image=None):
+                 strength: float = 0.8, mask_image=None,
+                 guidance_rescale: float = 0.0):
         """``negative_prompt``: str or per-prompt list encoded as the CFG
         unconditional branch instead of "" (the diffusers-0.7.2
         StableDiffusionPipeline parameter the reference's engine exposes);
@@ -777,7 +795,8 @@ class SDPipeline:
                       cache_interval=cache_interval, cache_tail=cache_tail,
                       attn_impl=self._attn_impl,
                       chunked_decode=self.mesh is None,
-                      init_image=img_arr, t_start=t_start, mask=mask_arr)
+                      init_image=img_arr, t_start=t_start, mask=mask_arr,
+                      guidance_rescale=float(guidance_rescale))
         return np.asarray(imgs)[:b]
 
     def img2img(self, prompts, image, *, strength: float = 0.8, **kw):

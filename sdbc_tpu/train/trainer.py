@@ -77,6 +77,15 @@ class TrainConfig:
     # stays frozen.  Mutually exclusive with lora_rank.
     ti_token: str = ""
     ti_vectors: int = 1
+    # Loss shaping (beyond the reference's plain MSE, finetune_sd.py:483):
+    # min_snr_gamma > 0 weights each example's loss by
+    # min(SNR_t, gamma)/SNR_t (eps objective; /(SNR+1) for v) — Hang et
+    # al. 2023, arXiv:2303.09556 — down-weighting the near-noiseless low-t
+    # steps that otherwise dominate.  noise_offset > 0 adds a per-example
+    # constant shift to the training noise (offset noise), letting the
+    # model move overall brightness — covers are often very dark/light.
+    min_snr_gamma: float = 0.0
+    noise_offset: float = 0.0
     # EMA of the trainable tree (beyond the reference; standard diffusion
     # practice — diffusers' train scripts keep an EMAModel of the UNet).
     # 0 = off.  >0 maintains a shadow copy updated after every optimizer
@@ -274,6 +283,14 @@ def diffusion_loss(trainable, frozen, batch, key, cfg: PipelineConfig,
 
     noise = jax.random.normal(knoise, latents.shape, jnp.float32)
     bsz = latents.shape[0]
+    if tcfg.noise_offset > 0:
+        # offset noise: a per-(example, channel) constant added to the
+        # noise lets the model shift global brightness (plain eps noise is
+        # zero-mean per channel, so brightness is otherwise pinned)
+        knoise, koff = jax.random.split(knoise)
+        noise = noise + tcfg.noise_offset * jax.random.normal(
+            koff, (bsz,) + (1,) * (latents.ndim - 2) + latents.shape[-1:],
+            jnp.float32)
     t = jax.random.randint(kt, (bsz,), 0, cfg.schedule.num_train_timesteps)
     noisy = sched_mod.ddpm_add_noise(sched, latents, noise, t).astype(dt)
 
@@ -287,7 +304,17 @@ def diffusion_loss(trainable, frozen, batch, key, cfg: PipelineConfig,
     else:  # epsilon (the reference's objective, finetune_sd.py:483)
         target = noise
     # fp32 MSE, mean over pixels then batch (reference :483)
-    return jnp.mean((pred.astype(jnp.float32) - target) ** 2)
+    per_ex = jnp.mean((pred.astype(jnp.float32) - target) ** 2,
+                      axis=tuple(range(1, pred.ndim)))
+    if tcfg.min_snr_gamma > 0:
+        # min-SNR weighting (arXiv:2303.09556): SNR_t = ā/(1-ā);
+        # eps objective weight = min(SNR, γ)/SNR, v = min(SNR, γ)/(SNR+1)
+        a = sched.alphas_cumprod[t].astype(jnp.float32)
+        snr = a / jnp.maximum(1.0 - a, 1e-8)
+        denom = (snr + 1.0 if cfg.schedule.prediction_type == "v_prediction"
+                 else jnp.maximum(snr, 1e-8))
+        per_ex = per_ex * jnp.minimum(snr, tcfg.min_snr_gamma) / denom
+    return jnp.mean(per_ex)
 
 
 def make_train_step(cfg: PipelineConfig, tcfg: TrainConfig, mesh=None,

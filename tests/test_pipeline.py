@@ -202,3 +202,18 @@ def test_euler_ancestral_scheduler_runs(tiny_cfg, tiny_params):
     np.testing.assert_array_equal(a, b)
     assert np.isfinite(a).all()
     assert not np.allclose(a, c)
+
+
+def test_guidance_rescale(pipe):
+    """rescale changes high-scale outputs; at guidance_scale=1 the guided
+    output IS the conditional branch, so rescale is a numerical no-op."""
+    lat = per_sample_fixed_latents(1, (4, 8, 8), seed=12)
+    base = pipe(["r"], num_inference_steps=3, latents=lat)
+    resc = pipe(["r"], num_inference_steps=3, latents=lat,
+                guidance_rescale=0.7)
+    assert np.isfinite(resc).all()
+    assert not np.allclose(base, resc)
+    g1 = pipe(["r"], num_inference_steps=3, latents=lat, guidance_scale=1.0)
+    g1r = pipe(["r"], num_inference_steps=3, latents=lat, guidance_scale=1.0,
+               guidance_rescale=0.7)
+    np.testing.assert_allclose(g1, g1r, atol=1e-4)

@@ -109,3 +109,36 @@ def test_8bit_adam_trains(tiny_cfg, tiny_params):
         state, m = step(state, batch, key)
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0], losses
+
+
+def test_min_snr_weighting(tiny_cfg, tiny_params):
+    """gamma >= max SNR is exactly the unweighted loss (weight = 1);
+    a tiny gamma shrinks it (down-weighting dominates)."""
+    def loss_with(gamma):
+        tcfg = TrainConfig(train_unet=False, train_text_encoder=True,
+                           grad_accum=1, learning_rate=0.0, num_examples=10,
+                           min_snr_gamma=gamma)
+        state = init_train_state(tiny_params, tcfg, compute_dtype=jnp.float32)
+        step = make_train_step(tiny_cfg, tcfg, compute_dtype=jnp.float32)
+        _, m = step(state, _batch(tiny_cfg), jax.random.key(5))
+        return float(m["loss"])
+
+    plain = loss_with(0.0)
+    # SNR_max = a/(1-a) at t=0 for the SD schedule ~= 1/0.00085 ~= 1176
+    assert np.isclose(loss_with(1e6), plain, rtol=1e-6)
+    assert loss_with(1e-3) < 0.1 * plain
+
+
+def test_noise_offset_changes_objective(tiny_cfg, tiny_params):
+    """Same key, lr=0: the offset-noise objective differs from plain."""
+    def loss_with(off):
+        tcfg = TrainConfig(train_unet=False, train_text_encoder=True,
+                           grad_accum=1, learning_rate=0.0, num_examples=10,
+                           noise_offset=off)
+        state = init_train_state(tiny_params, tcfg, compute_dtype=jnp.float32)
+        step = make_train_step(tiny_cfg, tcfg, compute_dtype=jnp.float32)
+        _, m = step(state, _batch(tiny_cfg), jax.random.key(6))
+        return float(m["loss"])
+
+    a, b = loss_with(0.0), loss_with(0.5)
+    assert np.isfinite(a) and np.isfinite(b) and a != b
