@@ -1,0 +1,111 @@
+"""HTTP serving daemon tests (tiny config, ephemeral port, stdlib client)."""
+import base64
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def server(tiny_cfg, tiny_params):
+    from http.server import ThreadingHTTPServer
+
+    from sdbc_tpu.cli.serve import build_parser, make_app
+    from sdbc_tpu.data.tokenizer import CLIPTokenizer
+    from sdbc_tpu.diffusion.pipeline import SDPipeline
+
+    args = build_parser().parse_args(
+        ["--tiny", "--img_size", "32", "--num_inference_steps", "2",
+         "--max_batch", "2", "--no-bf16"])
+    from sdbc_tpu.cli import common
+
+    common.resolve_img_size(args)
+    pipe = SDPipeline(tiny_params, tiny_cfg,
+                      CLIPTokenizer.fallback(tiny_cfg.clip.vocab_size),
+                      compute_dtype=jnp.float32)
+    handler, state = make_app(pipe, args)
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)  # ephemeral port
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield {"url": f"http://127.0.0.1:{srv.server_address[1]}",
+           "state": state}
+    srv.shutdown()
+    srv.server_close()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url + "/generate", data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    return urllib.request.urlopen(req, timeout=300)
+
+
+def test_healthz(server):
+    with urllib.request.urlopen(server["url"] + "/healthz", timeout=30) as r:
+        body = json.loads(r.read())
+    assert body["ok"] is True
+
+
+def test_generate_png(server):
+    with _post(server["url"], {"prompt": "a tiny cover", "seed": 7}) as r:
+        assert r.headers["Content-Type"] == "image/png"
+        data = r.read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    assert server["state"]["requests"] >= 1
+
+
+def test_generate_deterministic(server):
+    a = _post(server["url"], {"prompt": "determinism", "seed": 3}).read()
+    b = _post(server["url"], {"prompt": "determinism", "seed": 3}).read()
+    assert a == b
+    c = _post(server["url"], {"prompt": "determinism", "seed": 4}).read()
+    assert a != c
+
+
+def test_generate_batch_base64(server):
+    with _post(server["url"], {"prompt": "two covers",
+                               "num_images": 2}) as r:
+        body = json.loads(r.read())
+    imgs = [base64.b64decode(x) for x in body["images"]]
+    assert len(imgs) == 2
+    assert all(i[:8] == b"\x89PNG\r\n\x1a\n" for i in imgs)
+
+
+def test_bad_requests(server):
+    for payload, msg in (({}, "prompt"),
+                         ({"prompt": "x", "num_images": 99}, "num_images")):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(server["url"], payload)
+        assert ei.value.code == 400
+        assert msg in json.loads(ei.value.read())["error"]
+    # daemon stays alive after errors
+    with urllib.request.urlopen(server["url"] + "/healthz", timeout=30) as r:
+        assert json.loads(r.read())["ok"]
+
+
+def test_unknown_path(server):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(server["url"] + "/nope", timeout=30)
+    assert ei.value.code == 404
+
+
+def test_concurrent_requests_serialize(server):
+    """Concurrent posts all succeed (the lock serializes generation)."""
+    results = []
+
+    def hit(seed):
+        with _post(server["url"], {"prompt": "load", "seed": seed}) as r:
+            results.append(r.read()[:8])
+
+    threads = [threading.Thread(target=hit, args=(s,)) for s in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert len(results) == 3
+    assert all(r == b"\x89PNG\r\n\x1a\n" for r in results)
