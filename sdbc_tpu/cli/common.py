@@ -62,6 +62,12 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
                    help="lora.npz adapter (train/lora.py) merged into the "
                         "resolved base weights at load — serve any base + "
                         "adapter combination without re-exporting")
+    p.add_argument("--ti_path", type=str, default="",
+                   help="ti.npz textual-inversion embedding "
+                        "(train/textual_inversion.py) merged into the "
+                        "resolved base at load; the placeholder token "
+                        "registers on the tokenizer and composes into any "
+                        "prompt")
     bool_flag(p, "tiny", False, "tiny test config instead of SD-1.5")
     bool_flag(p, "bf16", True, "bfloat16 compute")
 
@@ -100,6 +106,12 @@ def make_tokenizer(args, vocab_size: int):
             raw = _json.load(f)
         added = {k: (v if isinstance(v, list) else [v])
                  for k, v in raw.items()}
+    tp = getattr(args, "ti_path", "") or ""
+    if tp:
+        from sdbc_tpu.train import textual_inversion as ti_mod
+
+        _, meta = ti_mod.load_ti(tp)
+        added.update(ti_mod.added_tokens_entry(meta))
     if args.tokenizer_dir:
         tok = CLIPTokenizer.from_pretrained(args.tokenizer_dir)
     else:
@@ -133,6 +145,14 @@ def resolve_params_cfg(args):
 
             params = lora_mod.merge_file(params, lp)
             print(f"merged LoRA adapter {lp}")
+        tp = getattr(args, "ti_path", "")
+        if tp:
+            from sdbc_tpu.train import textual_inversion as ti_mod
+
+            params, meta = ti_mod.merge_file(params, tp)
+            cfg = dataclasses.replace(cfg, clip=dataclasses.replace(
+                cfg.clip, vocab_size=cfg.clip.vocab_size + len(meta["ids"])))
+            print(f"merged textual inversion {tp} ({meta['token']!r})")
         return params, cfg
 
     if getattr(args, "wandb_artifact_run", ""):

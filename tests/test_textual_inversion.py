@@ -243,3 +243,33 @@ def test_cli_ti_rejects_lora_and_ema(tmp_path):
         finetune.main(base + ["--lora_rank", "2"])
     with pytest.raises(SystemExit, match="ema"):
         finetune.main(base + ["--ema_decay", "0.999"])
+
+
+def test_cli_ti_path_serves_onto_fresh_base(tmp_path):
+    """--ti_path merges a portable ti.npz onto ANY resolved base (the
+    --lora_path symmetry): tokenizer registers the token, table grows."""
+    from tests.data_fixtures import build_fake_dataset
+
+    import sdbc_tpu.cli.finetune as ft
+    import sdbc_tpu.cli.inference as inf
+
+    root = str(tmp_path / "ds")
+    out = str(tmp_path / "out")
+    build_fake_dataset(root, n_train=8, n_test=2, img_size=32)
+    ft.main(["--tiny", "--data_root", root, "--img_size", "32",
+             "--batch_size", "1", "--grad_acc_steps", "1",
+             "--num_examples", "8", "--learning_rate", "5e-3", "--no-bf16",
+             "--output_dir", out, "--run_id", "tip", "--epochs", "1",
+             "--ti_token", "<cover-style>"])
+    run_dir = os.path.join(out, "runs", "tip")
+    latest = max((d for d in os.listdir(run_dir) if d.startswith("ckpt-")),
+                 key=lambda d: int(d.split("-")[1]))
+    ti_npz = os.path.join(run_dir, latest, "ti.npz")
+
+    inf.main(["--mode", "enter_prompt",
+              "--prompt", "a fresh base, in the style of <cover-style>",
+              "--tiny", "--ti_path", ti_npz, "--img_size", "32",
+              "--num_inference_steps", "2", "--no-bf16",
+              "--save_dir", out + "/gen", "--run_id", "tip"])
+    outdir = os.path.join(out, "gen", "tip inference")
+    assert any(f.endswith(".png") for f in os.listdir(outdir))
