@@ -17,6 +17,7 @@ this image and used purely as a deserializer).
 """
 from __future__ import annotations
 
+import json
 import os
 from typing import Dict
 
@@ -540,6 +541,130 @@ def export_clip_text(params: dict) -> Dict[str, np.ndarray]:
         _exp_linear(out, f"{lp}.mlp.fc1", layer["mlp"]["fc1"])
         _exp_linear(out, f"{lp}.mlp.fc2", layer["mlp"]["fc2"])
     return out
+
+
+# ---------------------------------------------------------------------------
+# export a full diffusers save_pretrained directory (safetensors — no torch
+# needed; the reverse of port_diffusers_checkpoint, so diffusers users can
+# from_pretrained a model fine-tuned here)
+
+
+def _unet_config_to_diffusers(c) -> dict:
+    down = ["CrossAttnDownBlock2D" if x else "DownBlock2D"
+            for x in c.cross_attn_blocks]
+    up = ["CrossAttnUpBlock2D" if x else "UpBlock2D"
+          for x in reversed(c.cross_attn_blocks)]
+    heads = c.attention_heads
+    return {
+        "_class_name": "UNet2DConditionModel",
+        "_diffusers_version": "0.7.2",
+        "in_channels": c.in_channels,
+        "out_channels": c.out_channels,
+        "block_out_channels": list(c.block_out_channels),
+        "layers_per_block": c.layers_per_block,
+        "cross_attention_dim": c.cross_attention_dim,
+        # head COUNTS under the 0.7.2 constructor quirk (see
+        # unet_config_from_diffusers)
+        "attention_head_dim": (list(heads) if isinstance(heads, (tuple, list))
+                               else heads),
+        "norm_num_groups": c.norm_groups,
+        "down_block_types": down,
+        "up_block_types": up,
+        "act_fn": "silu",
+        "sample_size": 64,
+    }
+
+
+def _vae_config_to_diffusers(c) -> dict:
+    n = len(c.block_out_channels)
+    return {
+        "_class_name": "AutoencoderKL",
+        "_diffusers_version": "0.7.2",
+        "in_channels": c.in_channels,
+        "out_channels": c.in_channels,
+        "latent_channels": c.latent_channels,
+        "block_out_channels": list(c.block_out_channels),
+        "layers_per_block": c.layers_per_block,
+        "norm_num_groups": c.norm_groups,
+        "scaling_factor": c.scaling_factor,
+        "down_block_types": ["DownEncoderBlock2D"] * n,
+        "up_block_types": ["UpDecoderBlock2D"] * n,
+        "act_fn": "silu",
+    }
+
+
+def _clip_config_to_diffusers(c) -> dict:
+    return {
+        "architectures": ["CLIPTextModel"],
+        "model_type": "clip_text_model",
+        "vocab_size": c.vocab_size,
+        "hidden_size": c.hidden,
+        "num_hidden_layers": c.layers,
+        "num_attention_heads": c.heads,
+        "intermediate_size": c.mlp,
+        "max_position_embeddings": c.ctx,
+        "layer_norm_eps": c.eps,
+        "hidden_act": c.act,
+    }
+
+
+def export_diffusers_checkpoint(params: dict, cfg, out_dir: str) -> str:
+    """Write a diffusers ``save_pretrained``-layout directory.
+
+    ``cfg``: a PipelineConfig describing ``params``.  Components present in
+    ``params`` are written as ``<comp>/*.safetensors`` + ``config.json``
+    (fp32 — safetensors-numpy has no bf16); the scheduler dir records the
+    reference's PNDM construction (utils.py:222-224) + prediction_type, and
+    model_index.json makes the dir ``from_pretrained``-able.  Round-trips
+    through port_diffusers_checkpoint / pipeline_config_from_diffusers
+    (tested)."""
+    from safetensors.numpy import save_file
+
+    layout = {
+        "unet": (export_unet, _unet_config_to_diffusers(cfg.unet),
+                 "diffusion_pytorch_model.safetensors"),
+        "vae": (export_vae, _vae_config_to_diffusers(cfg.vae),
+                "diffusion_pytorch_model.safetensors"),
+        "text_encoder": (export_clip_text,
+                         _clip_config_to_diffusers(cfg.clip),
+                         "model.safetensors"),
+    }
+    index = {"_class_name": "StableDiffusionPipeline",
+             "_diffusers_version": "0.7.2",
+             "scheduler": ["diffusers", "PNDMScheduler"],
+             "safety_checker": [None, None],
+             "feature_extractor": [None, None]}
+    for comp, (exp, cjson, fname) in layout.items():
+        if comp not in params:
+            continue
+        cdir = os.path.join(out_dir, comp)
+        os.makedirs(cdir, exist_ok=True)
+        # ascontiguousarray, not asarray: the export helpers return
+        # np.transpose VIEWS, and safetensors serializes the raw buffer —
+        # a non-contiguous view would write the UNtransposed bytes
+        sd = {k: np.ascontiguousarray(v, np.float32)
+              for k, v in exp(params[comp]).items()}
+        save_file(sd, os.path.join(cdir, fname))
+        with open(os.path.join(cdir, "config.json"), "w") as f:
+            json.dump(cjson, f, indent=2)
+        index[comp] = ["diffusers", cjson.get("_class_name")] \
+            if comp != "text_encoder" else ["transformers", "CLIPTextModel"]
+    sdir = os.path.join(out_dir, "scheduler")
+    os.makedirs(sdir, exist_ok=True)
+    s = cfg.schedule
+    with open(os.path.join(sdir, "scheduler_config.json"), "w") as f:
+        json.dump({"_class_name": "PNDMScheduler",
+                   "_diffusers_version": "0.7.2",
+                   "num_train_timesteps": s.num_train_timesteps,
+                   "beta_start": s.beta_start, "beta_end": s.beta_end,
+                   "beta_schedule": s.beta_schedule,
+                   "skip_prk_steps": True,
+                   "set_alpha_to_one": s.set_alpha_to_one,
+                   "steps_offset": s.steps_offset,
+                   "prediction_type": s.prediction_type}, f, indent=2)
+    with open(os.path.join(out_dir, "model_index.json"), "w") as f:
+        json.dump(index, f, indent=2)
+    return out_dir
 
 
 # ---------------------------------------------------------------------------

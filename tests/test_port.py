@@ -178,3 +178,36 @@ def test_diffusers_dir_unsupported_layout_errors(tmp_path):
                    "up_block_types": ["AttnUpBlock2D"]}, f)
     with pytest.raises(ValueError, match="unsupported UNet down block"):
         port.pipeline_config_from_diffusers(str(tmp_path))
+
+
+def test_export_diffusers_dir_roundtrip(tiny_cfg, tiny_params, tmp_path):
+    """export_diffusers_checkpoint writes a save_pretrained-layout dir that
+    round-trips through this repo's own diffusers loaders: ported params
+    equal the originals and the inferred config equals the source config."""
+    out = str(tmp_path / "exported")
+    port.export_diffusers_checkpoint(tiny_params, tiny_cfg, out)
+    import os
+
+    for comp, fname in (("unet", "diffusion_pytorch_model.safetensors"),
+                        ("vae", "diffusion_pytorch_model.safetensors"),
+                        ("text_encoder", "model.safetensors")):
+        assert os.path.exists(os.path.join(out, comp, fname))
+        assert os.path.exists(os.path.join(out, comp, "config.json"))
+    assert os.path.exists(os.path.join(out, "model_index.json"))
+    assert os.path.exists(
+        os.path.join(out, "scheduler", "scheduler_config.json"))
+
+    back = port.port_diffusers_checkpoint(out)
+    for comp in ("unet", "vae", "text_encoder"):
+        flat_a = jax.tree.leaves(tiny_params[comp])
+        flat_b = jax.tree.leaves(back[comp])
+        assert len(flat_a) == len(flat_b)
+        for a, b in zip(flat_a, flat_b):
+            np.testing.assert_allclose(np.asarray(a, np.float32),
+                                       np.asarray(b, np.float32),
+                                       atol=1e-6)
+    cfg2 = port.pipeline_config_from_diffusers(out)
+    assert cfg2.unet == tiny_cfg.unet
+    assert cfg2.vae == tiny_cfg.vae
+    assert cfg2.clip == tiny_cfg.clip
+    assert cfg2.schedule.prediction_type == tiny_cfg.schedule.prediction_type
