@@ -39,6 +39,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "higher-order solver; smallest measured drift from "
                         "the exact protocol — experiments/PERF_NOTES.md)")
     p.add_argument("--guidance_scale", type=float, default=7.5)
+    p.add_argument("--clip_skip", type=int, default=0,
+                   help="community CLIP-skip: 2 conditions the UNet on the "
+                        "text encoder's penultimate hidden state (0/1 = "
+                        "full encoder, the SD-1.x default)")
     p.add_argument("--guidance_rescale", type=float, default=0.0,
                    help="CFG rescale factor (arXiv:2305.08891): renormalize "
                         "the guided prediction's std toward the conditional "
@@ -167,7 +171,8 @@ def main(argv=None):
                     num_images_per_prompt=args.samples_per_prompt,
                     init_image=init_image, strength=args.strength,
                     mask_image=mask_image,
-                    guidance_rescale=args.guidance_rescale)
+                    guidance_rescale=args.guidance_rescale,
+                    clip_skip=args.clip_skip)
         pils = pipe.numpy_to_pil(imgs)
         # prompt text becomes a filename: strip path separators ('/' would
         # point into a nonexistent subdir and lose the generated image)

@@ -70,9 +70,13 @@ class PipelineConfig:
                               sched_mod.ScheduleConfig.sd15(), scheduler)
 
 
-def encode_text(params, ids, cfg: PipelineConfig, compute_dtype=jnp.bfloat16):
+def encode_text(params, ids, cfg: PipelineConfig, compute_dtype=jnp.bfloat16,
+                clip_skip: int = 0):
+    """``clip_skip`` follows the community convention: 0/1 = full encoder,
+    2 = stop one layer early (penultimate hidden state), etc."""
     return clip_mod.apply(params["text_encoder"], ids, cfg.clip,
-                          compute_dtype=compute_dtype)
+                          compute_dtype=compute_dtype,
+                          skip_layers=max(clip_skip - 1, 0))
 
 
 @functools.partial(
@@ -80,7 +84,7 @@ def encode_text(params, ids, cfg: PipelineConfig, compute_dtype=jnp.bfloat16):
     static_argnames=("cfg", "num_inference_steps", "compute_dtype", "decode",
                      "cache_interval", "cache_tail", "attn_impl",
                      "chunked_decode", "t_start", "pack_heads",
-                     "guidance_rescale"))
+                     "guidance_rescale", "clip_skip"))
 def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
            *, cfg: PipelineConfig, num_inference_steps: int = 50,
            compute_dtype=jnp.bfloat16, decode: bool = True,
@@ -88,7 +92,7 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
            attn_impl: str = "inference", chunked_decode=None,
            init_image=None, t_start: int = 0, mask=None,
            pack_heads: Optional[bool] = None,
-           guidance_rescale: float = 0.0):
+           guidance_rescale: float = 0.0, clip_skip: int = 0):
     """Run the full CFG sampling graph.
 
     params: {"text_encoder", "unet", "vae"} param trees (fp32 masters; cast here)
@@ -141,8 +145,8 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
     sched = sched_mod.make_schedule(cfg.schedule)
     dt = compute_dtype
 
-    ctx_c = encode_text(params, cond_ids, cfg, dt)
-    ctx_u = encode_text(params, uncond_ids, cfg, dt)
+    ctx_c = encode_text(params, cond_ids, cfg, dt, clip_skip=clip_skip)
+    ctx_u = encode_text(params, uncond_ids, cfg, dt, clip_skip=clip_skip)
     context = jnp.concatenate([ctx_u, ctx_c], axis=0)  # (2B, ctx, hid)
     uparams = params["unet"]
     if pack_heads is None:
@@ -646,7 +650,7 @@ class SDPipeline:
                  cache_tail: int = 0, negative_prompt=None,
                  num_images_per_prompt: int = 1, init_image=None,
                  strength: float = 0.8, mask_image=None,
-                 guidance_rescale: float = 0.0):
+                 guidance_rescale: float = 0.0, clip_skip: int = 0):
         """``negative_prompt``: str or per-prompt list encoded as the CFG
         unconditional branch instead of "" (the diffusers-0.7.2
         StableDiffusionPipeline parameter the reference's engine exposes);
@@ -796,7 +800,8 @@ class SDPipeline:
                       attn_impl=self._attn_impl,
                       chunked_decode=self.mesh is None,
                       init_image=img_arr, t_start=t_start, mask=mask_arr,
-                      guidance_rescale=float(guidance_rescale))
+                      guidance_rescale=float(guidance_rescale),
+                      clip_skip=int(clip_skip))
         return np.asarray(imgs)[:b]
 
     def img2img(self, prompts, image, *, strength: float = 0.8, **kw):

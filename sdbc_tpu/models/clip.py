@@ -111,8 +111,16 @@ def _layer_apply(p, x, cfg: CLIPTextConfig):
     return x
 
 
-def apply(params, input_ids, cfg: CLIPTextConfig, compute_dtype=jnp.float32):
-    """input_ids: (B, ctx) int32 → last hidden state (B, ctx, hidden)."""
+def apply(params, input_ids, cfg: CLIPTextConfig, compute_dtype=jnp.float32,
+          skip_layers: int = 0):
+    """input_ids: (B, ctx) int32 → last hidden state (B, ctx, hidden).
+
+    ``skip_layers`` (CLIP-skip, the community convention where
+    clip_skip=2 ≡ skip_layers=1): stop ``skip_layers`` transformer layers
+    early and final-LayerNorm that hidden state — SD-1.x checkpoints
+    fine-tuned with penultimate-layer conditioning expect it.  Static, so
+    the scan simply runs over a sliced layer stack (0 = exact default).
+    """
     x = nn.embedding(params["token_embedding"], input_ids)
     pos = params["position_embedding"]["table"][: input_ids.shape[1]]
     x = (x + pos[None]).astype(compute_dtype)
@@ -120,5 +128,12 @@ def apply(params, input_ids, cfg: CLIPTextConfig, compute_dtype=jnp.float32):
     def body(x, layer_params):
         return _layer_apply(layer_params, x, cfg), None
 
-    x, _ = jax.lax.scan(body, x, params["layers"])
+    layers = params["layers"]
+    if skip_layers:
+        if not 0 <= skip_layers < cfg.layers:
+            raise ValueError(f"skip_layers={skip_layers} outside "
+                             f"[0, {cfg.layers})")
+        layers = jax.tree.map(lambda p: p[: cfg.layers - skip_layers],
+                              layers)
+    x, _ = jax.lax.scan(body, x, layers)
     return nn.layer_norm(params["final_ln"], x, eps=cfg.eps)

@@ -217,3 +217,35 @@ def test_guidance_rescale(pipe):
     g1r = pipe(["r"], num_inference_steps=3, latents=lat, guidance_scale=1.0,
                guidance_rescale=0.7)
     np.testing.assert_allclose(g1, g1r, atol=1e-4)
+
+
+def test_clip_skip(pipe, tiny_cfg, tiny_params):
+    """clip_skip=2 conditions on the penultimate hidden state: pipeline
+    output changes; 0 and 1 are both the full encoder (identical)."""
+    lat = per_sample_fixed_latents(1, (4, 8, 8), seed=14)
+    kw = dict(num_inference_steps=2, latents=lat)
+    base = pipe(["c"], **kw)
+    skip1 = pipe(["c"], clip_skip=1, **kw)
+    np.testing.assert_array_equal(base, skip1)
+    skip2 = pipe(["c"], clip_skip=2, **kw)
+    assert not np.allclose(base, skip2)
+
+    # the encoder-level semantics: skip_layers=1 == python loop over all
+    # but the last layer + final LayerNorm (independent reference)
+    from sdbc_tpu.models import clip as clip_mod
+    from sdbc_tpu.ops import nn as nn_ops
+
+    c = tiny_cfg.clip
+    te = tiny_params["text_encoder"]
+    ids = jnp.asarray([[1, 5, 9] + [0] * (c.ctx - 3)], jnp.int32)
+    got = clip_mod.apply(te, ids, c, skip_layers=1)
+    x = nn_ops.embedding(te["token_embedding"], ids)
+    x = x + te["position_embedding"]["table"][: c.ctx][None]
+    for i in range(c.layers - 1):
+        layer = jax.tree.map(lambda p: p[i], te["layers"])
+        x = clip_mod._layer_apply(layer, x, c)
+    want = nn_ops.layer_norm(te["final_ln"], x, eps=c.eps)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5)
+    with pytest.raises(ValueError, match="skip_layers"):
+        clip_mod.apply(te, ids, c, skip_layers=c.layers)
