@@ -69,6 +69,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--wandb_key", type=str, default="")
     p.add_argument("--bart_ckpt", type=str, default="",
                    help="transformers BART dir for --summarize (DistilBART)")
+    common.bool_flag(p, "karras_sigmas", False,
+                     "use the Karras et al. 2022 rho=7 sigma grid instead "
+                     "of the leading integer timestep grid (euler_a/lms/dpm "
+                     "schedulers; markedly better low-step quality)")
     p.add_argument("--cache_interval", type=int, default=0,
                    help=">1: DeepCache-style fast sampling (approximate; "
                         "deep UNet trunk reused between every k-th step)")
@@ -172,7 +176,8 @@ def main(argv=None):
                     init_image=init_image, strength=args.strength,
                     mask_image=mask_image,
                     guidance_rescale=args.guidance_rescale,
-                    clip_skip=args.clip_skip)
+                    clip_skip=args.clip_skip,
+                    use_karras_sigmas=args.karras_sigmas)
         pils = pipe.numpy_to_pil(imgs)
         # prompt text becomes a filename: strip path separators ('/' would
         # point into a nonexistent subdir and lose the generated image)

@@ -84,7 +84,7 @@ def encode_text(params, ids, cfg: PipelineConfig, compute_dtype=jnp.bfloat16,
     static_argnames=("cfg", "num_inference_steps", "compute_dtype", "decode",
                      "cache_interval", "cache_tail", "attn_impl",
                      "chunked_decode", "t_start", "pack_heads",
-                     "guidance_rescale", "clip_skip"))
+                     "guidance_rescale", "clip_skip", "use_karras_sigmas"))
 def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
            *, cfg: PipelineConfig, num_inference_steps: int = 50,
            compute_dtype=jnp.bfloat16, decode: bool = True,
@@ -92,7 +92,8 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
            attn_impl: str = "inference", chunked_decode=None,
            init_image=None, t_start: int = 0, mask=None,
            pack_heads: Optional[bool] = None,
-           guidance_rescale: float = 0.0, clip_skip: int = 0):
+           guidance_rescale: float = 0.0, clip_skip: int = 0,
+           use_karras_sigmas: bool = False):
     """Run the full CFG sampling graph.
 
     params: {"text_encoder", "unet", "vae"} param trees (fp32 masters; cast here)
@@ -126,6 +127,10 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
       Supported for ddim/dpm/ddpm; PNDM's multistep warmup does not
       truncate cleanly (diffusers' own PLMS img2img re-runs the warmup at
       t_start, changing the method's order) — rejected loudly.
+    use_karras_sigmas: replace the leading integer timestep grid with the
+      Karras et al. 2022 ρ=7 sigma ramp between the same σ endpoints
+      (markedly better low-step quality); euler_a / lms / dpm only.  The
+      UNet is conditioned on each σ's continuous interpolated timestep.
     Returns (B, H, W, 3) float images in [0, 1] (or raw latents if decode=False).
     """
     if cache_interval and cache_interval > 1 and cfg.scheduler not in (
@@ -140,6 +145,10 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
                          "truncate cleanly at t_start")
     if mask is not None and init_image is None:
         raise ValueError("mask (inpainting) requires init_image")
+    if use_karras_sigmas and cfg.scheduler not in ("euler_a", "lms", "dpm"):
+        raise ValueError("use_karras_sigmas applies to the sigma-space "
+                         "samplers (euler_a, lms, dpm) only — ddim/pndm/ddpm "
+                         "are defined on the integer training grid")
     if not 0 <= t_start <= num_inference_steps:
         raise ValueError(f"t_start={t_start} outside [0, {num_inference_steps}]")
     sched = sched_mod.make_schedule(cfg.schedule)
@@ -181,8 +190,25 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
             sched, orig_lat, noise0, jnp.full((orig_lat.shape[0],), ts_first,
                                               jnp.int32)).astype(dt)
 
+    def noise_to_sigma(s):
+        """Start latent noised to a continuous σ level (ā = 1/(1+σ²));
+        exactly ddpm_add_noise evaluated off-grid (karras img2img)."""
+        a = 1.0 / (1.0 + jnp.asarray(s, jnp.float32) ** 2)
+        return (jnp.sqrt(a) * orig_lat
+                + jnp.sqrt(1.0 - a) * noise0).astype(dt)
+
     if mask is not None:
         keep = (1.0 - mask.astype(jnp.float32))
+
+        def blend_sigma(lat_next, s_next):
+            """Inpaint blend at a continuous σ level (σ=0 ⇒ ā=1 ⇒ the
+            clean original, so the terminal step needs no special case)."""
+            a = 1.0 / (1.0 + jnp.asarray(s_next, jnp.float32) ** 2)
+            noised = (jnp.sqrt(a) * orig_lat
+                      + jnp.sqrt(1.0 - a) * noise0)
+            out = (noised * keep
+                   + lat_next.astype(jnp.float32) * (1.0 - keep))
+            return out.astype(lat_next.dtype)
 
         def blend(lat_next, t_next):
             """Replace the kept region by the init latents at t_next's
@@ -197,7 +223,7 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
                    + lat_next.astype(jnp.float32) * (1.0 - keep))
             return out.astype(lat_next.dtype)
     else:
-        blend = None
+        blend = blend_sigma = None
 
     def cfg_combine(out_u, out_c):
         out = out_u + gs * (out_c - out_u)
@@ -321,6 +347,58 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
 
             lat = jax.lax.fori_loop(t_start, num_inference_steps, body, lat)
 
+    elif cfg.scheduler == "dpm" and use_karras_sigmas:
+        # DPM-Solver++(2M) on the Karras σ grid (λ = −log σ carries the
+        # lambda-space update over verbatim); composes with DeepCache the
+        # same way as the integer-grid path.
+        sigmas_np, ts_np = sched_mod.karras_grid(cfg.schedule,
+                                                 num_inference_steps)
+        sigmas, ts_f = jnp.asarray(sigmas_np), jnp.asarray(ts_np)
+        if orig_lat is not None:
+            lat = noise_to_sigma(sigmas[t_start]) \
+                if t_start < num_inference_steps else orig_lat.astype(dt)
+        tproj = unet_mod.precompute_temb(uparams, ts_f, cfg.unet, dtype=dt)
+        lower_order_final = num_inference_steps < 15
+        state0 = sched_mod.dpm_init_state(lat.shape)
+
+        if cache_interval and cache_interval > 1:
+            cache0, model_out_cached = make_cached_unet(tproj)
+
+            def body(i, carry):
+                state, lat, cache = carry
+                out, cache = model_out_cached(lat, ts_f[i], i, cache)
+                eps, _ = sched_mod.sigma_to_eps_x0(
+                    out, sigmas[i], lat, cfg.schedule.prediction_type)
+                first = jnp.logical_and(lower_order_final,
+                                        i == num_inference_steps - 1)
+                state, lat = sched_mod.dpm_step_sigma(
+                    state, eps, sigmas[i], sigmas[i + 1], lat,
+                    first_order=first)
+                if blend_sigma is not None:
+                    lat = blend_sigma(lat, sigmas[i + 1])
+                return state, lat, cache
+
+            _, lat, _ = jax.lax.fori_loop(t_start, num_inference_steps,
+                                          body, (state0, lat, cache0))
+        else:
+            def body(i, carry):
+                state, lat = carry
+                out = model_out_fn(lat, ts_f[i],
+                                   unet_mod.index_temb(tproj, i))
+                eps, _ = sched_mod.sigma_to_eps_x0(
+                    out, sigmas[i], lat, cfg.schedule.prediction_type)
+                first = jnp.logical_and(lower_order_final,
+                                        i == num_inference_steps - 1)
+                state, lat = sched_mod.dpm_step_sigma(
+                    state, eps, sigmas[i], sigmas[i + 1], lat,
+                    first_order=first)
+                if blend_sigma is not None:
+                    lat = blend_sigma(lat, sigmas[i + 1])
+                return state, lat
+
+            _, lat = jax.lax.fori_loop(t_start, num_inference_steps, body,
+                                       (state0, lat))
+
     elif cfg.scheduler == "dpm":
         # DPM-Solver++(2M): DDIM-level quality at ~20-25 steps (bonus
         # scheduler beyond the reference's three)
@@ -376,6 +454,35 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
             _, lat = jax.lax.fori_loop(t_start, num_inference_steps, body,
                                        (state0, lat))
 
+    elif cfg.scheduler == "euler_a" and use_karras_sigmas:
+        # Euler ancestral on the Karras σ grid (arXiv:2206.00364 eq. 5):
+        # the UNet sees the CONTINUOUS interpolated timestep of each σ via
+        # the precomputed temb tables; all step math is σ-space.
+        sigmas_np, ts_np = sched_mod.karras_grid(cfg.schedule,
+                                                 num_inference_steps)
+        sigmas, ts_f = jnp.asarray(sigmas_np), jnp.asarray(ts_np)
+        if orig_lat is not None:
+            lat = noise_to_sigma(sigmas[t_start]) \
+                if t_start < num_inference_steps else orig_lat.astype(dt)
+        tproj = unet_mod.precompute_temb(uparams, ts_f, cfg.unet, dtype=dt)
+
+        def body(i, carry):
+            lat, k = carry
+            k, sub = jax.random.split(k)
+            out = model_out_fn(lat, ts_f[i], unet_mod.index_temb(tproj, i))
+            eps, _ = sched_mod.sigma_to_eps_x0(out, sigmas[i], lat,
+                                               cfg.schedule.prediction_type)
+            noise = jax.random.normal(sub, lat.shape, jnp.float32)
+            nlat = sched_mod.euler_step_sigma(eps, sigmas[i], sigmas[i + 1],
+                                              lat, noise=noise,
+                                              ancestral=True)
+            if blend_sigma is not None:
+                nlat = blend_sigma(nlat, sigmas[i + 1])
+            return nlat, k
+
+        lat, _ = jax.lax.fori_loop(t_start, num_inference_steps, body,
+                                   (lat, key))
+
     elif cfg.scheduler == "euler_a":
         # Euler ancestral (k-diffusion) — stochastic sampling with a noise
         # split distinct from DDPM's posterior (bonus scheduler; the plain
@@ -402,6 +509,30 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
 
         lat, _ = jax.lax.fori_loop(t_start, num_inference_steps, body,
                                    (lat, key))
+
+    elif cfg.scheduler == "lms" and use_karras_sigmas:
+        # k-LMS on the Karras σ grid: the exact Lagrange coefficient
+        # integration runs over the karras sigmas instead of the leading
+        # grid's — everything else is the same multistep update.
+        sigmas_np, ts_np = sched_mod.karras_grid(cfg.schedule,
+                                                 num_inference_steps)
+        sigmas, ts_f = jnp.asarray(sigmas_np), jnp.asarray(ts_np)
+        coeffs = sched_mod.lms_coeff_table_sigmas(sigmas_np)
+        tproj = unet_mod.precompute_temb(uparams, ts_f, cfg.unet, dtype=dt)
+
+        def body(i, carry):
+            state, lat = carry
+            out = model_out_fn(lat, ts_f[i], unet_mod.index_temb(tproj, i))
+            eps, _ = sched_mod.sigma_to_eps_x0(out, sigmas[i], lat,
+                                               cfg.schedule.prediction_type)
+            state, lat = sched_mod.lms_step_sigma(state, eps, sigmas[i],
+                                                  sigmas[i + 1], lat,
+                                                  coeffs[i])
+            return state, lat
+
+        state0 = sched_mod.lms_init_state(lat.shape)
+        _, lat = jax.lax.fori_loop(0, num_inference_steps, body,
+                                   (state0, lat))
 
     elif cfg.scheduler == "lms":
         # k-LMS (diffusers-0.7.2 LMSDiscreteScheduler): deterministic
@@ -650,7 +781,8 @@ class SDPipeline:
                  cache_tail: int = 0, negative_prompt=None,
                  num_images_per_prompt: int = 1, init_image=None,
                  strength: float = 0.8, mask_image=None,
-                 guidance_rescale: float = 0.0, clip_skip: int = 0):
+                 guidance_rescale: float = 0.0, clip_skip: int = 0,
+                 use_karras_sigmas: bool = False):
         """``negative_prompt``: str or per-prompt list encoded as the CFG
         unconditional branch instead of "" (the diffusers-0.7.2
         StableDiffusionPipeline parameter the reference's engine exposes);
@@ -801,7 +933,8 @@ class SDPipeline:
                       chunked_decode=self.mesh is None,
                       init_image=img_arr, t_start=t_start, mask=mask_arr,
                       guidance_rescale=float(guidance_rescale),
-                      clip_skip=int(clip_skip))
+                      clip_skip=int(clip_skip),
+                      use_karras_sigmas=bool(use_karras_sigmas))
         return np.asarray(imgs)[:b]
 
     def img2img(self, prompts, image, *, strength: float = 0.8, **kw):

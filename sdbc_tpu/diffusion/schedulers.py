@@ -448,6 +448,200 @@ def lms_step(sched: Schedule, state: LMSState, eps, t, t_prev, x_t,
 
 
 # ---------------------------------------------------------------------------
+# Karras sigma grid (Karras et al. 2022, arXiv:2206.00364 eq. 5) — the
+# rho-interpolated noise schedule the k-diffusion samplers were designed
+# around; markedly better low-step quality for euler_a / lms / dpm.
+# Beyond-reference bonus (diffusers grew `use_karras_sigmas` after 0.7.2).
+# All grid construction is host-side numpy (static), like lms_coeff_table.
+
+
+def _train_log_sigmas(cfg: ScheduleConfig):
+    """(T,) float64 log-sigmas of the training grid, σ_t = sqrt((1-ā)/ā)."""
+    import numpy as np
+
+    if cfg.beta_schedule == "scaled_linear":
+        betas = np.linspace(cfg.beta_start ** 0.5, cfg.beta_end ** 0.5,
+                            cfg.num_train_timesteps, dtype=np.float64) ** 2
+    else:
+        betas = np.linspace(cfg.beta_start, cfg.beta_end,
+                            cfg.num_train_timesteps, dtype=np.float64)
+    ac = np.cumprod(1.0 - betas)
+    return np.log(np.sqrt((1.0 - ac) / ac))
+
+
+def karras_grid(cfg: ScheduleConfig, num_inference_steps: int,
+                rho: float = 7.0) -> Tuple["np.ndarray", "np.ndarray"]:
+    """Karras sigma schedule → (sigmas (N+1,), float timesteps (N,)).
+
+    Returns HOST numpy arrays (float32): callers jnp-ify the pieces they
+    feed the graph.  Returning jnp here would hand jit callers tracers
+    (omnistaging stages every jnp op), breaking the host-side Lagrange
+    coefficient integration that consumes the sigmas.
+
+    σ_i = (σ_max^(1/ρ) + i/(N−1)·(σ_min^(1/ρ) − σ_max^(1/ρ)))^ρ, descending,
+    with a terminal 0 appended (k-diffusion convention).  σ_min/σ_max are the
+    endpoint sigmas of the repo's leading integer grid for the same step
+    count (diffusers semantics: the karras ramp replaces the grid between
+    the SAME endpoints).  The returned timesteps are the CONTINUOUS
+    positions of each σ on the training grid — fractional-index linear
+    interpolation in log-sigma space (k-diffusion sigma_to_t) — and feed
+    the UNet's sinusoidal embedding directly (it accepts floats).
+    """
+    import numpy as np
+
+    ratio = inference_stride(cfg, num_inference_steps)
+    ts = (np.arange(num_inference_steps) * ratio + cfg.steps_offset)[::-1]
+    log_sigmas = _train_log_sigmas(cfg)
+    sig_grid = np.exp(log_sigmas[ts])
+    sigma_max, sigma_min = sig_grid[0], sig_grid[-1]
+
+    if num_inference_steps == 1:
+        sigmas = np.asarray([sigma_max], np.float64)
+    else:
+        ramp = np.linspace(0.0, 1.0, num_inference_steps)
+        sigmas = (sigma_max ** (1.0 / rho)
+                  + ramp * (sigma_min ** (1.0 / rho)
+                            - sigma_max ** (1.0 / rho))) ** rho
+
+    # sigma → continuous t (k-diffusion sigma_to_t: piecewise-linear in
+    # log sigma over the training table)
+    log_s = np.log(sigmas)
+    dists = log_s[None, :] - log_sigmas[:, None]          # (T, N)
+    low_idx = np.clip(np.cumsum(dists >= 0, axis=0).argmax(axis=0),
+                      0, log_sigmas.shape[0] - 2)
+    high_idx = low_idx + 1
+    low, high = log_sigmas[low_idx], log_sigmas[high_idx]
+    w = np.clip((low - log_s) / (low - high), 0.0, 1.0)
+    t_cont = (1.0 - w) * low_idx + w * high_idx
+
+    sigmas = np.append(sigmas, 0.0)
+    return (np.asarray(sigmas, np.float32), np.asarray(t_cont, np.float32))
+
+
+def _alpha_bar_of_sigma(sigma):
+    """VP ā from VE σ: σ² = (1−ā)/ā ⇒ ā = 1/(1+σ²)."""
+    return 1.0 / (1.0 + sigma.astype(jnp.float32) ** 2)
+
+
+def sigma_to_eps_x0(model_out, sigma, x_t, prediction_type: str):
+    """to_eps_x0 for a continuous-σ grid point (ā = 1/(1+σ²))."""
+    a = _alpha_bar_of_sigma(sigma)
+    alpha = jnp.sqrt(a)
+    sig_vp = jnp.sqrt(1.0 - a)
+    xf = x_t.astype(jnp.float32)
+    mo = model_out.astype(jnp.float32)
+    if prediction_type == "v_prediction":
+        x0 = alpha * xf - sig_vp * mo
+        eps = sig_vp * xf + alpha * mo
+    elif prediction_type == "epsilon":
+        eps = mo
+        x0 = (xf - sig_vp * eps) / alpha
+    else:
+        raise ValueError(f"unknown prediction_type {prediction_type}")
+    return eps, x0
+
+
+def euler_step_sigma(eps, s_t, s_p, x_t, noise=None, ancestral: bool = False):
+    """euler_step on an explicit (σ_t → σ_prev) pair (VP latents in/out).
+
+    Identical math to euler_step with ā = 1/(1+σ²); σ_prev = 0 is the
+    terminal step (returns the x0 prediction; no ancestral noise)."""
+    s_t = jnp.asarray(s_t, jnp.float32)
+    s_p = jnp.asarray(s_p, jnp.float32)
+    a_t = _alpha_bar_of_sigma(s_t)
+    a_p = _alpha_bar_of_sigma(s_p)
+    xf = x_t.astype(jnp.float32)
+    ef = eps.astype(jnp.float32)
+    x_ve = xf / jnp.sqrt(a_t)
+    if ancestral:
+        if noise is None:
+            raise ValueError("euler_step_sigma with ancestral=True needs "
+                             "`noise`")
+        var_up = s_p ** 2 * (s_t ** 2 - s_p ** 2) / jnp.maximum(s_t ** 2,
+                                                                1e-20)
+        s_up = jnp.sqrt(jnp.maximum(var_up, 0.0))
+        s_down = jnp.sqrt(jnp.maximum(s_p ** 2 - var_up, 0.0))
+        x_ve = (x_ve + (s_down - s_t) * ef
+                + s_up * noise.astype(jnp.float32))
+    else:
+        x_ve = x_ve + (s_p - s_t) * ef
+    return (x_ve * jnp.sqrt(a_p)).astype(x_t.dtype)
+
+
+def lms_coeff_table_sigmas(sigmas, order: int = LMS_ORDER) -> jnp.ndarray:
+    """lms_coeff_table over an EXPLICIT (N+1,) sigma grid (terminal last).
+
+    Same exact Lagrange-polynomial integration; the integer-grid
+    lms_coeff_table is the special case sigmas = σ(leading grid) + [0]."""
+    import numpy as np
+
+    sig = np.asarray(sigmas, np.float64)
+    n = sig.shape[0] - 1
+    table = np.zeros((n, order), np.float64)
+    for i in range(n):
+        cur = min(i + 1, order)
+        for j in range(cur):
+            poly = np.poly1d([1.0])
+            for k in range(cur):
+                if k == j:
+                    continue
+                poly = poly * np.poly1d([1.0, -sig[i - k]]) \
+                    / (sig[i - j] - sig[i - k])
+            integ = np.polyint(poly)
+            table[i, j] = integ(sig[i + 1]) - integ(sig[i])
+    return jnp.asarray(table, jnp.float32)
+
+
+def lms_step_sigma(state: LMSState, eps, s_t, s_p, x_t, coeff_row):
+    """lms_step on an explicit (σ_t → σ_prev) pair (VP latents in/out)."""
+    a_t = _alpha_bar_of_sigma(jnp.asarray(s_t, jnp.float32))
+    a_p = _alpha_bar_of_sigma(jnp.asarray(s_p, jnp.float32))
+    xf = x_t.astype(jnp.float32)
+    ef = eps.astype(jnp.float32)
+    x_ve = xf / jnp.sqrt(a_t)
+    ders = jnp.roll(state.ders, 1, axis=0).at[0].set(ef)
+    upd = jnp.tensordot(coeff_row.astype(jnp.float32), ders, axes=1)
+    x_prev = (x_ve + upd) * jnp.sqrt(a_p)
+    return LMSState(ders=ders, count=state.count + 1), x_prev.astype(x_t.dtype)
+
+
+def dpm_step_sigma(state: "DPMState", eps, s_t, s_p, x_t, first_order=False):
+    """dpm_step on an explicit (σ_t → σ_prev) pair.
+
+    With ā = 1/(1+σ²): λ = log(α/σ_vp) = −log σ, so the lambda-space 2M
+    update carries over verbatim; σ_prev = 0 is the terminal step (the
+    guarded λ_p is large ⇒ expm1(−h) → −1 and the σ-ratio term vanishes,
+    returning the x0 prediction exactly)."""
+    s_t = jnp.asarray(s_t, jnp.float32)
+    s_p = jnp.asarray(s_p, jnp.float32)
+    a_t = _alpha_bar_of_sigma(s_t)
+    a_p = _alpha_bar_of_sigma(s_p)
+    xf = x_t.astype(jnp.float32)
+    ef = eps.astype(jnp.float32)
+
+    alpha_t, sigma_t = jnp.sqrt(a_t), jnp.sqrt(1.0 - a_t)
+    alpha_p, sigma_p = jnp.sqrt(a_p), jnp.sqrt(1.0 - a_p)
+    x0 = (xf - sigma_t * ef) / alpha_t
+
+    lam_t = -jnp.log(jnp.maximum(s_t, 1e-20))
+    lam_p = -jnp.log(jnp.maximum(s_p, 1e-20))
+    h = lam_p - lam_t
+    h_prev = lam_t - state.prev_lambda
+
+    use_2nd = jnp.logical_and(state.count > 0,
+                              jnp.logical_not(jnp.asarray(first_order)))
+    r0 = jnp.where(use_2nd, h_prev / h, 1.0)
+    d1 = (x0 - state.prev_x0) / r0
+    x0_2m = jnp.where(use_2nd, x0 + 0.5 * d1, x0)
+
+    phi = jnp.expm1(-h)
+    x_prev = (sigma_p / sigma_t) * xf - alpha_p * phi * x0_2m
+
+    return DPMState(prev_x0=x0, prev_lambda=lam_t, count=state.count + 1), \
+        x_prev.astype(x_t.dtype)
+
+
+# ---------------------------------------------------------------------------
 # DPM-Solver++ (2M) — beyond-reference bonus: DDIM-quality samples in
 # ~20-25 steps.  Second-order multistep solver in log-SNR (lambda) space,
 # data-prediction formulation (Lu et al. 2022, multistep variant).

@@ -249,3 +249,44 @@ def test_clip_skip(pipe, tiny_cfg, tiny_params):
                                atol=1e-5)
     with pytest.raises(ValueError, match="skip_layers"):
         clip_mod.apply(te, ids, c, skip_layers=c.layers)
+
+
+@pytest.mark.parametrize("scheduler", ["euler_a", "lms", "dpm"])
+def test_karras_sigmas_pipeline(pipe, tiny_cfg, tiny_params, scheduler):
+    """use_karras_sigmas end-to-end on each sigma-space sampler: finite,
+    deterministic, and genuinely a different grid than the integer path."""
+    cfg = dataclasses.replace(tiny_cfg, scheduler=scheduler)
+    tok = CLIPTokenizer.fallback(cfg.clip.vocab_size)
+    p = SDPipeline(tiny_params, cfg, tok, compute_dtype=jnp.float32)
+    lat = per_sample_fixed_latents(1, (4, 8, 8), seed=21)
+    kw = dict(num_inference_steps=4, latents=lat)
+    grid = p(["k"], **kw)
+    kar1 = p(["k"], use_karras_sigmas=True, **kw)
+    kar2 = p(["k"], use_karras_sigmas=True, **kw)
+    assert kar1.shape == grid.shape
+    assert np.isfinite(kar1).all()
+    np.testing.assert_array_equal(kar1, kar2)
+    assert not np.allclose(grid, kar1)
+
+
+def test_karras_sigmas_rejected_on_integer_schedulers(pipe):
+    with pytest.raises(ValueError, match="karras"):
+        pipe(["k"], num_inference_steps=2, use_karras_sigmas=True)
+
+
+def test_karras_img2img_runs(tiny_cfg, tiny_params):
+    """img2img on the karras grid (dpm): the σ-level noising path engages
+    and a strength<1 run differs from text-to-image."""
+    from PIL import Image
+
+    cfg = dataclasses.replace(tiny_cfg, scheduler="dpm")
+    tok = CLIPTokenizer.fallback(cfg.clip.vocab_size)
+    p = SDPipeline(tiny_params, cfg, tok, compute_dtype=jnp.float32)
+    rng = np.random.default_rng(7)
+    img = Image.fromarray(rng.integers(0, 255, (32, 32, 3), np.uint8))
+    a = p.img2img(["k"], img, strength=0.5, num_inference_steps=4,
+                  height=32, width=32, use_karras_sigmas=True, seed=3)
+    b = p.img2img(["k"], img, strength=0.5, num_inference_steps=4,
+                  height=32, width=32, use_karras_sigmas=True, seed=3)
+    assert np.isfinite(a).all()
+    np.testing.assert_array_equal(a, b)

@@ -469,3 +469,148 @@ def test_lms_uses_history():
                                   x_lms, tab[i])
         x_eul = S.euler_step(SCHED, eps, t, t - ratio, x_eul)
     assert np.abs(np.asarray(x_lms) - np.asarray(x_eul)).max() > 1e-4
+
+
+# ---------------------------------------------------------------------------
+# Karras sigma grid (arXiv:2206.00364)
+
+
+def _grid_sigmas(n):
+    """(σ of the leading integer grid, descending) for n steps."""
+    ratio = S.inference_stride(CFG, n)
+    ts = (np.arange(n) * ratio + CFG.steps_offset)[::-1]
+    ac = np.asarray(SCHED.alphas_cumprod, np.float64)
+    return np.sqrt((1.0 - ac[ts]) / ac[ts]), ts
+
+
+def test_karras_grid_endpoints_and_monotone():
+    n = 25
+    sig_lead, _ = _grid_sigmas(n)
+    sigmas, ts_f = map(np.asarray, S.karras_grid(CFG, n))
+    assert sigmas.shape == (n + 1,)
+    assert ts_f.shape == (n,)
+    # same endpoints as the leading grid, terminal 0 appended
+    np.testing.assert_allclose(sigmas[0], sig_lead[0], rtol=1e-4)
+    np.testing.assert_allclose(sigmas[n - 1], sig_lead[-1], rtol=1e-4)
+    assert sigmas[n] == 0.0
+    assert np.all(np.diff(sigmas) < 0)
+    # timesteps descend within the training grid
+    assert np.all(np.diff(ts_f) < 0)
+    assert ts_f[0] <= CFG.num_train_timesteps - 1 and ts_f[-1] >= 0
+
+
+def test_karras_sigma_to_t_inverts_table_points():
+    """σ values that sit exactly on the training table map back to their
+    integer timestep (the log-sigma interpolation is exact at knots)."""
+    n = 25
+    sig_lead, ts_int = _grid_sigmas(n)
+    _, ts_f = map(np.asarray, S.karras_grid(CFG, n))
+    # endpoints of the ramp are exactly the grid's σ endpoints
+    np.testing.assert_allclose(ts_f[0], ts_int[0], atol=1e-3)
+    np.testing.assert_allclose(ts_f[-1], ts_int[-1], atol=1e-3)
+
+
+def test_euler_step_sigma_matches_integer_grid():
+    """On the integer grid's own sigmas the σ-space step reproduces
+    euler_step bit-for-bit (incl. the terminal σ=0 ⇒ ā_prev=1 step)."""
+    rng = np.random.default_rng(0)
+    x_t = jnp.asarray(rng.normal(size=(2, 4, 4, 3)).astype(np.float32))
+    eps = jnp.asarray(rng.normal(size=x_t.shape).astype(np.float32))
+    z = jnp.asarray(rng.normal(size=x_t.shape).astype(np.float32))
+    ac = np.asarray(SCHED.alphas_cumprod, np.float64)
+    for t, t_prev in [(981, 941), (41, 1), (1, -39)]:
+        s_t = np.sqrt((1 - ac[t]) / ac[t])
+        s_p = np.sqrt((1 - ac[t_prev]) / ac[t_prev]) if t_prev >= 0 else 0.0
+        for anc in (False, True):
+            a = S.euler_step(SCHED, eps, jnp.asarray(t), jnp.asarray(t_prev),
+                             x_t, noise=z, ancestral=anc)
+            b = S.euler_step_sigma(eps, jnp.asarray(s_t, jnp.float32),
+                                   jnp.asarray(s_p, jnp.float32), x_t,
+                                   noise=z, ancestral=anc)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=2e-5)
+
+
+def test_lms_coeff_table_sigmas_matches_integer_grid():
+    n = 10
+    # the same float64 training sigmas lms_coeff_table derives internally
+    ratio = S.inference_stride(CFG, n)
+    ts = (np.arange(n) * ratio + CFG.steps_offset)[::-1]
+    sig_lead = np.exp(S._train_log_sigmas(CFG)[ts])
+    sig = np.append(sig_lead, 0.0)
+    a = np.asarray(S.lms_coeff_table(CFG, n))
+    b = np.asarray(S.lms_coeff_table_sigmas(sig))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+
+
+def test_lms_step_sigma_matches_integer_grid():
+    rng = np.random.default_rng(1)
+    x_t = jnp.asarray(rng.normal(size=(1, 4, 4, 3)).astype(np.float32))
+    eps = jnp.asarray(rng.normal(size=x_t.shape).astype(np.float32))
+    coeff = jnp.asarray(rng.normal(size=(4,)).astype(np.float32))
+    st = S.lms_init_state(x_t.shape)
+    ac = np.asarray(SCHED.alphas_cumprod, np.float64)
+    t, t_prev = 501, 481
+    s_t = np.sqrt((1 - ac[t]) / ac[t])
+    s_p = np.sqrt((1 - ac[t_prev]) / ac[t_prev])
+    st_a, a = S.lms_step(SCHED, st, eps, jnp.asarray(t), jnp.asarray(t_prev),
+                         x_t, coeff)
+    st_b, b = S.lms_step_sigma(st, eps, jnp.asarray(s_t, jnp.float32),
+                               jnp.asarray(s_p, jnp.float32), x_t, coeff)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(st_a.ders), np.asarray(st_b.ders))
+
+
+def test_dpm_step_sigma_matches_integer_grid():
+    """Non-terminal steps agree with dpm_step on the grid's own sigmas
+    (the terminal step deliberately differs: karras ends at σ=0 ⇒ ā=1,
+    the integer grid at final_alpha_cumprod = ā_0)."""
+    rng = np.random.default_rng(2)
+    x_t = jnp.asarray(rng.normal(size=(1, 4, 4, 3)).astype(np.float32))
+    eps = jnp.asarray(rng.normal(size=x_t.shape).astype(np.float32))
+    ac = np.asarray(SCHED.alphas_cumprod, np.float64)
+    st_a = st_b = S.dpm_init_state(x_t.shape)
+    for t, t_prev in [(981, 941), (941, 901)]:
+        s_t = np.sqrt((1 - ac[t]) / ac[t])
+        s_p = np.sqrt((1 - ac[t_prev]) / ac[t_prev])
+        st_a, a = S.dpm_step(SCHED, CFG, st_a, eps, jnp.asarray(t),
+                             jnp.asarray(t_prev), x_t)
+        st_b, b = S.dpm_step_sigma(st_b, eps, jnp.asarray(s_t, jnp.float32),
+                                   jnp.asarray(s_p, jnp.float32), x_t)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
+                                   atol=2e-5)
+        x_t = a
+
+
+def test_dpm_step_sigma_terminal_returns_x0():
+    """σ_prev = 0 returns the x0 prediction exactly (first-order step)."""
+    rng = np.random.default_rng(3)
+    x0 = rng.normal(size=(1, 4, 4, 3)).astype(np.float32)
+    eps = rng.normal(size=x0.shape).astype(np.float32)
+    ac = np.asarray(SCHED.alphas_cumprod, np.float64)
+    t = 41
+    s_t = np.sqrt((1 - ac[t]) / ac[t])
+    x_t = np.sqrt(ac[t]) * x0 + np.sqrt(1 - ac[t]) * eps
+    st = S.dpm_init_state(x0.shape)
+    _, out = S.dpm_step_sigma(st, jnp.asarray(eps),
+                              jnp.asarray(s_t, jnp.float32),
+                              jnp.asarray(0.0, jnp.float32),
+                              jnp.asarray(x_t.astype(np.float32)))
+    np.testing.assert_allclose(np.asarray(out), x0, rtol=1e-4, atol=1e-4)
+
+
+def test_sigma_to_eps_x0_matches_to_eps_x0_on_grid():
+    rng = np.random.default_rng(4)
+    x_t = jnp.asarray(rng.normal(size=(1, 4, 4, 3)).astype(np.float32))
+    mo = jnp.asarray(rng.normal(size=x_t.shape).astype(np.float32))
+    ac = np.asarray(SCHED.alphas_cumprod, np.float64)
+    t = 321
+    s_t = jnp.asarray(np.sqrt((1 - ac[t]) / ac[t]), jnp.float32)
+    for pt in ("epsilon", "v_prediction"):
+        e_a, x_a = S.to_eps_x0(SCHED, mo, jnp.asarray(t), x_t, pt)
+        e_b, x_b = S.sigma_to_eps_x0(mo, s_t, x_t, pt)
+        np.testing.assert_allclose(np.asarray(e_a), np.asarray(e_b),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(x_a), np.asarray(x_b),
+                                   rtol=2e-5, atol=2e-5)
