@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from sdbc_tpu.models import clip as clip_mod
+from sdbc_tpu.models import controlnet as controlnet_mod
 from sdbc_tpu.models import unet as unet_mod
 from sdbc_tpu.models import vae as vae_mod
 from sdbc_tpu.diffusion import schedulers as sched_mod
@@ -35,11 +36,30 @@ class PipelineConfig:
     vae: vae_mod.VAEConfig
     schedule: sched_mod.ScheduleConfig
     scheduler: str = "ddim"  # "ddim" | "pndm" | "ddpm" | "dpm" | "euler_a" | "lms"
+    # optional spatially-conditioned control branch (models/controlnet.py);
+    # set when serving with a ControlNet — params then carry a "controlnet"
+    # subtree alongside text_encoder/unet/vae
+    controlnet: Optional[controlnet_mod.ControlNetConfig] = None
 
     @property
     def vae_scale(self) -> int:
         """Spatial down-factor of the VAE (8 for SD-1.x)."""
         return 2 ** (len(self.vae.block_out_channels) - 1)
+
+    def with_controlnet(self) -> "PipelineConfig":
+        """This config + the matching ControlNet branch config.
+
+        The conditioning embedder's stride-2 count must equal the VAE's
+        downscale factor; SD-1.5/2.x (f8) get the diffusers-parity
+        (16, 32, 96, 256) ramp, other scales a truncated ramp.
+        """
+        import math
+
+        n = int(math.log2(self.vae_scale)) + 1
+        ramp = (16, 32, 96, 256) if n >= 4 else (8, 16, 96, 256)[:n]
+        cn = controlnet_mod.ControlNetConfig(unet=self.unet,
+                                             conditioning_channels=ramp)
+        return dataclasses.replace(self, controlnet=cn)
 
     @staticmethod
     def sd15(scheduler: str = "ddim") -> "PipelineConfig":
@@ -93,7 +113,8 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
            init_image=None, t_start: int = 0, mask=None,
            pack_heads: Optional[bool] = None,
            guidance_rescale: float = 0.0, clip_skip: int = 0,
-           use_karras_sigmas: bool = False):
+           use_karras_sigmas: bool = False,
+           control_image=None, controlnet_scale=1.0):
     """Run the full CFG sampling graph.
 
     params: {"text_encoder", "unet", "vae"} param trees (fp32 masters; cast here)
@@ -131,6 +152,12 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
       Karras et al. 2022 ρ=7 sigma ramp between the same σ endpoints
       (markedly better low-step quality); euler_a / lms / dpm only.  The
       UNet is conditioned on each σ's continuous interpolated timestep.
+    control_image: (B, H, W, 3) float conditioning image in [0, 1] (edges,
+      depth, ...) routed through params["controlnet"] (models/controlnet.py);
+      per-skip residuals are injected into the UNet every step.  The
+      conditioning embedder output is hoisted out of the denoise loop (it
+      depends only on the image).  ``controlnet_scale`` multiplies the
+      residuals (traced: changing it does not recompile).
     Returns (B, H, W, 3) float images in [0, 1] (or raw latents if decode=False).
     """
     if cache_interval and cache_interval > 1 and cfg.scheduler not in (
@@ -151,6 +178,15 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
                          "are defined on the integer training grid")
     if not 0 <= t_start <= num_inference_steps:
         raise ValueError(f"t_start={t_start} outside [0, {num_inference_steps}]")
+    if control_image is not None:
+        if "controlnet" not in params or cfg.controlnet is None:
+            raise ValueError("control_image needs params['controlnet'] and "
+                             "cfg.controlnet (PipelineConfig.with_controlnet)")
+        if cache_interval and cache_interval > 1:
+            raise ValueError("control_image cannot combine with "
+                             "cache_interval — the ControlNet residuals land "
+                             "inside the cached trunk (a reused trunk would "
+                             "silently freeze the conditioning)")
     sched = sched_mod.make_schedule(cfg.schedule)
     dt = compute_dtype
 
@@ -240,11 +276,34 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
                    + (1.0 - guidance_rescale) * out)
         return out
 
+    if control_image is not None:
+        # hoisted: the conditioning embedding depends only on the control
+        # image, never on the latent or step — one strided conv stack per
+        # call instead of one per step (the diffusers ControlNetModel
+        # recomputes it every step)
+        _cn = params["controlnet"]
+        _ci2 = jnp.concatenate([control_image, control_image],
+                               axis=0).astype(dt)
+        _cond_emb2 = controlnet_mod.embed_cond(_cn, _ci2, cfg.controlnet)
+        _cscale = jnp.asarray(controlnet_scale, jnp.float32)
+
+    def _control_residuals(lat2, t):
+        if control_image is None:
+            return None
+        # float timesteps: the karras grids condition on continuous t (the
+        # ControlNet runs its own time MLP — the sinusoidal embedding
+        # accepts floats)
+        ctb = jnp.full((lat2.shape[0],), t, jnp.float32)
+        return controlnet_mod.apply(
+            _cn, lat2, ctb, context, _cond_emb2, cfg.controlnet,
+            conditioning_scale=_cscale, attn_impl=attn_impl)
+
     def model_out_fn(lat, t, tp=None):
         lat2 = jnp.concatenate([lat, lat], axis=0)
         tb = jnp.full((lat2.shape[0],), t, jnp.int32)
         out = unet_mod.apply(uparams, lat2, tb, context, cfg.unet,
-                             attn_impl=attn_impl, temb_proj=tp)
+                             attn_impl=attn_impl, temb_proj=tp,
+                             control_residuals=_control_residuals(lat2, t))
         out_u, out_c = jnp.split(out.astype(jnp.float32), 2, axis=0)
         return cfg_combine(out_u, out_c)
 
@@ -782,7 +841,8 @@ class SDPipeline:
                  num_images_per_prompt: int = 1, init_image=None,
                  strength: float = 0.8, mask_image=None,
                  guidance_rescale: float = 0.0, clip_skip: int = 0,
-                 use_karras_sigmas: bool = False):
+                 use_karras_sigmas: bool = False, control_image=None,
+                 controlnet_scale: float = 1.0):
         """``negative_prompt``: str or per-prompt list encoded as the CFG
         unconditional branch instead of "" (the diffusers-0.7.2
         StableDiffusionPipeline parameter the reference's engine exposes);
@@ -797,7 +857,13 @@ class SDPipeline:
         (white = regenerate, see preprocess_mask) additionally inpaints:
         the kept region is re-blended from the init image every step.
         With ``init_image``, explicit ``latents`` are the ADDED NOISE
-        (latent-shaped), not the starting latent."""
+        (latent-shaped), not the starting latent.
+
+        ``control_image`` (PIL or array in [0, 1], full image resolution)
+        activates the ControlNet branch — the pipeline must have been built
+        with ``cfg.with_controlnet()`` and params["controlnet"]
+        (models/controlnet.py).  ``controlnet_scale`` multiplies the
+        injected residuals without recompiling."""
         if isinstance(prompts, str):
             prompts = [prompts]
         if mask_image is not None and init_image is None:
@@ -807,6 +873,11 @@ class SDPipeline:
                 "img2img/inpaint under spatial serving is not wired up "
                 "(the init-image encode would need row sharding too); "
                 "drop spatial=True or use batch sharding")
+        if control_image is not None and self.spatial:
+            raise NotImplementedError(
+                "ControlNet under spatial serving is not wired up (the "
+                "control embedding would need row sharding too); drop "
+                "spatial=True or use batch sharding")
         b = len(prompts)
         if negative_prompt is None:
             negative_prompt = [""] * b
@@ -898,6 +969,19 @@ class SDPipeline:
                     pad = np.ones((len(prompts) - mask_arr.shape[0],)
                                   + mask_arr.shape[1:], np.float32)
                     mask_arr = np.concatenate([mask_arr, pad], axis=0)
+        ctrl_arr = None
+        if control_image is not None:
+            ctrl_arr = preprocess_image(control_image, height, width)
+            if ctrl_arr.shape[0] == 1 and b > 1:
+                ctrl_arr = np.tile(ctrl_arr, (b, 1, 1, 1))
+            if ctrl_arr.shape[0] != b:
+                raise ValueError(f"{ctrl_arr.shape[0]} control images for "
+                                 f"{b} requested images (pass 1, or one "
+                                 "per image)")
+            if ctrl_arr.shape[0] < len(prompts):  # pad to the bucket
+                pad = np.zeros((len(prompts) - ctrl_arr.shape[0],)
+                               + ctrl_arr.shape[1:], np.float32)
+                ctrl_arr = np.concatenate([ctrl_arr, pad], axis=0)
         if self.mesh is not None:
             from sdbc_tpu.parallel.mesh import (data_sharding, replicate,
                                                 spatial_sharding)
@@ -924,6 +1008,8 @@ class SDPipeline:
                     img_arr = put(img_arr)
                 if mask_arr is not None:
                     mask_arr = put(mask_arr)
+                if ctrl_arr is not None:
+                    ctrl_arr = put(ctrl_arr)
         imgs = sample(self.params, cond, uncond, latents, sampler_key,
                       guidance_scale, cfg=self.cfg,
                       num_inference_steps=num_inference_steps,
@@ -934,7 +1020,9 @@ class SDPipeline:
                       init_image=img_arr, t_start=t_start, mask=mask_arr,
                       guidance_rescale=float(guidance_rescale),
                       clip_skip=int(clip_skip),
-                      use_karras_sigmas=bool(use_karras_sigmas))
+                      use_karras_sigmas=bool(use_karras_sigmas),
+                      control_image=ctrl_arr,
+                      controlnet_scale=controlnet_scale)
         return np.asarray(imgs)[:b]
 
     def img2img(self, prompts, image, *, strength: float = 0.8, **kw):

@@ -459,7 +459,8 @@ def index_temb(temb_proj, i):
 def apply(params, latents, timesteps, encoder_hidden_states, cfg: UNetConfig,
           *, remat: bool = False, remat_mode: str = "block",
           cached_deep=None, return_deep: bool = False,
-          cache_tail: int = 0, attn_impl: str = "auto", temb_proj=None):
+          cache_tail: int = 0, attn_impl: str = "auto", temb_proj=None,
+          control_residuals=None):
     """latents (N,h,w,4), timesteps (N,), CLIP states (N,77,768) → eps (N,h,w,4).
 
     remat=True rematerialises every ResBlock/transformer in the backward pass
@@ -476,7 +477,25 @@ def apply(params, latents, timesteps, encoder_hidden_states, cfg: UNetConfig,
     the conservative split; 1 = aggressive: only conv_in, the final ResBlock
     and the output head run on cached steps).  The no-cache path is
     bit-identical to the plain forward for any cache_tail.
+
+    ``control_residuals``: optional ``(down_residuals, mid_residual)`` from
+    ``models.controlnet.apply``.  Each down residual is added to the saved
+    skip tensor it indexes (NOT to the flowing activation — the diffusers
+    injection points), the mid residual to the mid-block output.
+    Incompatible with deep-feature caching (the residuals land in the
+    cached trunk, so reusing it would silently freeze the conditioning).
     """
+    if control_residuals is not None and (cached_deep is not None
+                                          or return_deep):
+        raise ValueError("control_residuals cannot combine with DeepCache "
+                         "trunk caching (residuals land inside the trunk)")
+    if control_residuals is not None:
+        _want = 1 + sum(
+            len(b["resnets"]) + ("downsample" in b) for b in params["down"])
+        if len(control_residuals[0]) != _want:
+            raise ValueError(
+                f"{len(control_residuals[0])} down residuals for {_want} "
+                "skip tensors — controlnet/unet configs disagree")
     g = cfg.norm_groups
     nheads = cfg.heads_per_level
     rev_heads = tuple(reversed(nheads))
@@ -511,15 +530,27 @@ def apply(params, latents, timesteps, encoder_hidden_states, cfg: UNetConfig,
         tp_down, tp_mid, tp_up = (temb_proj["down"], temb_proj["mid"],
                                   temb_proj["up"])
 
+    # saved-skip residual injection (ControlNet): a running index over the
+    # append order, which equals the diffusers down_block_res_samples order
+    # (conv_in, per-resnet, per-downsample)
+    _ctrl_i = [0]
+
+    def add_ctrl(h):
+        if control_residuals is None:
+            return h
+        r = control_residuals[0][_ctrl_i[0]]
+        _ctrl_i[0] += 1
+        return h + r.astype(h.dtype)
+
     def run_block_down(blk, tp, h, skips, nh):
         for j, r in enumerate(blk["resnets"]):
             h = res_fn(r, h, temb, g, tp["resnets"][j])
             if blk["attns"]:
                 h = attn_fn(blk["attns"][j], h, ctx, nh, g)
-            skips.append(h)
+            skips.append(add_ctrl(h))
         if "downsample" in blk:
             h = nn.conv2d(blk["downsample"], h, stride=2, padding=1)
-            skips.append(h)
+            skips.append(add_ctrl(h))
         return h
 
     def run_block_up(blk, tp, h, skips, nh):
@@ -546,12 +577,12 @@ def apply(params, latents, timesteps, encoder_hidden_states, cfg: UNetConfig,
         if blk["attns"]:
             h = attn_fn(blk["attns"][j], h, ctx, nheads[0], g)
         if skips is not None:
-            skips.append(h)
+            skips.append(add_ctrl(h))
         return h
 
     # shallow head: conv_in + the first (ct-1) resnets of down[0]
     h = nn.conv2d(params["conv_in"], latents)
-    shallow_skips = [h]
+    shallow_skips = [add_ctrl(h)]
     for j in range(head_resnets):
         h = run_resnet_j(blk0, tp_down[0], j, h, shallow_skips)
 
@@ -561,13 +592,15 @@ def apply(params, latents, timesteps, encoder_hidden_states, cfg: UNetConfig,
             d = run_resnet_j(blk0, tp_down[0], j, d, deep_skips)
         if "downsample" in blk0:
             d = nn.conv2d(blk0["downsample"], d, stride=2, padding=1)
-            deep_skips.append(d)
+            deep_skips.append(add_ctrl(d))
         for i, (blk, tp) in enumerate(zip(params["down"][1:], tp_down[1:]),
                                       start=1):
             d = run_block_down(blk, tp, d, deep_skips, nheads[i])
         d = res_fn(params["mid"]["resnet1"], d, temb, g, tp_mid["resnet1"])
         d = attn_fn(params["mid"]["attn"], d, ctx, nheads[-1], g)
         d = res_fn(params["mid"]["resnet2"], d, temb, g, tp_mid["resnet2"])
+        if control_residuals is not None:
+            d = d + control_residuals[1].astype(d.dtype)
         for i, (blk, tp) in enumerate(zip(params["up"][:-1], tp_up[:-1])):
             d = run_block_up(blk, tp, d, deep_skips, rev_heads[i])
         # deep-owned leading resnets of the last up block

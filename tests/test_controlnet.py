@@ -1,0 +1,166 @@
+"""ControlNet tests (tiny configs): zero-init no-op, residual wiring, scale.
+
+Beyond-reference model family (the reference pins plain SD-1.5,
+finetune_sd.py:322-336); behavior is checked against the arXiv:2302.05543
+protocol — a fresh `from_unet` ControlNet must reproduce the base model
+bit-for-bit, and the conditioning must flow once trained convs are nonzero.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sdbc_tpu.data.tokenizer import CLIPTokenizer
+from sdbc_tpu.diffusion.pipeline import PipelineConfig, SDPipeline, sample
+from sdbc_tpu.models import controlnet, unet
+from sdbc_tpu.utils.prng import per_sample_fixed_latents
+
+
+@pytest.fixture(scope="module")
+def cn_cfg(tiny_cfg) -> PipelineConfig:
+    cfg = tiny_cfg.with_controlnet()
+    assert cfg.controlnet.spatial_reduction == cfg.vae_scale
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def cn_params(cn_cfg, tiny_params):
+    cn = controlnet.from_unet(tiny_params["unet"], jax.random.key(7),
+                              cn_cfg.controlnet)
+    return {**tiny_params, "controlnet": cn}
+
+
+@pytest.fixture(scope="module")
+def cn_pipe(cn_cfg, cn_params):
+    tok = CLIPTokenizer.fallback(cn_cfg.clip.vocab_size)
+    return SDPipeline(cn_params, cn_cfg, tok, compute_dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def base_pipe(tiny_cfg, tiny_params):
+    tok = CLIPTokenizer.fallback(tiny_cfg.clip.vocab_size)
+    return SDPipeline(tiny_params, tiny_cfg, tok, compute_dtype=jnp.float32)
+
+
+def _control(b=1, size=16):
+    rng = np.random.RandomState(3)
+    return rng.rand(b, size, size, 3).astype(np.float32)
+
+
+def test_embed_cond_spatial_reduction(cn_cfg, cn_params):
+    out = controlnet.embed_cond(cn_params["controlnet"],
+                                jnp.asarray(_control(2, 16)),
+                                cn_cfg.controlnet)
+    # f2 VAE: 16² control image → 8² latent grid at ch0 width
+    assert out.shape == (2, 8, 8, cn_cfg.unet.block_out_channels[0])
+    # zero-init final projection: a fresh embedder contributes nothing
+    assert np.all(np.asarray(out) == 0.0)
+
+
+def test_residual_count_and_channels(cn_cfg, cn_params, tiny_cfg):
+    ucfg = cn_cfg.unet
+    ctx = jnp.zeros((2, tiny_cfg.clip.ctx, tiny_cfg.clip.hidden), jnp.float32)
+    lat = jnp.zeros((2, 8, 8, ucfg.in_channels), jnp.float32)
+    emb = controlnet.embed_cond(cn_params["controlnet"],
+                                jnp.asarray(_control(2, 16)),
+                                cn_cfg.controlnet)
+    down, mid = controlnet.apply(cn_params["controlnet"], lat,
+                                 jnp.zeros((2,), jnp.float32), ctx, emb,
+                                 cn_cfg.controlnet)
+    chans = controlnet._skip_channels(ucfg)
+    assert len(down) == controlnet.num_skips(ucfg) == len(chans)
+    for r, c in zip(down, chans):
+        assert r.shape[-1] == c
+    assert mid.shape[-1] == ucfg.block_out_channels[-1]
+    # the residuals must be consumable by the UNet skip-injection path
+    out = unet.apply(cn_params["unet"], lat, jnp.zeros((2,), jnp.int32), ctx,
+                     ucfg, control_residuals=(down, mid))
+    assert out.shape == lat.shape
+
+
+def test_fresh_controlnet_is_exact_noop(cn_pipe, base_pipe):
+    """from_unet zero convs ⇒ injected residuals are exactly zero ⇒ the
+    controlled sample equals the plain one (the arXiv:2302.05543 training
+    start guarantee)."""
+    lat = per_sample_fixed_latents(1, (4, 8, 8), seed=11)
+    a = base_pipe(["a book"], height=16, width=16, num_inference_steps=3,
+                  latents=lat)
+    b = cn_pipe(["a book"], height=16, width=16, num_inference_steps=3,
+                latents=lat, control_image=_control())
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def _perturbed(cn_params):
+    p = jax.tree_util.tree_map(lambda x: x, cn_params)
+    cn = dict(p["controlnet"])
+    cn["zero_mid"] = {"w": cn["zero_mid"]["w"] + 0.1,
+                      "b": cn["zero_mid"]["b"] + 0.05}
+    cn["zero_down"] = [{"w": z["w"] + 0.1, "b": z["b"]}
+                       for z in cn["zero_down"]]
+    # the conditioning embedder's final projection is also zero-init; give
+    # it weight so the control IMAGE (not just the latent) reaches the UNet
+    ce = dict(cn["cond_embedding"])
+    ce["conv_out"] = {"w": ce["conv_out"]["w"] + 0.1,
+                      "b": ce["conv_out"]["b"]}
+    cn["cond_embedding"] = ce
+    return {**p, "controlnet": cn}
+
+
+def test_conditioning_flows_and_scale(cn_cfg, cn_params):
+    """Nonzero output convs: the control image changes the sample; scale=0
+    recovers the base model without recompiling the zero-residual graph."""
+    tok = CLIPTokenizer.fallback(cn_cfg.clip.vocab_size)
+    pipe = SDPipeline(_perturbed(cn_params), cn_cfg, tok,
+                      compute_dtype=jnp.float32)
+    lat = per_sample_fixed_latents(1, (4, 8, 8), seed=5)
+    base = pipe(["x"], height=16, width=16, num_inference_steps=3,
+                latents=lat)
+    on = pipe(["x"], height=16, width=16, num_inference_steps=3, latents=lat,
+              control_image=_control())
+    off = pipe(["x"], height=16, width=16, num_inference_steps=3, latents=lat,
+               control_image=_control(), controlnet_scale=0.0)
+    assert not np.allclose(base, on)
+    np.testing.assert_allclose(base, off, atol=1e-6)
+    # different control image ⇒ different sample
+    other = np.clip(_control() + 0.3, 0.0, 1.0)
+    on2 = pipe(["x"], height=16, width=16, num_inference_steps=3,
+               latents=lat, control_image=other)
+    assert not np.allclose(on, on2)
+
+
+def test_control_image_tiles_over_batch(cn_pipe):
+    imgs = cn_pipe(["a", "b", "c"], height=16, width=16,
+                   num_inference_steps=2, control_image=_control())
+    assert imgs.shape == (3, 16, 16, 3)
+
+
+def test_control_without_params_rejected(base_pipe):
+    with pytest.raises(ValueError, match="controlnet"):
+        base_pipe(["x"], height=16, width=16, num_inference_steps=2,
+                  control_image=_control())
+
+
+def test_control_with_deepcache_rejected(cn_pipe):
+    with pytest.raises(ValueError, match="cache_interval"):
+        cn_pipe(["x"], height=16, width=16, num_inference_steps=4,
+                cache_interval=2, control_image=_control())
+
+
+def test_other_schedulers_accept_control(cn_cfg, cn_params):
+    tok = CLIPTokenizer.fallback(cn_cfg.clip.vocab_size)
+    for sched in ("dpm", "euler_a"):
+        cfg = dataclasses.replace(cn_cfg, scheduler=sched)
+        pipe = SDPipeline(_perturbed(cn_params), cfg,
+                          tok, compute_dtype=jnp.float32)
+        imgs = pipe(["x"], height=16, width=16, num_inference_steps=2,
+                    control_image=_control())
+        assert np.all(np.isfinite(imgs))
+
+
+def test_sd15_with_controlnet_shapes():
+    cfg = PipelineConfig.sd15().with_controlnet()
+    assert cfg.controlnet.conditioning_channels == (16, 32, 96, 256)
+    assert cfg.controlnet.spatial_reduction == 8
+    assert controlnet.num_skips(cfg.unet) == 12  # diffusers SD-1.5 parity
