@@ -68,6 +68,11 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
                         "resolved base at load; the placeholder token "
                         "registers on the tokenizer and composes into any "
                         "prompt")
+    p.add_argument("--controlnet_path", type=str, default="",
+                   help="diffusers ControlNetModel dir (or a pipeline dir "
+                        "with a controlnet/ subfolder) attached onto the "
+                        "resolved base (models/controlnet.py); activate per "
+                        "image with --control_image")
     bool_flag(p, "tiny", False, "tiny test config instead of SD-1.5")
     bool_flag(p, "bf16", True, "bfloat16 compute")
 
@@ -153,6 +158,24 @@ def resolve_params_cfg(args):
             cfg = dataclasses.replace(cfg, clip=dataclasses.replace(
                 cfg.clip, vocab_size=cfg.clip.vocab_size + len(meta["ids"])))
             print(f"merged textual inversion {tp} ({meta['token']!r})")
+        cp = getattr(args, "controlnet_path", "")
+        if cp:
+            from sdbc_tpu.models.port import load_controlnet
+
+            cn_params, cn_cfg = load_controlnet(cp)
+            # the residual shapes depend on the encoder-half layout only —
+            # out_channels (absent from ControlNet configs) is irrelevant
+            probe = dataclasses.replace(cn_cfg.unet,
+                                        out_channels=cfg.unet.out_channels)
+            if probe != cfg.unet:
+                raise SystemExit(
+                    f"--controlnet_path {cp}: its UNet layout {cn_cfg.unet} "
+                    f"does not match the base model's {cfg.unet} — the "
+                    "injected residual shapes would disagree")
+            params = {**params, "controlnet": cn_params}
+            cfg = dataclasses.replace(
+                cfg, controlnet=dataclasses.replace(cn_cfg, unet=probe))
+            print(f"attached ControlNet {cp}")
         return params, cfg
 
     if getattr(args, "wandb_artifact_run", ""):

@@ -63,6 +63,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--strength", type=float, default=0.8,
                    help="img2img strength in (0,1]: fraction of the "
                         "diffusion run re-applied to --init_image")
+    p.add_argument("--control_image", type=str, default="",
+                   help="enter_prompt mode: path to a spatial conditioning "
+                        "image (edges/depth/pose) routed through "
+                        "--controlnet_path (models/controlnet.py)")
+    p.add_argument("--controlnet_scale", type=float, default=1.0,
+                   help="multiplier on the injected ControlNet residuals")
     p.add_argument("--samples_per_prompt", type=int, default=None,
                    help="images per prompt/template (grids default 2; "
                         "enter_prompt defaults 1)")
@@ -154,7 +160,7 @@ def main(argv=None):
             raise SystemExit("--prompt is required with --mode enter_prompt")
         if args.mask_image and not args.init_image:
             raise SystemExit("--mask_image (inpainting) requires --init_image")
-        init_image = mask_image = None
+        init_image = mask_image = control_image = None
         if args.init_image:
             from PIL import Image
 
@@ -166,6 +172,16 @@ def main(argv=None):
                     raise SystemExit(
                         f"--mask_image {args.mask_image} not found")
                 mask_image = Image.open(args.mask_image)
+        if args.control_image:
+            from PIL import Image
+
+            if not args.controlnet_path:
+                raise SystemExit("--control_image needs --controlnet_path "
+                                 "(the ControlNet to route it through)")
+            if not os.path.exists(args.control_image):
+                raise SystemExit(
+                    f"--control_image {args.control_image} not found")
+            control_image = Image.open(args.control_image)
         imgs = pipe([args.prompt], height=args.img_size, width=args.img_size,
                     num_inference_steps=args.num_inference_steps,
                     guidance_scale=args.guidance_scale, seed=args.seed,
@@ -177,7 +193,9 @@ def main(argv=None):
                     mask_image=mask_image,
                     guidance_rescale=args.guidance_rescale,
                     clip_skip=args.clip_skip,
-                    use_karras_sigmas=args.karras_sigmas)
+                    use_karras_sigmas=args.karras_sigmas,
+                    control_image=control_image,
+                    controlnet_scale=args.controlnet_scale)
         pils = pipe.numpy_to_pil(imgs)
         # prompt text becomes a filename: strip path separators ('/' would
         # point into a nonexistent subdir and lose the generated image)

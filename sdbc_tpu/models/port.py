@@ -164,6 +164,119 @@ def port_unet(sd: Dict[str, np.ndarray]) -> dict:
     return p
 
 
+def port_controlnet(sd: Dict[str, np.ndarray]) -> dict:
+    """diffusers ControlNetModel state dict → models/controlnet.py tree.
+
+    The encoder half (conv_in/time_embedding/down_blocks/mid_block) uses the
+    UNet naming verbatim; the control-specific parts are
+    ``controlnet_cond_embedding.{conv_in,blocks.N,conv_out}`` and the
+    ``controlnet_down_blocks.N`` / ``controlnet_mid_block`` zero convs.
+    """
+    p = {
+        "conv_in": _conv(sd, "conv_in"),
+        "time_mlp": {
+            "fc1": _linear(sd, "time_embedding.linear_1"),
+            "fc2": _linear(sd, "time_embedding.linear_2"),
+        },
+    }
+
+    p["down"] = []
+    i = 0
+    while f"down_blocks.{i}.resnets.0.norm1.weight" in sd:
+        prefix = f"down_blocks.{i}"
+        blk = {"resnets": [], "attns": []}
+        j = 0
+        while f"{prefix}.resnets.{j}.norm1.weight" in sd:
+            blk["resnets"].append(_port_resnet(sd, f"{prefix}.resnets.{j}"))
+            if f"{prefix}.attentions.{j}.proj_in.weight" in sd:
+                blk["attns"].append(
+                    _port_transformer(sd, f"{prefix}.attentions.{j}"))
+            j += 1
+        if f"{prefix}.downsamplers.0.conv.weight" in sd:
+            blk["downsample"] = _conv(sd, f"{prefix}.downsamplers.0.conv")
+        p["down"].append(blk)
+        i += 1
+    p["mid"] = {
+        "resnet1": _port_resnet(sd, "mid_block.resnets.0"),
+        "attn": _port_transformer(sd, "mid_block.attentions.0"),
+        "resnet2": _port_resnet(sd, "mid_block.resnets.1"),
+    }
+
+    ce = {"conv_in": _conv(sd, "controlnet_cond_embedding.conv_in"),
+          "blocks": []}
+    j = 0
+    while f"controlnet_cond_embedding.blocks.{j}.weight" in sd:
+        ce["blocks"].append(_conv(sd, f"controlnet_cond_embedding.blocks.{j}"))
+        j += 1
+    ce["conv_out"] = _conv(sd, "controlnet_cond_embedding.conv_out")
+    p["cond_embedding"] = ce
+
+    p["zero_down"] = []
+    j = 0
+    while f"controlnet_down_blocks.{j}.weight" in sd:
+        p["zero_down"].append(_conv(sd, f"controlnet_down_blocks.{j}"))
+        j += 1
+    p["zero_mid"] = _conv(sd, "controlnet_mid_block")
+    return p
+
+
+def controlnet_config_from_diffusers(cfg: dict, unet_cfg=None):
+    """diffusers ControlNetModel config.json → ControlNetConfig.
+
+    The ControlNet config carries the UNet-encoder fields directly (it has
+    no up blocks, so the mirror check of ``unet_config_from_diffusers``
+    does not apply); pass ``unet_cfg`` to override with the base model's
+    config instead (they must agree for the residual shapes to line up).
+    """
+    from sdbc_tpu.models.controlnet import ControlNetConfig
+    from sdbc_tpu.models.unet import UNetConfig
+
+    if unet_cfg is None:
+        down = cfg.get("down_block_types",
+                       ["CrossAttnDownBlock2D"] * 3 + ["DownBlock2D"])
+        for t in down:
+            if t not in ("CrossAttnDownBlock2D", "DownBlock2D"):
+                raise ValueError(f"unsupported ControlNet block type {t!r}")
+        heads = cfg.get("attention_head_dim", 8)
+        if isinstance(heads, (list, tuple)):
+            heads = tuple(heads) if len(set(heads)) > 1 else heads[0]
+        unet_cfg = UNetConfig(
+            in_channels=cfg.get("in_channels", 4),
+            block_out_channels=tuple(cfg.get("block_out_channels",
+                                             (320, 640, 1280, 1280))),
+            layers_per_block=cfg.get("layers_per_block", 2),
+            cross_attention_dim=cfg.get("cross_attention_dim", 768),
+            attention_heads=heads,
+            norm_groups=cfg.get("norm_num_groups", 32),
+            cross_attn_blocks=tuple(t == "CrossAttnDownBlock2D"
+                                    for t in down),
+        )
+    order = cfg.get("controlnet_conditioning_channel_order", "rgb")
+    if order != "rgb":
+        raise ValueError(f"conditioning channel order {order!r} unsupported "
+                         "(pre-swap the control image instead)")
+    return ControlNetConfig(
+        unet=unet_cfg,
+        conditioning_channels=tuple(
+            cfg.get("conditioning_embedding_out_channels", (16, 32, 96, 256))))
+
+
+def load_controlnet(path: str):
+    """Load a diffusers ControlNetModel dir → (params, ControlNetConfig).
+
+    ``path`` may be the model dir itself or a pipeline dir containing a
+    ``controlnet/`` subfolder (the save layout of diffusers'
+    StableDiffusionControlNetPipeline).
+    """
+    sub = os.path.join(path, "controlnet")
+    if os.path.isdir(sub):
+        path = sub
+    cfg_path = os.path.join(path, "config.json")
+    cfg_json = _read_json(cfg_path) if os.path.exists(cfg_path) else {}
+    return (port_controlnet(load_state_dict(path)),
+            controlnet_config_from_diffusers(cfg_json))
+
+
 # ---------------------------------------------------------------------------
 # VAE
 
@@ -415,13 +528,17 @@ def port_diffusers_checkpoint(root: str) -> dict:
 
 
 def _exp_conv(out, name, p):
-    out[f"{name}.weight"] = np.transpose(np.asarray(p["w"]), (3, 2, 0, 1))
+    # ascontiguousarray: safetensors serializes the raw buffer, so a
+    # np.transpose VIEW would silently write the UNtransposed bytes
+    out[f"{name}.weight"] = np.ascontiguousarray(
+        np.transpose(np.asarray(p["w"]), (3, 2, 0, 1)))
     if "b" in p:
         out[f"{name}.bias"] = np.asarray(p["b"])
 
 
 def _exp_linear(out, name, p):
-    out[f"{name}.weight"] = np.transpose(np.asarray(p["w"]), (1, 0))
+    out[f"{name}.weight"] = np.ascontiguousarray(
+        np.transpose(np.asarray(p["w"]), (1, 0)))
     if "b" in p:
         out[f"{name}.bias"] = np.asarray(p["b"])
 
@@ -484,6 +601,35 @@ def export_unet(params: dict) -> Dict[str, np.ndarray]:
     _exp_resnet(out, "mid_block.resnets.0", params["mid"]["resnet1"])
     _exp_transformer(out, "mid_block.attentions.0", params["mid"]["attn"])
     _exp_resnet(out, "mid_block.resnets.1", params["mid"]["resnet2"])
+    return out
+
+
+def export_controlnet(params: dict) -> Dict[str, np.ndarray]:
+    """models/controlnet.py tree → diffusers-ControlNetModel-named state dict
+    (inverse of ``port_controlnet``; used for interop and round-trip tests)."""
+    out: Dict[str, np.ndarray] = {}
+    _exp_conv(out, "conv_in", params["conv_in"])
+    _exp_linear(out, "time_embedding.linear_1", params["time_mlp"]["fc1"])
+    _exp_linear(out, "time_embedding.linear_2", params["time_mlp"]["fc2"])
+    for i, blk in enumerate(params["down"]):
+        prefix = f"down_blocks.{i}"
+        for j, r in enumerate(blk["resnets"]):
+            _exp_resnet(out, f"{prefix}.resnets.{j}", r)
+        for j, a in enumerate(blk["attns"]):
+            _exp_transformer(out, f"{prefix}.attentions.{j}", a)
+        if "downsample" in blk:
+            _exp_conv(out, f"{prefix}.downsamplers.0.conv", blk["downsample"])
+    _exp_resnet(out, "mid_block.resnets.0", params["mid"]["resnet1"])
+    _exp_transformer(out, "mid_block.attentions.0", params["mid"]["attn"])
+    _exp_resnet(out, "mid_block.resnets.1", params["mid"]["resnet2"])
+    ce = params["cond_embedding"]
+    _exp_conv(out, "controlnet_cond_embedding.conv_in", ce["conv_in"])
+    for j, c in enumerate(ce["blocks"]):
+        _exp_conv(out, f"controlnet_cond_embedding.blocks.{j}", c)
+    _exp_conv(out, "controlnet_cond_embedding.conv_out", ce["conv_out"])
+    for j, z in enumerate(params["zero_down"]):
+        _exp_conv(out, f"controlnet_down_blocks.{j}", z)
+    _exp_conv(out, "controlnet_mid_block", params["zero_mid"])
     return out
 
 

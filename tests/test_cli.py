@@ -312,3 +312,85 @@ def test_enter_prompt_img2img_and_inpaint(env, trained_ckpt, tmp_path):
     with pytest.raises(SystemExit, match="not found"):
         inf.main(base + ["--init_image", str(tmp_path / "missing.png"),
                          "--run_id", "badinit"])
+
+
+def _write_controlnet_dir(tmp_path, cn_cfg, unet_params):
+    """Materialize a diffusers-layout ControlNetModel dir for --controlnet_path."""
+    import jax
+
+    from safetensors.numpy import save_file
+
+    from sdbc_tpu.models import controlnet, port
+
+    cn = controlnet.from_unet(unet_params, jax.random.key(9), cn_cfg)
+    d = tmp_path / "cn"
+    d.mkdir()
+    save_file(port.export_controlnet(cn), str(d / "model.safetensors"))
+    u = cn_cfg.unet
+    (d / "config.json").write_text(json.dumps({
+        "in_channels": u.in_channels,
+        "block_out_channels": list(u.block_out_channels),
+        "layers_per_block": u.layers_per_block,
+        "cross_attention_dim": u.cross_attention_dim,
+        "attention_head_dim": u.attention_heads,
+        "norm_num_groups": u.norm_groups,
+        "down_block_types": ["CrossAttnDownBlock2D" if c else "DownBlock2D"
+                             for c in u.cross_attn_blocks],
+        "conditioning_embedding_out_channels":
+            list(cn_cfg.conditioning_channels),
+    }))
+    return str(d)
+
+
+def test_enter_prompt_controlnet(env, trained_ckpt, tmp_path):
+    """--controlnet_path attaches a ported diffusers ControlNet and
+    --control_image routes a conditioning image through it."""
+    from PIL import Image
+
+    import sdbc_tpu.cli.inference as inf
+    from sdbc_tpu.models.controlnet import ControlNetConfig
+    from sdbc_tpu.utils import checkpoint as ckpt_mod
+
+    params, _ = ckpt_mod.load_pipeline(trained_ckpt)
+    cn_dir = _write_controlnet_dir(tmp_path, ControlNetConfig.tiny(),
+                                   params["unet"])
+    ctrl = str(tmp_path / "edges.png")
+    Image.fromarray(
+        (np.random.RandomState(5).rand(32, 32, 3) * 255).astype(np.uint8)
+    ).save(ctrl)
+
+    base = ["--mode", "enter_prompt", "--prompt", "a controlled cover",
+            "--tiny", "--ckpt", trained_ckpt, "--img_size", "32",
+            "--num_inference_steps", "3", "--no-bf16",
+            "--save_dir", env["out"] + "/gen"]
+    inf.main(base + ["--controlnet_path", cn_dir, "--control_image", ctrl,
+                     "--controlnet_scale", "0.8", "--run_id", "cntest"])
+    outdir = os.path.join(env["out"], "gen", "cntest inference")
+    assert any(f.endswith(".png") for f in os.listdir(outdir))
+
+    with pytest.raises(SystemExit, match="needs --controlnet_path"):
+        inf.main(base + ["--control_image", ctrl, "--run_id", "badcn"])
+
+
+def test_controlnet_layout_mismatch_rejected(env, trained_ckpt, tmp_path):
+    """A ControlNet whose encoder layout disagrees with the base UNet is
+    refused at load (the residual shapes could not line up)."""
+    import dataclasses
+
+    import jax
+
+    import sdbc_tpu.cli.inference as inf
+    from sdbc_tpu.models import unet
+    from sdbc_tpu.models.controlnet import ControlNetConfig
+
+    bad_u = dataclasses.replace(unet.UNetConfig.tiny(),
+                                block_out_channels=(16, 32), norm_groups=4)
+    bad_cfg = ControlNetConfig(unet=bad_u, conditioning_channels=(8, 16))
+    cn_dir = _write_controlnet_dir(tmp_path, bad_cfg,
+                                   unet.init(jax.random.key(0), bad_u))
+    with pytest.raises(SystemExit, match="does not match"):
+        inf.main(["--mode", "enter_prompt", "--prompt", "x", "--tiny",
+                  "--ckpt", trained_ckpt, "--img_size", "32",
+                  "--num_inference_steps", "2", "--no-bf16",
+                  "--controlnet_path", cn_dir,
+                  "--save_dir", env["out"] + "/gen", "--run_id", "mismatch"])

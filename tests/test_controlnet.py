@@ -159,6 +159,71 @@ def test_other_schedulers_accept_control(cn_cfg, cn_params):
         assert np.all(np.isfinite(imgs))
 
 
+def _residuals(cn, cn_cfg, lat, ctx):
+    emb = controlnet.embed_cond(cn, jnp.asarray(_control(1, 16)),
+                                cn_cfg.controlnet)
+    return controlnet.apply(cn, lat, jnp.zeros((1,), jnp.float32), ctx, emb,
+                            cn_cfg.controlnet)
+
+
+def test_export_port_roundtrip(cn_cfg, cn_params, tiny_cfg):
+    """export_controlnet → port_controlnet reproduces the forward exactly
+    (the same interop proof used for UNet/VAE/CLIP — diffusers itself is
+    not installed in this image)."""
+    from sdbc_tpu.models import port
+
+    cn = _perturbed(cn_params)["controlnet"]
+    back = port.port_controlnet(port.export_controlnet(cn))
+    lat = jax.random.normal(jax.random.key(0),
+                            (1, 8, 8, cn_cfg.unet.in_channels))
+    ctx = jax.random.normal(jax.random.key(1),
+                            (1, tiny_cfg.clip.ctx, tiny_cfg.clip.hidden))
+    d1, m1 = _residuals(cn, cn_cfg, lat, ctx)
+    d2, m2 = _residuals(back, cn_cfg, lat, ctx)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-6)
+    for a, b in zip(d1, d2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_load_controlnet_dir(cn_cfg, cn_params, tiny_cfg, tmp_path):
+    """A diffusers-layout ControlNet dir (config.json + safetensors) loads
+    into the same params and an equal config."""
+    import json
+
+    from safetensors.numpy import save_file
+
+    from sdbc_tpu.models import port
+
+    cn = _perturbed(cn_params)["controlnet"]
+    u = cn_cfg.unet
+    d = tmp_path / "controlnet"
+    d.mkdir()
+    save_file(port.export_controlnet(cn), str(d / "model.safetensors"))
+    (d / "config.json").write_text(json.dumps({
+        "in_channels": u.in_channels,
+        "block_out_channels": list(u.block_out_channels),
+        "layers_per_block": u.layers_per_block,
+        "cross_attention_dim": u.cross_attention_dim,
+        "attention_head_dim": u.attention_heads,
+        "norm_num_groups": u.norm_groups,
+        "down_block_types": ["CrossAttnDownBlock2D" if c else "DownBlock2D"
+                             for c in u.cross_attn_blocks],
+        "conditioning_embedding_out_channels":
+            list(cn_cfg.controlnet.conditioning_channels),
+    }))
+    params, cfg = port.load_controlnet(str(tmp_path))  # finds the subfolder
+    assert cfg == cn_cfg.controlnet
+    lat = jax.random.normal(jax.random.key(3),
+                            (1, 8, 8, u.in_channels))
+    ctx = jax.random.normal(jax.random.key(4),
+                            (1, tiny_cfg.clip.ctx, tiny_cfg.clip.hidden))
+    d1, m1 = _residuals(cn, cn_cfg, lat, ctx)
+    d2, m2 = _residuals(params, cn_cfg, lat, ctx)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-6)
+    for a, b in zip(d1, d2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_sd15_with_controlnet_shapes():
     cfg = PipelineConfig.sd15().with_controlnet()
     assert cfg.controlnet.conditioning_channels == (16, 32, 96, 256)
