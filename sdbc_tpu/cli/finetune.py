@@ -50,6 +50,19 @@ def build_parser() -> argparse.ArgumentParser:
                      "opt-in scale_lr branch, finetune_sd.py:367-371)")
     common.bool_flag(p, "train_unet", False)
     common.bool_flag(p, "train_text_encoder", True)
+    common.bool_flag(p, "train_controlnet", False,
+                     "train ONLY a ControlNet branch with the whole base "
+                     "model frozen (arXiv:2302.05543; models/controlnet.py). "
+                     "Starts from --controlnet_path if given, else clones "
+                     "the base UNet's encoder (zero convs = exact no-op). "
+                     "The conditioning hint derives in-graph from each "
+                     "training image (--control_hint)")
+    p.add_argument("--control_hint", type=str, default="edges",
+                   choices=["edges", "image"],
+                   help="ControlNet training hint derivation: 'edges' = "
+                        "Sobel magnitude of the target image (canny-like); "
+                        "'image' = the target image itself (reconstruction "
+                        "conditioning)")
     p.add_argument("--lora_rank", type=int, default=0,
                    help="> 0 trains LoRA adapters of this rank on the "
                         "attention projections of the selected components "
@@ -140,6 +153,28 @@ def main(argv=None):
                          "fp32 moments)")
     use_lora = args.lora_rank > 0
     use_ti = bool(args.ti_token)
+    use_cn = args.train_controlnet
+    if use_cn:
+        if use_lora or use_ti:
+            raise SystemExit("--train_controlnet is a full-branch mode; it "
+                             "cannot combine with --lora_rank/--ti_token")
+        if args.tp > 1 or args.fsdp:
+            raise SystemExit("--train_controlnet with --tp/--fsdp is not "
+                             "wired up (the spec walkers don't cover the "
+                             "branch tree) — use plain data parallelism")
+        if args.cache_latents:
+            raise SystemExit("--train_controlnet derives its conditioning "
+                             "hint from the pixel batch — incompatible with "
+                             "--cache_latents")
+        if args.train_unet:
+            raise SystemExit("--train_controlnet freezes the whole base "
+                             "model (the arXiv:2302.05543 protocol) — drop "
+                             "--train_unet")
+        if args.train_text_encoder:
+            # default-True reference flag: the ControlNet protocol freezes it
+            print("--train_controlnet: freezing the text encoder "
+                  "(the base model stays untouched)")
+            args.train_text_encoder = False
     if use_ti and use_lora:
         raise SystemExit("--ti_token and --lora_rank are mutually "
                          "exclusive: pick one parameter-efficient mode")
@@ -203,6 +238,18 @@ def main(argv=None):
         resume_meta = ckpt_mod.load_metadata(resume_path)
     else:
         params, cfg = common.resolve_params_cfg(args)
+    if use_cn and "controlnet" not in params:
+        # fresh branch: clone the base UNet's encoder half (zero output
+        # convs ⇒ step 0 reproduces the base model bit-for-bit)
+        from sdbc_tpu.models import controlnet as cn_mod
+
+        if cfg.controlnet is None:
+            cfg = cfg.with_controlnet()
+        params["controlnet"] = cn_mod.from_unet(
+            params["unet"],
+            jax.random.fold_in(jax.random.key(args.seed), 0xC0),
+            cfg.controlnet)
+        print("fresh ControlNet cloned from the base UNet encoder")
     tok = common.make_tokenizer(args, cfg.clip.vocab_size)
     ti_ids, ti_init_ids = None, None
     if use_ti:
@@ -262,7 +309,8 @@ def main(argv=None):
         lora_rank=args.lora_rank, lora_alpha=args.lora_alpha,
         ti_token=args.ti_token, ti_vectors=args.ti_vectors,
         ema_decay=args.ema_decay, min_snr_gamma=args.min_snr_gamma,
-        noise_offset=args.noise_offset)
+        noise_offset=args.noise_offset,
+        train_controlnet=use_cn, control_hint=args.control_hint)
 
     state = init_train_state(
         params, tcfg, dp_size=dp, compute_dtype=dt,

@@ -175,9 +175,10 @@ def main(argv=None):
         if args.control_image:
             from PIL import Image
 
-            if not args.controlnet_path:
-                raise SystemExit("--control_image needs --controlnet_path "
-                                 "(the ControlNet to route it through)")
+            if cfg.controlnet is None:
+                raise SystemExit("--control_image needs a ControlNet: pass "
+                                 "--controlnet_path or a --ckpt from a "
+                                 "--train_controlnet run")
             if not os.path.exists(args.control_image):
                 raise SystemExit(
                     f"--control_image {args.control_image} not found")

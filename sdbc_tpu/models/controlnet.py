@@ -157,6 +157,41 @@ def embed_cond(params, control_image, cfg: ControlNetConfig):
     return nn.conv2d(ce["conv_out"], x)
 
 
+def edge_hint(pixels):
+    """In-graph Sobel-edge conditioning hint: (N,H,W,3) in [-1,1] → [0,1].
+
+    The standard ControlNet recipe derives the training hint from the
+    target image with an offline edge detector (canny in
+    arXiv:2302.05543 §5); on TPU a fixed-weight Sobel magnitude is the
+    graph-native equivalent — two 3x3 convs that XLA fuses into the step,
+    so the input pipeline ships no extra per-example data.  Per-image
+    max-normalised, replicated to 3 channels (the conditioning-image
+    convention of ``embed_cond``).
+    """
+    gray = jnp.mean(pixels.astype(jnp.float32), axis=-1, keepdims=True)
+    gray = gray * 0.5 + 0.5
+    kx = jnp.array([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]],
+                   jnp.float32).reshape(3, 3, 1, 1)
+    ky = jnp.transpose(kx, (1, 0, 2, 3))
+    conv = lambda k: jax.lax.conv_general_dilated(
+        gray, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    mag = jnp.sqrt(conv(kx) ** 2 + conv(ky) ** 2)
+    peak = jnp.max(mag, axis=(1, 2, 3), keepdims=True)
+    mag = mag / jnp.maximum(peak, 1e-6)
+    return jnp.broadcast_to(mag, mag.shape[:-1] + (3,))
+
+
+def training_hint(pixels, kind: str):
+    """Hint derivation for ControlNet training (see TrainConfig.control_hint):
+    'edges' = Sobel magnitude; 'image' = the target image itself in [0, 1]
+    (a recolorize/reconstruct conditioning, also the cheap test mode)."""
+    if kind == "edges":
+        return edge_hint(pixels)
+    if kind == "image":
+        return pixels.astype(jnp.float32) * 0.5 + 0.5
+    raise ValueError(f"unknown control hint {kind!r} (edges | image)")
+
+
 def precompute_temb(params, timesteps, cfg: ControlNetConfig,
                     dtype=jnp.bfloat16):
     """unet.precompute_temb for the encoder-half tree (down + mid only)."""

@@ -92,6 +92,13 @@ class TrainConfig:
     # step with the warmup-ramped decay min(ema_decay, (1+t)/(10+t)), and
     # checkpoints/eval serve the EMA weights (utils/checkpoint.py `ema`).
     ema_decay: float = 0.0
+    # ControlNet (models/controlnet.py, arXiv:2302.05543): train ONLY the
+    # control branch with the whole base model frozen (the paper's
+    # protocol).  The conditioning hint is derived in-graph from the pixel
+    # batch per `control_hint` (controlnet.training_hint) — no extra
+    # dataset columns.  Requires params["controlnet"] + cfg.controlnet.
+    train_controlnet: bool = False
+    control_hint: str = "edges"        # "edges" (Sobel) | "image" (identity)
     # NOTE: no `seed` field — all training RNG comes from the explicit
     # `key` argument to the step function (utils/prng.py discipline); a
     # config seed here would look authoritative while doing nothing
@@ -101,6 +108,9 @@ class TrainConfig:
         return self.lora_alpha / self.lora_rank
 
     def trainable_keys(self):
+        if self.train_controlnet:
+            # the paper's protocol: every base component stays frozen
+            return ("controlnet",)
         keys = []
         if self.train_unet:
             keys.append("unet")
@@ -123,6 +133,20 @@ class TrainState(NamedTuple):
 def _split_params(params, tcfg: TrainConfig, compute_dtype=jnp.bfloat16,
                   key=None, ti_init_ids=None):
     tkeys = tcfg.trainable_keys()
+    if tcfg.train_controlnet:
+        if tcfg.lora_rank > 0 or tcfg.ti_token:
+            raise ValueError("train_controlnet is a full-branch mode; it "
+                             "cannot combine with lora_rank/ti_token")
+        if tcfg.train_unet or tcfg.train_text_encoder:
+            raise ValueError(
+                "train_controlnet freezes the whole base model (the "
+                "arXiv:2302.05543 protocol) — unset train_unet/"
+                "train_text_encoder rather than having them silently ignored")
+        if "controlnet" not in params:
+            raise ValueError(
+                "train_controlnet needs params['controlnet'] — attach one "
+                "with models.controlnet.from_unet(params['unet'], ...) or "
+                "port a checkpoint (models/port.load_controlnet)")
     if tcfg.ti_token:
         # textual inversion: everything freezes; the trainable tree is the
         # appended embedding rows, concatenated inside the loss (merge)
@@ -296,9 +320,27 @@ def diffusion_loss(trainable, frozen, batch, key, cfg: PipelineConfig,
 
     ctx = clip_mod.apply(params["text_encoder"], ids, cfg.clip,
                          compute_dtype=dt)
+    control_residuals = None
+    if tcfg.train_controlnet:
+        from sdbc_tpu.models import controlnet as cn_mod
+
+        if cfg.controlnet is None:
+            raise ValueError("train_controlnet needs cfg.controlnet "
+                             "(PipelineConfig.with_controlnet)")
+        if "pixel_values" not in batch:
+            raise ValueError("train_controlnet derives its conditioning "
+                             "hint from the pixel batch — incompatible "
+                             "with cached latents")
+        hint = cn_mod.training_hint(batch["pixel_values"], tcfg.control_hint)
+        cond_emb = cn_mod.embed_cond(params["controlnet"], hint.astype(dt),
+                                     cfg.controlnet)
+        control_residuals = cn_mod.apply(
+            params["controlnet"], noisy, t, ctx, cond_emb, cfg.controlnet,
+            remat=tcfg.grad_ckpt, attn_impl=attn_impl)
     pred = unet_mod.apply(params["unet"], noisy, t, ctx, cfg.unet,
                           remat=tcfg.grad_ckpt, remat_mode=tcfg.remat_mode,
-                          attn_impl=attn_impl)
+                          attn_impl=attn_impl,
+                          control_residuals=control_residuals)
     if cfg.schedule.prediction_type == "v_prediction":
         target = sched_mod.velocity_target(sched, latents, noise, t)
     else:  # epsilon (the reference's objective, finetune_sd.py:483)

@@ -31,7 +31,9 @@ from sdbc_tpu.models.clip import CLIPTextConfig
 from sdbc_tpu.models.unet import UNetConfig
 from sdbc_tpu.models.vae import VAEConfig
 
-COMPONENTS = ("text_encoder", "unet", "vae")
+# "controlnet" is optional — present only on ControlNet-training runs
+# (models/controlnet.py); both save and load skip absent components
+COMPONENTS = ("text_encoder", "unet", "vae", "controlnet")
 
 
 def _ckpt():
@@ -197,25 +199,42 @@ def load_metadata(path: str) -> dict:
 
 
 def config_to_json(cfg: PipelineConfig) -> dict:
-    return {
+    out = {
         "clip": dataclasses.asdict(cfg.clip),
         "unet": dataclasses.asdict(cfg.unet),
         "vae": dataclasses.asdict(cfg.vae),
         "schedule": dataclasses.asdict(cfg.schedule),
         "scheduler": cfg.scheduler,
     }
+    if cfg.controlnet is not None:
+        out["controlnet"] = {
+            "conditioning_channels":
+                list(cfg.controlnet.conditioning_channels)}
+    return out
 
 
 def config_from_json(d: dict) -> PipelineConfig:
     def tup(x):
         return tuple(x) if isinstance(x, list) else x
 
+    unet_cfg = UNetConfig(**{k: tup(v) for k, v in d["unet"].items()})
+    controlnet = None
+    if "controlnet" in d:
+        from sdbc_tpu.models.controlnet import ControlNetConfig
+
+        # the branch's encoder layout IS the base UNet's (the residual
+        # shape contract) — only the embedder ramp is stored separately
+        controlnet = ControlNetConfig(
+            unet=unet_cfg,
+            conditioning_channels=tup(d["controlnet"]
+                                      ["conditioning_channels"]))
     return PipelineConfig(
         clip=CLIPTextConfig(**d["clip"]),
-        unet=UNetConfig(**{k: tup(v) for k, v in d["unet"].items()}),
+        unet=unet_cfg,
         vae=VAEConfig(**{k: tup(v) for k, v in d["vae"].items()}),
         schedule=ScheduleConfig(**d["schedule"]),
         scheduler=d.get("scheduler", "ddim"),
+        controlnet=controlnet,
     )
 
 

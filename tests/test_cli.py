@@ -368,7 +368,7 @@ def test_enter_prompt_controlnet(env, trained_ckpt, tmp_path):
     outdir = os.path.join(env["out"], "gen", "cntest inference")
     assert any(f.endswith(".png") for f in os.listdir(outdir))
 
-    with pytest.raises(SystemExit, match="needs --controlnet_path"):
+    with pytest.raises(SystemExit, match="needs a ControlNet"):
         inf.main(base + ["--control_image", ctrl, "--run_id", "badcn"])
 
 
@@ -394,3 +394,54 @@ def test_controlnet_layout_mismatch_rejected(env, trained_ckpt, tmp_path):
                   "--num_inference_steps", "2", "--no-bf16",
                   "--controlnet_path", cn_dir,
                   "--save_dir", env["out"] + "/gen", "--run_id", "mismatch"])
+
+
+def test_finetune_controlnet_then_serve(env, tmp_path):
+    """--train_controlnet end-to-end: the run clones a branch from the base
+    UNet, trains only it, checkpoints it as a component, and the checkpoint
+    serves --control_image directly (no --controlnet_path needed)."""
+    from PIL import Image
+
+    import sdbc_tpu.cli.finetune as ft
+    import sdbc_tpu.cli.inference as inf
+
+    ft.main(["--tiny", "--data_root", env["root"], "--img_size", "32",
+             "--epochs", "1", "--batch_size", "1", "--grad_acc_steps", "1",
+             "--num_examples", "8", "--train_controlnet",
+             "--control_hint", "edges",
+             "--learning_rate", "1e-4", "--no-bf16",
+             "--output_dir", env["out"], "--run_id", "cntrain",
+             "--ckpts_per_epoch", "1"])
+    run_dir = os.path.join(env["out"], "runs", "cntrain")
+    ckpts = [d for d in os.listdir(run_dir) if d.startswith("ckpt-")]
+    assert ckpts, "no checkpoint saved"
+    latest = os.path.join(
+        run_dir, max(ckpts, key=lambda d: int(d.split("-")[1])))
+    assert os.path.isdir(os.path.join(latest, "controlnet"))
+    cfg_json = json.load(open(os.path.join(latest, "config.json")))
+    assert "controlnet" in cfg_json
+
+    ctrl = str(tmp_path / "hint.png")
+    Image.fromarray(
+        (np.random.RandomState(7).rand(32, 32, 3) * 255).astype(np.uint8)
+    ).save(ctrl)
+    inf.main(["--mode", "enter_prompt", "--prompt", "a trained control",
+              "--tiny", "--ckpt", latest, "--img_size", "32",
+              "--num_inference_steps", "2", "--no-bf16",
+              "--control_image", ctrl,
+              "--save_dir", env["out"] + "/gen", "--run_id", "cnserve"])
+    outdir = os.path.join(env["out"], "gen", "cnserve inference")
+    assert any(f.endswith(".png") for f in os.listdir(outdir))
+
+
+def test_train_controlnet_flag_conflicts(env):
+    import sdbc_tpu.cli.finetune as ft
+
+    base = ["--tiny", "--data_root", env["root"], "--img_size", "32",
+            "--epochs", "1", "--num_examples", "4", "--train_controlnet"]
+    with pytest.raises(SystemExit, match="cannot combine"):
+        ft.main(base + ["--lora_rank", "2"])
+    with pytest.raises(SystemExit, match="cache_latents"):
+        ft.main(base + ["--cache_latents"])
+    with pytest.raises(SystemExit, match="drop\n?.*--train_unet"):
+        ft.main(base + ["--train_unet"])

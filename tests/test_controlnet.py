@@ -224,6 +224,99 @@ def test_load_controlnet_dir(cn_cfg, cn_params, tiny_cfg, tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def _train_batch(cfg, accum=1, micro=2):
+    return {
+        "pixel_values": jnp.clip(jax.random.normal(
+            jax.random.key(11), (accum, micro, 16, 16, 3)) * 0.5, -1, 1),
+        "input_ids": jnp.ones((accum, micro, cfg.clip.ctx), jnp.int32),
+    }
+
+
+def test_training_hints():
+    px = jnp.clip(jax.random.normal(jax.random.key(0), (2, 16, 16, 3)), -1, 1)
+    e = controlnet.training_hint(px, "edges")
+    assert e.shape == (2, 16, 16, 3)
+    assert float(e.min()) >= 0.0 and float(e.max()) <= 1.0
+    i = controlnet.training_hint(px, "image")
+    np.testing.assert_allclose(np.asarray(i),
+                               np.asarray(px) * 0.5 + 0.5, atol=1e-6)
+    with pytest.raises(ValueError, match="unknown control hint"):
+        controlnet.training_hint(px, "depth")
+
+
+def test_fresh_controlnet_training_loss_equals_base(cn_cfg, cn_params,
+                                                    tiny_cfg, tiny_params):
+    """Step-0 guarantee on the TRAINING objective: a fresh from_unet
+    ControlNet's residuals are exactly zero, so the controlled loss equals
+    the plain fine-tuning loss bit-for-bit (same key → same RNG splits)."""
+    from sdbc_tpu.diffusion import schedulers as sched_mod
+    from sdbc_tpu.train import trainer
+
+    sched = sched_mod.make_schedule(tiny_cfg.schedule)
+    batch = jax.tree.map(lambda x: x[0], _train_batch(tiny_cfg))
+    key = jax.random.key(7)
+    base_t = TrainConfig = trainer.TrainConfig
+    l_base = trainer.diffusion_loss(
+        {"unet": tiny_params["unet"]},
+        {k: v for k, v in tiny_params.items() if k != "unet"},
+        batch, key, tiny_cfg,
+        base_t(train_unet=True, train_text_encoder=False),
+        sched, compute_dtype=jnp.float32)
+    l_cn = trainer.diffusion_loss(
+        {"controlnet": cn_params["controlnet"]},
+        {k: v for k, v in tiny_params.items()},
+        batch, key, cn_cfg,
+        base_t(train_controlnet=True, train_unet=False,
+               train_text_encoder=False),
+        sched, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(float(l_base), float(l_cn), rtol=1e-6)
+
+
+def test_controlnet_train_step(cn_cfg, cn_params, tiny_params):
+    """One optimizer step trains ONLY the branch: the zero convs move off
+    zero (gradients flow through the injection) and the base stays frozen."""
+    from sdbc_tpu.train.trainer import (TrainConfig, init_train_state,
+                                        make_train_step, merged_params)
+
+    tcfg = TrainConfig(train_controlnet=True, train_unet=False,
+                       train_text_encoder=False, grad_accum=1,
+                       learning_rate=1e-3, num_examples=100)
+    state = init_train_state(cn_params, tcfg, compute_dtype=jnp.float32)
+    assert set(state.trainable) == {"controlnet"}
+    assert set(state.frozen) == {"text_encoder", "unet", "vae"}
+    step = make_train_step(cn_cfg, tcfg, compute_dtype=jnp.float32)
+    batch = _train_batch(cn_cfg)
+    key = jax.random.key(42)
+    losses = []
+    for _ in range(4):
+        state, m = step(state, batch, key)
+        losses.append(float(m["loss"]))
+        assert np.isfinite(losses[-1])
+    zd = state.trainable["controlnet"]["zero_down"]
+    assert max(float(jnp.max(jnp.abs(z["w"]))) for z in zd) > 0
+    assert float(jnp.max(jnp.abs(
+        state.trainable["controlnet"]["zero_mid"]["w"]))) > 0
+    # fixed batch + key: the branch must be learning
+    assert losses[-1] < losses[0], losses
+    assert set(merged_params(state, tcfg)) == {"text_encoder", "unet", "vae",
+                                               "controlnet"}
+
+
+def test_controlnet_training_guards(cn_cfg, cn_params, tiny_params):
+    from sdbc_tpu.train.trainer import TrainConfig, init_train_state
+
+    with pytest.raises(ValueError, match="freezes the whole base"):
+        init_train_state(cn_params,
+                         TrainConfig(train_controlnet=True, train_unet=True,
+                                     train_text_encoder=False),
+                         compute_dtype=jnp.float32)
+    with pytest.raises(ValueError, match="params\\['controlnet'\\]"):
+        init_train_state(tiny_params,
+                         TrainConfig(train_controlnet=True, train_unet=False,
+                                     train_text_encoder=False),
+                         compute_dtype=jnp.float32)
+
+
 def test_sd15_with_controlnet_shapes():
     cfg = PipelineConfig.sd15().with_controlnet()
     assert cfg.controlnet.conditioning_channels == (16, 32, 96, 256)
