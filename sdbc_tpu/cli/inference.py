@@ -69,6 +69,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "--controlnet_path (models/controlnet.py)")
     p.add_argument("--controlnet_scale", type=float, default=1.0,
                    help="multiplier on the injected ControlNet residuals")
+    common.bool_flag(p, "prompt_weighting", False,
+                     "enable the community prompt-emphasis syntax "
+                     "('(word:1.3)', '((up))', '[down]') and chunked long "
+                     "prompts (>75 tokens span multiple CLIP windows)")
+    p.add_argument("--max_prompt_chunks", type=int, default=3,
+                   help="with --prompt_weighting: max 77-token CLIP windows "
+                        "a long prompt may span before truncation")
     p.add_argument("--samples_per_prompt", type=int, default=None,
                    help="images per prompt/template (grids default 2; "
                         "enter_prompt defaults 1)")
@@ -196,7 +203,9 @@ def main(argv=None):
                     clip_skip=args.clip_skip,
                     use_karras_sigmas=args.karras_sigmas,
                     control_image=control_image,
-                    controlnet_scale=args.controlnet_scale)
+                    controlnet_scale=args.controlnet_scale,
+                    prompt_weighting=args.prompt_weighting,
+                    max_prompt_chunks=args.max_prompt_chunks)
         pils = pipe.numpy_to_pil(imgs)
         # prompt text becomes a filename: strip path separators ('/' would
         # point into a nonexistent subdir and lose the generated image)

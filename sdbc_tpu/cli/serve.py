@@ -7,7 +7,8 @@ framework:
 
     POST /generate   {"prompt": "...", ["negative_prompt"], ["seed"],
                       ["num_inference_steps"], ["guidance_scale"],
-                      ["guidance_rescale"], ["num_images"]}
+                      ["guidance_rescale"], ["num_images"],
+                      ["prompt_weighting"]}
         → image/png (single image) or JSON {"images": [base64 png, ...]}
     GET  /healthz    → {"ok": true, "requests": N, ...}
 
@@ -82,7 +83,10 @@ def make_app(pipe, args):
             num_images_per_prompt=n,
             seed=int(req.get("seed", 42)),
             cache_interval=args.cache_interval,
-            cache_tail=args.cache_tail)
+            cache_tail=args.cache_tail,
+            # community emphasis syntax + long prompts; a non-default k
+            # chunk count compiles a new graph bucket on first use
+            prompt_weighting=bool(req.get("prompt_weighting", False)))
         pngs = []
         for im in pipe.numpy_to_pil(imgs):
             buf = io.BytesIO()

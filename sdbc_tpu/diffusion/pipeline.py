@@ -27,6 +27,7 @@ from sdbc_tpu.models import controlnet as controlnet_mod
 from sdbc_tpu.models import unet as unet_mod
 from sdbc_tpu.models import vae as vae_mod
 from sdbc_tpu.diffusion import schedulers as sched_mod
+from sdbc_tpu.ops import nn as nn_mod
 
 
 @dataclasses.dataclass(frozen=True)
@@ -40,6 +41,14 @@ class PipelineConfig:
     # set when serving with a ControlNet — params then carry a "controlnet"
     # subtree alongside text_encoder/unet/vae
     controlnet: Optional[controlnet_mod.ControlNetConfig] = None
+    # SDXL's second text encoder (OpenCLIP-bigG with text projection);
+    # params then carry "text_encoder_2" and the UNet config must set
+    # addition_embed_dim (the pooled embed feeds the text_time embedding)
+    clip2: Optional[clip_mod.CLIPTextConfig] = None
+
+    @property
+    def is_sdxl(self) -> bool:
+        return self.clip2 is not None
 
     @property
     def vae_scale(self) -> int:
@@ -83,20 +92,117 @@ class PipelineConfig:
                               vae_mod.VAEConfig.sd15(), sched, scheduler)
 
     @staticmethod
+    def sdxl(scheduler: str = "ddim") -> "PipelineConfig":
+        """SDXL-base family (beyond the reference's SD-1.5): dual text
+        encoders (CLIP-L ⧺ OpenCLIP-bigG penultimate states, 2048-d
+        context), pooled-text + size/crop micro-conditioning through the
+        text_time addition embedding, 3-level depth-(1,2,10) UNet,
+        0.13025 VAE scale.  Native resolution 1024²."""
+        return PipelineConfig(clip_mod.CLIPTextConfig.sd15(),
+                              unet_mod.UNetConfig.sdxl(),
+                              vae_mod.VAEConfig.sdxl(),
+                              sched_mod.ScheduleConfig.sd15(), scheduler,
+                              clip2=clip_mod.CLIPTextConfig.sdxl_g())
+
+    @staticmethod
     def tiny(scheduler: str = "ddim") -> "PipelineConfig":
         return PipelineConfig(clip_mod.CLIPTextConfig.tiny(),
                               unet_mod.UNetConfig.tiny(),
                               vae_mod.VAEConfig.tiny(),
                               sched_mod.ScheduleConfig.sd15(), scheduler)
 
+    @staticmethod
+    def tiny_xl(scheduler: str = "ddim") -> "PipelineConfig":
+        """Toy SDXL: every family-specific path (dual encoders, pooled
+        projection, depth-stacked transformers, no-attention level,
+        addition embedding) at test scale.  addition_embed_dim = 16
+        (clip2 projection) + 6·4 (time ids) = 40 = UNetConfig.tiny_xl's."""
+        import dataclasses as _dc
+        clip2 = _dc.replace(clip_mod.CLIPTextConfig.tiny(), projection_dim=16)
+        return PipelineConfig(clip_mod.CLIPTextConfig.tiny(),
+                              unet_mod.UNetConfig.tiny_xl(),
+                              vae_mod.VAEConfig.tiny(),
+                              sched_mod.ScheduleConfig.sd15(), scheduler,
+                              clip2=clip2)
+
 
 def encode_text(params, ids, cfg: PipelineConfig, compute_dtype=jnp.bfloat16,
                 clip_skip: int = 0):
     """``clip_skip`` follows the community convention: 0/1 = full encoder,
-    2 = stop one layer early (penultimate hidden state), etc."""
+    2 = stop one layer early (penultimate hidden state), etc.
+
+    Long prompts: ids wider than the encoder context must be a multiple of
+    it — each ``ctx``-token window is encoded independently (own position
+    table + causal mask) and the windows concatenated along the sequence
+    axis, the standard community chunking scheme (data/prompt_weights.py).
+    The reshape folds the windows into the batch, so the k>1 encode is one
+    bigger batched matmul, not k sequential passes.
+    """
+    ctx = cfg.clip.ctx
+    b, width = ids.shape
+    if width != ctx:
+        if width % ctx:
+            raise ValueError(f"token ids width {width} is not a multiple of "
+                             f"the encoder context {ctx}")
+        emb = clip_mod.apply(params["text_encoder"], ids.reshape(-1, ctx),
+                             cfg.clip, compute_dtype=compute_dtype,
+                             skip_layers=max(clip_skip - 1, 0))
+        return emb.reshape(b, width, emb.shape[-1])
     return clip_mod.apply(params["text_encoder"], ids, cfg.clip,
                           compute_dtype=compute_dtype,
                           skip_layers=max(clip_skip - 1, 0))
+
+
+def encode_text_xl(params, ids, ids2, cfg: PipelineConfig,
+                   compute_dtype=jnp.bfloat16, clip_skip: int = 0):
+    """SDXL dual-encoder conditioning.
+
+    ids/ids2: (B, 77) from the CLIP-L and OpenCLIP tokenizers respectively.
+    Returns (context, pooled): the two encoders' hidden states concatenated
+    feature-wise (768 ⧺ 1280 = 2048) and the second encoder's projected
+    pooled output (1280).
+
+    SDXL conditions on hidden_states[-2] — the penultimate layer WITHOUT the
+    final LayerNorm (unlike the SD-1.x clip-skip convention, which final-LNs
+    the early state).  ``clip_skip`` keeps the community numbering: 0/1/2 all
+    mean the SDXL-default penultimate state; 3 stops one layer earlier, etc.
+    The pooled output always runs the full second-encoder stack.
+    """
+    skip = max(clip_skip - 1, 1)
+    h1 = clip_mod.apply(params["text_encoder"], ids, cfg.clip,
+                        compute_dtype=compute_dtype, skip_layers=skip,
+                        final_ln=False)
+    h2, pooled = clip_mod.apply_with_pooled(
+        params["text_encoder_2"], ids2, cfg.clip2,
+        compute_dtype=compute_dtype, skip_layers=skip)
+    return jnp.concatenate([h1, h2], axis=-1), pooled
+
+
+def _xl_added_cond(pooled, time_ids, fourier_dim):
+    """concat(pooled, Fourier(time_ids)) — the text_time embedding input.
+
+    time_ids: (B, 6) = (orig_h, orig_w, crop_top, crop_left, target_h,
+    target_w), each expanded to ``fourier_dim`` features with the same
+    sinusoidal map as the timestep embedding (diffusers add_time_proj).
+    """
+    b = time_ids.shape[0]
+    ft = nn_mod.timestep_embedding(time_ids.reshape(-1), fourier_dim,
+                                   dtype=jnp.float32).reshape(b, -1)
+    return jnp.concatenate([pooled.astype(jnp.float32), ft], axis=-1)
+
+
+def _apply_token_weights(emb, w):
+    """Scale each token's hidden state by its prompt weight, then restore
+    the per-sample mean (the established emphasis semantics: relative
+    attention shifts, overall conditioning magnitude — which the UNet was
+    trained against — stays).  Guarded against a degenerate zero mean."""
+    emb_f = emb.astype(jnp.float32)
+    mean0 = emb_f.mean(axis=(1, 2), keepdims=True)
+    out = emb_f * w.astype(jnp.float32)[..., None]
+    mean1 = out.mean(axis=(1, 2), keepdims=True)
+    safe = jnp.where(jnp.abs(mean1) < 1e-7, 1.0, mean1)
+    return (out * jnp.where(jnp.abs(mean1) < 1e-7, 1.0, mean0 / safe)
+            ).astype(emb.dtype)
 
 
 @functools.partial(
@@ -114,7 +220,9 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
            pack_heads: Optional[bool] = None,
            guidance_rescale: float = 0.0, clip_skip: int = 0,
            use_karras_sigmas: bool = False,
-           control_image=None, controlnet_scale=1.0):
+           control_image=None, controlnet_scale=1.0,
+           cond_weights=None, uncond_weights=None,
+           cond_ids2=None, uncond_ids2=None, time_ids=None):
     """Run the full CFG sampling graph.
 
     params: {"text_encoder", "unet", "vae"} param trees (fp32 masters; cast here)
@@ -158,6 +266,15 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
       conditioning embedder output is hoisted out of the denoise loop (it
       depends only on the image).  ``controlnet_scale`` multiplies the
       residuals (traced: changing it does not recompile).
+    cond_weights / uncond_weights: (B, ctx) float per-token emphasis weights
+      (data/prompt_weights.py, the community ``(word:1.3)`` syntax) applied
+      to the encoded hidden states with mean restoration; None = off (the
+      default graph is unchanged).  With chunked long prompts the ids/
+      weights widths are k*ctx and both CFG branches must agree on k.
+    cond_ids2 / uncond_ids2 / time_ids (SDXL — cfg.clip2 set): token ids
+      from the second (OpenCLIP) tokenizer and the (B, 6) micro-conditioning
+      (orig_h, orig_w, crop_top, crop_left, target_h, target_w); time_ids
+      defaults to ((H, W, 0, 0, H, W)) of the requested resolution.
     Returns (B, H, W, 3) float images in [0, 1] (or raw latents if decode=False).
     """
     if cache_interval and cache_interval > 1 and cfg.scheduler not in (
@@ -190,8 +307,49 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
     sched = sched_mod.make_schedule(cfg.schedule)
     dt = compute_dtype
 
-    ctx_c = encode_text(params, cond_ids, cfg, dt, clip_skip=clip_skip)
-    ctx_u = encode_text(params, uncond_ids, cfg, dt, clip_skip=clip_skip)
+    if cond_ids.shape[1] != uncond_ids.shape[1]:
+        raise ValueError(
+            f"cond/uncond token widths differ ({cond_ids.shape[1]} vs "
+            f"{uncond_ids.shape[1]}) — chunked long prompts must pad both "
+            "CFG branches to the same window count "
+            "(data/prompt_weights.batch_encode_weighted min_chunks)")
+    added2 = None
+    if cfg.is_sdxl:
+        if cond_ids2 is None or uncond_ids2 is None:
+            raise ValueError("SDXL configs (cfg.clip2 set) need cond_ids2/"
+                             "uncond_ids2 from the second tokenizer")
+        if control_image is not None:
+            raise ValueError("ControlNet is wired for the single-encoder "
+                             "families only (the control branch carries no "
+                             "addition embedding)")
+        if cond_weights is not None or uncond_weights is not None:
+            raise ValueError("prompt_weighting is not yet wired for SDXL's "
+                             "dual encoders")
+        ctx_c, pool_c = encode_text_xl(params, cond_ids, cond_ids2, cfg, dt,
+                                       clip_skip=clip_skip)
+        ctx_u, pool_u = encode_text_xl(params, uncond_ids, uncond_ids2, cfg,
+                                       dt, clip_skip=clip_skip)
+        if time_ids is None:
+            hh = latents.shape[1] * cfg.vae_scale
+            ww = latents.shape[2] * cfg.vae_scale
+            time_ids = jnp.tile(
+                jnp.asarray([[hh, ww, 0, 0, hh, ww]], jnp.float32),
+                (latents.shape[0], 1))
+        # uncond ⧺ cond row order matches the context concat below
+        added2 = _xl_added_cond(
+            jnp.concatenate([pool_u, pool_c], axis=0),
+            jnp.concatenate([time_ids, time_ids], axis=0),
+            cfg.unet.addition_time_embed_dim)
+    else:
+        ctx_c = encode_text(params, cond_ids, cfg, dt, clip_skip=clip_skip)
+        ctx_u = encode_text(params, uncond_ids, cfg, dt, clip_skip=clip_skip)
+        # prompt-emphasis weights (data/prompt_weights.py): token-wise scale
+        # with mean restoration; None (the default) leaves the graph
+        # untouched
+        if cond_weights is not None:
+            ctx_c = _apply_token_weights(ctx_c, cond_weights)
+        if uncond_weights is not None:
+            ctx_u = _apply_token_weights(ctx_u, uncond_weights)
     context = jnp.concatenate([ctx_u, ctx_c], axis=0)  # (2B, ctx, hid)
     uparams = params["unet"]
     if pack_heads is None:
@@ -376,7 +534,8 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
                 else orig_lat.astype(dt)
         # hoist the per-ResBlock time projections out of the loop (~3.5 ms/
         # step of latency-bound (8,1280)-sized matmuls at SD-1.5 shapes)
-        tproj = unet_mod.precompute_temb(uparams, ts, cfg.unet, dtype=dt)
+        tproj = unet_mod.precompute_temb(uparams, ts, cfg.unet, dtype=dt,
+                                         added_cond=added2)
 
         if cache_interval and cache_interval > 1:
             cache0, model_out_cached = make_cached_unet(tproj)
@@ -416,7 +575,8 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
         if orig_lat is not None:
             lat = noise_to_sigma(sigmas[t_start]) \
                 if t_start < num_inference_steps else orig_lat.astype(dt)
-        tproj = unet_mod.precompute_temb(uparams, ts_f, cfg.unet, dtype=dt)
+        tproj = unet_mod.precompute_temb(uparams, ts_f, cfg.unet, dtype=dt,
+                                           added_cond=added2)
         lower_order_final = num_inference_steps < 15
         state0 = sched_mod.dpm_init_state(lat.shape)
 
@@ -466,7 +626,8 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
         if orig_lat is not None:
             lat = noise_to(ts[t_start]) if t_start < num_inference_steps \
                 else orig_lat.astype(dt)
-        tproj = unet_mod.precompute_temb(uparams, ts, cfg.unet, dtype=dt)
+        tproj = unet_mod.precompute_temb(uparams, ts, cfg.unet, dtype=dt,
+                                         added_cond=added2)
         # lower-order-final safeguard (diffusers semantics): at small step
         # counts the last step drops to first order for stability
         lower_order_final = num_inference_steps < 15
@@ -523,7 +684,8 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
         if orig_lat is not None:
             lat = noise_to_sigma(sigmas[t_start]) \
                 if t_start < num_inference_steps else orig_lat.astype(dt)
-        tproj = unet_mod.precompute_temb(uparams, ts_f, cfg.unet, dtype=dt)
+        tproj = unet_mod.precompute_temb(uparams, ts_f, cfg.unet, dtype=dt,
+                                           added_cond=added2)
 
         def body(i, carry):
             lat, k = carry
@@ -552,7 +714,8 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
         if orig_lat is not None:
             lat = noise_to(ts[t_start]) if t_start < num_inference_steps \
                 else orig_lat.astype(dt)
-        tproj = unet_mod.precompute_temb(uparams, ts, cfg.unet, dtype=dt)
+        tproj = unet_mod.precompute_temb(uparams, ts, cfg.unet, dtype=dt,
+                                         added_cond=added2)
 
         def body(i, carry):
             lat, k = carry
@@ -577,7 +740,8 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
                                                  num_inference_steps)
         sigmas, ts_f = jnp.asarray(sigmas_np), jnp.asarray(ts_np)
         coeffs = sched_mod.lms_coeff_table_sigmas(sigmas_np)
-        tproj = unet_mod.precompute_temb(uparams, ts_f, cfg.unet, dtype=dt)
+        tproj = unet_mod.precompute_temb(uparams, ts_f, cfg.unet, dtype=dt,
+                                           added_cond=added2)
 
         def body(i, carry):
             state, lat = carry
@@ -600,7 +764,8 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
         ts = sched_mod.lms_timesteps(cfg.schedule, num_inference_steps)
         ratio = sched_mod.inference_stride(cfg.schedule, num_inference_steps)
         coeffs = sched_mod.lms_coeff_table(cfg.schedule, num_inference_steps)
-        tproj = unet_mod.precompute_temb(uparams, ts, cfg.unet, dtype=dt)
+        tproj = unet_mod.precompute_temb(uparams, ts, cfg.unet, dtype=dt,
+                                         added_cond=added2)
 
         def body(i, carry):
             state, lat = carry
@@ -615,7 +780,8 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
 
     elif cfg.scheduler == "pndm":
         ts = sched_mod.pndm_timesteps(cfg.schedule, num_inference_steps)
-        tproj = unet_mod.precompute_temb(uparams, ts, cfg.unet, dtype=dt)
+        tproj = unet_mod.precompute_temb(uparams, ts, cfg.unet, dtype=dt,
+                                         added_cond=added2)
 
         def body(i, carry):
             state, lat = carry
@@ -634,7 +800,8 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
         if orig_lat is not None:
             lat = noise_to(ts[t_start]) if t_start < num_inference_steps \
                 else orig_lat.astype(dt)
-        tproj = unet_mod.precompute_temb(uparams, ts, cfg.unet, dtype=dt)
+        tproj = unet_mod.precompute_temb(uparams, ts, cfg.unet, dtype=dt,
+                                         added_cond=added2)
 
         def body(i, carry):
             lat, k = carry
@@ -842,7 +1009,8 @@ class SDPipeline:
                  strength: float = 0.8, mask_image=None,
                  guidance_rescale: float = 0.0, clip_skip: int = 0,
                  use_karras_sigmas: bool = False, control_image=None,
-                 controlnet_scale: float = 1.0):
+                 controlnet_scale: float = 1.0,
+                 prompt_weighting: bool = False, max_prompt_chunks: int = 3):
         """``negative_prompt``: str or per-prompt list encoded as the CFG
         unconditional branch instead of "" (the diffusers-0.7.2
         StableDiffusionPipeline parameter the reference's engine exposes);
@@ -863,7 +1031,15 @@ class SDPipeline:
         activates the ControlNet branch — the pipeline must have been built
         with ``cfg.with_controlnet()`` and params["controlnet"]
         (models/controlnet.py).  ``controlnet_scale`` multiplies the
-        injected residuals without recompiling."""
+        injected residuals without recompiling.
+
+        ``prompt_weighting=True`` enables the community emphasis syntax
+        ("(word:1.3)", "((up))", "[down]") AND chunked long prompts: text
+        beyond 75 content tokens spans up to ``max_prompt_chunks``
+        77-token CLIP windows concatenated for cross-attention
+        (data/prompt_weights.py).  Off by default — plain prompts
+        containing literal brackets keep their exact legacy tokenization
+        and the default compiled graph is byte-identical."""
         if isinstance(prompts, str):
             prompts = [prompts]
         if mask_image is not None and init_image is None:
@@ -908,8 +1084,28 @@ class SDPipeline:
         if bucket != b:
             prompts = list(prompts) + [""] * (bucket - b)
             negative_prompt = list(negative_prompt) + [""] * (bucket - b)
-        cond = jnp.asarray(self.tokenize(prompts))
-        uncond = jnp.asarray(self.tokenize(negative_prompt))
+        cond_w = uncond_w = None
+        if prompt_weighting:
+            # community emphasis syntax "(word:1.3)" + chunked long prompts
+            # (data/prompt_weights.py).  Both CFG branches are padded to the
+            # same window count; one compiled graph per (bucket, k) pair.
+            from sdbc_tpu.data.prompt_weights import batch_encode_weighted
+
+            ctx = self.cfg.clip.ctx
+            cids, cw = batch_encode_weighted(
+                self.tokenizer, prompts, ctx, max_prompt_chunks)
+            uids, uw = batch_encode_weighted(
+                self.tokenizer, negative_prompt, ctx, max_prompt_chunks,
+                min_chunks=cids.shape[1] // ctx)
+            if uids.shape[1] > cids.shape[1]:
+                cids, cw = batch_encode_weighted(
+                    self.tokenizer, prompts, ctx, max_prompt_chunks,
+                    min_chunks=uids.shape[1] // ctx)
+            cond, uncond = jnp.asarray(cids), jnp.asarray(uids)
+            cond_w, uncond_w = jnp.asarray(cw), jnp.asarray(uw)
+        else:
+            cond = jnp.asarray(self.tokenize(prompts))
+            uncond = jnp.asarray(self.tokenize(negative_prompt))
         # independent streams for the initial latents and the (ddpm)
         # sampler: never reuse a consumed key.  The fixed-latent parity
         # path (latents given) keeps key(seed) for the sampler, matching
@@ -1000,10 +1196,15 @@ class SDPipeline:
                                          spatial_sharding(self.mesh))
                 cond = jax.device_put(cond, rep)
                 uncond = jax.device_put(uncond, rep)
+                if cond_w is not None:
+                    cond_w = jax.device_put(cond_w, rep)
+                    uncond_w = jax.device_put(uncond_w, rep)
             else:
                 put = lambda x: jax.device_put(
                     x, data_sharding(self.mesh, jnp.ndim(x)))
                 cond, uncond, latents = put(cond), put(uncond), put(latents)
+                if cond_w is not None:
+                    cond_w, uncond_w = put(cond_w), put(uncond_w)
                 if img_arr is not None:
                     img_arr = put(img_arr)
                 if mask_arr is not None:
@@ -1022,7 +1223,8 @@ class SDPipeline:
                       clip_skip=int(clip_skip),
                       use_karras_sigmas=bool(use_karras_sigmas),
                       control_image=ctrl_arr,
-                      controlnet_scale=controlnet_scale)
+                      controlnet_scale=controlnet_scale,
+                      cond_weights=cond_w, uncond_weights=uncond_w)
         return np.asarray(imgs)[:b]
 
     def img2img(self, prompts, image, *, strength: float = 0.8, **kw):

@@ -31,6 +31,10 @@ class CLIPTextConfig:
     # "quick_gelu" (OpenAI CLIP / SD-1.x) or "gelu" (exact erf — OpenCLIP
     # ViT-H as shipped in SD-2.x text_encoder configs)
     act: str = "quick_gelu"
+    # CLIPTextModelWithProjection (SDXL's second encoder): pooled EOS hidden
+    # state projected hidden→projection_dim with a bias-free linear.  None =
+    # plain CLIPTextModel (no projection weights in the param tree).
+    projection_dim: int | None = None
 
     @staticmethod
     def sd15() -> "CLIPTextConfig":
@@ -43,6 +47,15 @@ class CLIPTextConfig:
         # the shipped config), hidden 1024, exact-erf gelu
         return CLIPTextConfig(hidden=1024, layers=23, heads=16, mlp=4096,
                               act="gelu")
+
+    @staticmethod
+    def sdxl_g() -> "CLIPTextConfig":
+        # SDXL's second encoder: OpenCLIP ViT-bigG text tower as shipped in
+        # stabilityai/stable-diffusion-xl-base-1.0 text_encoder_2 — 32
+        # layers, hidden 1280, exact-erf gelu, with a 1280-d text projection
+        # (the pooled conditioning source)
+        return CLIPTextConfig(hidden=1280, layers=32, heads=20, mlp=5120,
+                              act="gelu", projection_dim=1280)
 
     @staticmethod
     def tiny() -> "CLIPTextConfig":
@@ -74,12 +87,18 @@ def init(key, cfg: CLIPTextConfig):
     layer_keys = jax.random.split(kl, cfg.layers)
     layers = [_init_layer(k, cfg) for k in layer_keys]
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
-    return {
+    p = {
         "token_embedding": nn.init_embedding(kt, cfg.vocab_size, cfg.hidden),
         "position_embedding": nn.init_embedding(kp, cfg.ctx, cfg.hidden),
         "layers": stacked,
         "final_ln": nn.init_layer_norm(cfg.hidden),
     }
+    if cfg.projection_dim:
+        kj = jax.random.split(kt)[0]
+        p["text_projection"] = nn.init_linear(kj, cfg.hidden,
+                                              cfg.projection_dim,
+                                              use_bias=False)
+    return p
 
 
 def _layer_apply(p, x, cfg: CLIPTextConfig):
@@ -112,7 +131,7 @@ def _layer_apply(p, x, cfg: CLIPTextConfig):
 
 
 def apply(params, input_ids, cfg: CLIPTextConfig, compute_dtype=jnp.float32,
-          skip_layers: int = 0):
+          skip_layers: int = 0, final_ln: bool = True):
     """input_ids: (B, ctx) int32 → last hidden state (B, ctx, hidden).
 
     ``skip_layers`` (CLIP-skip, the community convention where
@@ -120,6 +139,11 @@ def apply(params, input_ids, cfg: CLIPTextConfig, compute_dtype=jnp.float32,
     early and final-LayerNorm that hidden state — SD-1.x checkpoints
     fine-tuned with penultimate-layer conditioning expect it.  Static, so
     the scan simply runs over a sliced layer stack (0 = exact default).
+
+    ``final_ln=False`` returns the raw hidden state of the stop layer —
+    transformers' ``hidden_states[-(1+skip_layers)]`` convention, which is
+    what SDXL conditions on (its penultimate states are NOT final-normed,
+    unlike the SD-1.x clip-skip convention above).
     """
     x = nn.embedding(params["token_embedding"], input_ids)
     pos = params["position_embedding"]["table"][: input_ids.shape[1]]
@@ -136,4 +160,47 @@ def apply(params, input_ids, cfg: CLIPTextConfig, compute_dtype=jnp.float32,
         layers = jax.tree.map(lambda p: p[: cfg.layers - skip_layers],
                               layers)
     x, _ = jax.lax.scan(body, x, layers)
+    if not final_ln:
+        return x
     return nn.layer_norm(params["final_ln"], x, eps=cfg.eps)
+
+
+def apply_with_pooled(params, input_ids, cfg: CLIPTextConfig,
+                      compute_dtype=jnp.float32, skip_layers: int = 0,
+                      eot_id: int = 49407):
+    """One encoder pass returning BOTH SDXL conditioning tensors:
+
+    - hidden: the ``skip_layers``-early hidden state WITHOUT final LayerNorm
+      (transformers ``hidden_states[-(1+skip_layers)]`` — SDXL default is
+      skip_layers=1, the penultimate state), shape (B, ctx, hidden);
+    - pooled: the FULL stack's final-LN output at the first ``eot_id``
+      position of each row, through ``text_projection`` when the config
+      carries one (CLIPTextModelWithProjection semantics), shape
+      (B, projection_dim or hidden).
+
+    The layer scan is split at the capture point so the full depth runs
+    exactly once (no second encoder pass for the pooled branch).
+    """
+    if not 0 <= skip_layers < cfg.layers:
+        raise ValueError(f"skip_layers={skip_layers} outside [0, {cfg.layers})")
+    x = nn.embedding(params["token_embedding"], input_ids)
+    pos = params["position_embedding"]["table"][: input_ids.shape[1]]
+    x = (x + pos[None]).astype(compute_dtype)
+
+    def body(x, layer_params):
+        return _layer_apply(layer_params, x, cfg), None
+
+    cut = cfg.layers - skip_layers
+    head = jax.tree.map(lambda p: p[:cut], params["layers"])
+    x, _ = jax.lax.scan(body, x, head)
+    hidden = x
+    if skip_layers:
+        tail = jax.tree.map(lambda p: p[cut:], params["layers"])
+        x, _ = jax.lax.scan(body, x, tail)
+    x = nn.layer_norm(params["final_ln"], x, eps=cfg.eps)
+    # transformers pools at the FIRST eos position (argmax of the match mask)
+    eot_pos = jnp.argmax(input_ids == eot_id, axis=1)
+    pooled = x[jnp.arange(x.shape[0]), eot_pos]
+    if "text_projection" in params:
+        pooled = nn.linear(params["text_projection"], pooled)
+    return hidden, pooled

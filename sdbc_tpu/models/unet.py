@@ -44,10 +44,33 @@ class UNetConfig:
     norm_groups: int = 32
     # which blocks carry cross-attention transformers (SD-1.x: all but deepest)
     cross_attn_blocks: Tuple[bool, ...] = (True, True, True, False)
+    # transformer blocks per spatial transformer (diffusers
+    # transformer_layers_per_block).  int = same everywhere (SD-1/2: 1);
+    # tuple = per level (SDXL: (1, 2, 10) — entries for no-attention levels
+    # are ignored).  The mid transformer uses the deepest level's entry.
+    transformer_depth: int | Tuple[int, ...] = 1
+    # SDXL "text_time" addition embedding: when set, ``apply`` expects an
+    # ``added_cond`` (N, addition_embed_dim) vector — concat(pooled text
+    # embed, Fourier(micro-conditioning time_ids)) — run through its own
+    # 2-layer MLP and added to the timestep embedding.  SDXL-base: 2816
+    # (= 1280 pooled + 6 ids × 256 Fourier features).
+    addition_embed_dim: int | None = None
+    addition_time_embed_dim: int = 256
 
     @property
     def time_embed_dim(self) -> int:
         return self.block_out_channels[0] * 4
+
+    @property
+    def depth_per_level(self) -> Tuple[int, ...]:
+        d = self.transformer_depth
+        if isinstance(d, (tuple, list)):
+            if len(d) != len(self.block_out_channels):
+                raise ValueError(
+                    f"transformer_depth {d} must have one entry per block "
+                    f"({len(self.block_out_channels)})")
+            return tuple(d)
+        return (d,) * len(self.block_out_channels)
 
     @property
     def heads_per_level(self) -> Tuple[int, ...]:
@@ -73,10 +96,35 @@ class UNetConfig:
                           attention_heads=(5, 10, 20, 20))
 
     @staticmethod
+    def sdxl() -> "UNetConfig":
+        # SDXL-base: 3 levels, no attention at full resolution, transformer
+        # depth (–, 2, 10), head_dim 64 → (5, 10, 20) heads, 2048-d context
+        # (CLIP-L 768 ⧺ OpenCLIP-bigG 1280), text_time addition embedding
+        # (1280 pooled + 6×256 Fourier = 2816)
+        return UNetConfig(block_out_channels=(320, 640, 1280),
+                          cross_attention_dim=2048,
+                          attention_heads=(5, 10, 20),
+                          cross_attn_blocks=(False, True, True),
+                          transformer_depth=(1, 2, 10),
+                          addition_embed_dim=2816)
+
+    @staticmethod
     def tiny() -> "UNetConfig":
         return UNetConfig(block_out_channels=(32, 64), layers_per_block=1,
                           cross_attention_dim=32, attention_heads=4,
                           norm_groups=8, cross_attn_blocks=(True, False))
+
+    @staticmethod
+    def tiny_xl() -> "UNetConfig":
+        # exercises every SDXL-specific path at toy scale: a no-attention
+        # level, depth-2 stacked transformer blocks, the addition embedding.
+        # cross_attention_dim 64 = tiny CLIP-L 32 ⧺ tiny bigG 32;
+        # addition_embed_dim 40 = 16 pooled + 6×4 time-id Fourier.
+        return UNetConfig(block_out_channels=(32, 64), layers_per_block=1,
+                          cross_attention_dim=64, attention_heads=4,
+                          norm_groups=8, cross_attn_blocks=(False, True),
+                          transformer_depth=(1, 2), addition_embed_dim=40,
+                          addition_time_embed_dim=4)
 
 
 # ---------------------------------------------------------------------------
@@ -194,34 +242,60 @@ def _mha(p, x, ctx, heads, impl="auto"):
             + p["o"]["b"].astype(dt))
 
 
-def _init_transformer(key, dim, ctx_dim, heads):
-    ks = jax.random.split(key, 6)
+def _init_basic_block(key, dim, ctx_dim, heads):
+    """One pre-LN transformer block: self-attn → cross-attn → GEGLU FF."""
+    ks = jax.random.split(key, 4)
     return {
-        "norm": nn.init_group_norm(dim),
-        "proj_in": nn.init_conv(ks[0], dim, dim, 1),
         "ln1": nn.init_layer_norm(dim),
-        "attn1": _init_mha(ks[1], dim, dim, heads),
+        "attn1": _init_mha(ks[0], dim, dim, heads),
         "ln2": nn.init_layer_norm(dim),
-        "attn2": _init_mha(ks[2], dim, ctx_dim, heads),
+        "attn2": _init_mha(ks[1], dim, ctx_dim, heads),
         "ln3": nn.init_layer_norm(dim),
-        "geglu": nn.init_linear(ks[3], dim, 8 * dim),
-        "ff_out": nn.init_linear(ks[4], 4 * dim, dim),
-        "proj_out": nn.init_conv(ks[5], dim, dim, 1),
+        "geglu": nn.init_linear(ks[2], dim, 8 * dim),
+        "ff_out": nn.init_linear(ks[3], 4 * dim, dim),
     }
 
 
-def _transformer(p, x, ctx, heads, groups, attn_impl="auto"):
-    """Spatial transformer: self-attn → cross-attn(CLIP ctx) → GEGLU FF."""
-    y = _tfm_in(p, x, groups)
+def _init_transformer(key, dim, ctx_dim, heads, depth: int = 1):
+    """depth=1 (SD-1/2) keeps the historical FLAT param layout (checkpoint /
+    golden / compile-cache compatibility); depth>1 (SDXL) stacks the blocks
+    into one scanned pytree under "blocks" — one compiled block body per
+    transformer instead of ``depth`` traced copies."""
+    ks = jax.random.split(key, depth + 3)
+    p = {
+        "norm": nn.init_group_norm(dim),
+        "proj_in": nn.init_conv(ks[0], dim, dim, 1),
+        "proj_out": nn.init_conv(ks[1], dim, dim, 1),
+    }
+    if depth == 1:
+        p.update(_init_basic_block(ks[2], dim, ctx_dim, heads))
+    else:
+        blocks = [_init_basic_block(k, dim, ctx_dim, heads)
+                  for k in ks[2:2 + depth]]
+        p["blocks"] = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+    return p
+
+
+def _basic_block(p, y, ctx, heads, attn_impl="auto"):
     yn = nn.layer_norm(p["ln1"], y)
     y = y + _mha(p["attn1"], yn, yn, heads, attn_impl)
     y = y + _mha(p["attn2"], nn.layer_norm(p["ln2"], y), ctx, heads, attn_impl)
     if attn_impl == "inference" and geglu_ff_mod.ff_fused_eligible(y):
         # sampling fast path: LN → up-proj → GELU gate → down-proj →
         # residual in one Pallas pass (hidden stays in VMEM; see ops/geglu_ff)
-        y = geglu_ff_mod.geglu_ff(y, p["ln3"], p["geglu"], p["ff_out"])
+        return geglu_ff_mod.geglu_ff(y, p["ln3"], p["geglu"], p["ff_out"])
+    return _tfm_ff(p, y)
+
+
+def _transformer(p, x, ctx, heads, groups, attn_impl="auto"):
+    """Spatial transformer: proj_in → depth× basic block → proj_out."""
+    y = _tfm_in(p, x, groups)
+    if "blocks" in p:  # depth>1 (SDXL): scan one compiled block body
+        def body(y, blk):
+            return _basic_block(blk, y, ctx, heads, attn_impl), None
+        y, _ = jax.lax.scan(body, y, p["blocks"])
     else:
-        y = _tfm_ff(p, y)
+        y = _basic_block(p, y, ctx, heads, attn_impl)
     return _tfm_out(p, y, x)
 
 
@@ -257,10 +331,20 @@ def _transformer_selective(p, x, ctx, heads, groups, attn_impl="auto"):
     """
     pol = jax.checkpoint_policies.dots_saveable
     y = jax.checkpoint(_tfm_in, static_argnums=(2,), policy=pol)(p, x, groups)
-    yn = nn.layer_norm(p["ln1"], y)
-    y = y + _mha(p["attn1"], yn, yn, heads, attn_impl)
-    y = y + _mha(p["attn2"], nn.layer_norm(p["ln2"], y), ctx, heads, attn_impl)
-    y = jax.checkpoint(_tfm_ff, policy=pol)(p, y)
+
+    def block(blk, y):
+        yn = nn.layer_norm(blk["ln1"], y)
+        y = y + _mha(blk["attn1"], yn, yn, heads, attn_impl)
+        y = y + _mha(blk["attn2"], nn.layer_norm(blk["ln2"], y), ctx, heads,
+                     attn_impl)
+        return jax.checkpoint(_tfm_ff, policy=pol)(blk, y)
+
+    if "blocks" in p:  # depth>1 (SDXL): scan, whole block rematerialized
+        def body(y, blk):
+            return jax.checkpoint(block)(blk, y), None
+        y, _ = jax.lax.scan(body, y, p["blocks"])
+    else:
+        y = block(p, y)
     return jax.checkpoint(_tfm_out, policy=pol)(p, y, x)
 
 
@@ -279,8 +363,16 @@ def init(key, cfg: UNetConfig):
             "fc2": nn.init_linear(next(keys), ted, ted),
         },
     }
+    if cfg.addition_embed_dim:
+        # SDXL text_time addition embedding (diffusers add_embedding):
+        # (N, addition_embed_dim) → ted, added to the timestep embedding
+        p["add_mlp"] = {
+            "fc1": nn.init_linear(next(keys), cfg.addition_embed_dim, ted),
+            "fc2": nn.init_linear(next(keys), ted, ted),
+        }
 
     nheads = cfg.heads_per_level
+    depths = cfg.depth_per_level
     skip_ch = [ch[0]]
     down = []
     cin = ch[0]
@@ -291,7 +383,8 @@ def init(key, cfg: UNetConfig):
                                                cout, ted))
             if cfg.cross_attn_blocks[i]:
                 blk["attns"].append(_init_transformer(
-                    next(keys), cout, cfg.cross_attention_dim, nheads[i]))
+                    next(keys), cout, cfg.cross_attention_dim, nheads[i],
+                    depths[i]))
             skip_ch.append(cout)
         if i < len(ch) - 1:
             blk["downsample"] = nn.init_conv(next(keys), cout, cout, 3)
@@ -303,7 +396,7 @@ def init(key, cfg: UNetConfig):
     p["mid"] = {
         "resnet1": _init_resnet(next(keys), ch[-1], ch[-1], ted),
         "attn": _init_transformer(next(keys), ch[-1], cfg.cross_attention_dim,
-                                  nheads[-1]),
+                                  nheads[-1], depths[-1]),
         "resnet2": _init_resnet(next(keys), ch[-1], ch[-1], ted),
     }
 
@@ -311,6 +404,7 @@ def init(key, cfg: UNetConfig):
     rev = list(reversed(ch))
     rev_cross = list(reversed(cfg.cross_attn_blocks))
     rev_heads = list(reversed(nheads))
+    rev_depths = list(reversed(depths))
     prev = ch[-1]
     for i, cout in enumerate(rev):
         blk = {"resnets": [], "attns": []}
@@ -319,7 +413,8 @@ def init(key, cfg: UNetConfig):
             blk["resnets"].append(_init_resnet(next(keys), prev + skip, cout, ted))
             if rev_cross[i]:
                 blk["attns"].append(_init_transformer(
-                    next(keys), cout, cfg.cross_attention_dim, rev_heads[i]))
+                    next(keys), cout, cfg.cross_attention_dim, rev_heads[i],
+                    rev_depths[i]))
             prev = cout
         if i < len(rev) - 1:
             blk["upsample"] = nn.init_conv(next(keys), cout, cout, 3)
@@ -385,6 +480,10 @@ def pack_attention_heads(params, cfg: UNetConfig, pad_to: int = 64):
     nheads = cfg.heads_per_level
 
     def pack_tfm(tfm, heads):
+        if "blocks" in tfm:
+            # depth>1 (SDXL) transformers keep head_dim 64 — nothing sub-64
+            # to pack, and the stacked layout is left untouched
+            return tfm
         dim = tfm["attn1"]["q"]["w"].shape[0]
         hd = dim // heads
         if hd >= pad_to:
@@ -419,7 +518,8 @@ def _temb_mlp(params, timesteps, c0, dtype):
                      jax.nn.silu(nn.linear(params["time_mlp"]["fc1"], temb)))
 
 
-def precompute_temb(params, timesteps, cfg: UNetConfig, dtype=jnp.bfloat16):
+def precompute_temb(params, timesteps, cfg: UNetConfig, dtype=jnp.bfloat16,
+                    added_cond=None):
     """Precompute every ResBlock's time projection for a whole timestep grid.
 
     The denoise loop evaluates ~22 tiny (batch, 1280)→(batch, C) matmuls per
@@ -431,12 +531,29 @@ def precompute_temb(params, timesteps, cfg: UNetConfig, dtype=jnp.bfloat16):
     timesteps: (T,) int32 sampling grid → pytree mirroring the ResBlock
     nesting of ``params`` with (T, cout) tables.  ``index_temb(tree, i)``
     slices step i.  Exact: same math, evaluated once.
+
+    ``added_cond`` (SDXL, required iff cfg.addition_embed_dim): the (N,
+    addition_embed_dim) conditioning vector of the UNET batch (for CFG
+    sampling that is the 2B-row uncond⧺cond stack).  The embedding is
+    per-sample, so the tables become (T, N, 1, 1, cout) — the hoist stays
+    exact, ~N× bigger (a few MB at SD shapes).
     """
     temb = _temb_mlp(params, timesteps, cfg.block_out_channels[0], dtype)
+    if (added_cond is None) != (not cfg.addition_embed_dim):
+        raise ValueError("precompute_temb: added_cond must be passed exactly "
+                         "when cfg.addition_embed_dim is set")
+    if added_cond is not None:
+        aug = nn.linear(params["add_mlp"]["fc2"], jax.nn.silu(
+            nn.linear(params["add_mlp"]["fc1"],
+                      added_cond.astype(jnp.float32))))
+        temb = temb[:, None, :] + aug[None].astype(temb.dtype)  # (T, N, ted)
     st = jax.nn.silu(temb)
 
     def proj(r):
-        return nn.linear(r["temb"], st)  # (T, cout)
+        out = nn.linear(r["temb"], st)   # (T, cout) or (T, N, cout)
+        if added_cond is not None:       # → (T, N, 1, 1, cout): index_temb's
+            out = out[:, :, None, None]  # (N, 1, 1, cout) slice broadcasts
+        return out                       # over the (N, H, W, cout) activation
 
     out = {"down": [{"resnets": [proj(r) for r in blk["resnets"]]}
                     for blk in params["down"]],
@@ -460,7 +577,7 @@ def apply(params, latents, timesteps, encoder_hidden_states, cfg: UNetConfig,
           *, remat: bool = False, remat_mode: str = "block",
           cached_deep=None, return_deep: bool = False,
           cache_tail: int = 0, attn_impl: str = "auto", temb_proj=None,
-          control_residuals=None):
+          control_residuals=None, added_cond=None):
     """latents (N,h,w,4), timesteps (N,), CLIP states (N,77,768) → eps (N,h,w,4).
 
     remat=True rematerialises every ResBlock/transformer in the backward pass
@@ -484,7 +601,25 @@ def apply(params, latents, timesteps, encoder_hidden_states, cfg: UNetConfig,
     injection points), the mid residual to the mid-block output.
     Incompatible with deep-feature caching (the residuals land in the
     cached trunk, so reusing it would silently freeze the conditioning).
+
+    ``added_cond``: the SDXL text_time conditioning vector
+    (N, cfg.addition_embed_dim) — concat(pooled text embed,
+    Fourier(time_ids)) — required iff the config sets
+    ``addition_embed_dim`` and no ``temb_proj`` is given; run through the
+    add_mlp and summed into the timestep embedding (diffusers
+    ``emb = t_emb + add_embedding(...)``).  With ``temb_proj`` the addition
+    embedding is already baked into the hoisted tables
+    (``precompute_temb(..., added_cond=...)``) and must not be repeated.
     """
+    if temb_proj is None and (added_cond is None) != \
+            (not cfg.addition_embed_dim):
+        raise ValueError(
+            "added_cond must be passed exactly when cfg.addition_embed_dim "
+            f"is set (got added_cond={'None' if added_cond is None else 'set'}"
+            f", addition_embed_dim={cfg.addition_embed_dim})")
+    if added_cond is not None and temb_proj is not None:
+        raise ValueError("added_cond is already baked into temb_proj tables "
+                         "(precompute_temb added_cond) — pass only one")
     if control_residuals is not None and (cached_deep is not None
                                           or return_deep):
         raise ValueError("control_residuals cannot combine with DeepCache "
@@ -519,6 +654,11 @@ def apply(params, latents, timesteps, encoder_hidden_states, cfg: UNetConfig,
     if temb_proj is None:
         temb = _temb_mlp(params, timesteps, cfg.block_out_channels[0],
                          latents.dtype)
+        if added_cond is not None:
+            aug = nn.linear(params["add_mlp"]["fc2"], jax.nn.silu(
+                nn.linear(params["add_mlp"]["fc1"],
+                          added_cond.astype(jnp.float32))))
+            temb = temb + aug.astype(temb.dtype)
         tp_down = [{"resnets": [None] * len(b["resnets"])}
                    for b in params["down"]]
         tp_mid = {"resnet1": None, "resnet2": None}

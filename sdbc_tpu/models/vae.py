@@ -36,6 +36,12 @@ class VAEConfig:
         return VAEConfig()
 
     @staticmethod
+    def sdxl() -> "VAEConfig":
+        # same f8/4-channel architecture as SD-1.x; retrained weights ship
+        # with scaling_factor 0.13025 in their diffusers config
+        return VAEConfig(scaling_factor=0.13025)
+
+    @staticmethod
     def tiny() -> "VAEConfig":
         return VAEConfig(block_out_channels=(32, 64), layers_per_block=1,
                          norm_groups=8)
