@@ -73,6 +73,12 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
                         "with a controlnet/ subfolder) attached onto the "
                         "resolved base (models/controlnet.py); activate per "
                         "image with --control_image")
+    p.add_argument("--model_family", type=str, default="sd15",
+                   choices=["sd15", "sd21", "sdxl"],
+                   help="architecture preset for FRESH inits (checkpoint / "
+                        "diffusers loads infer the family from their own "
+                        "configs); composes with --tiny (toy shapes of the "
+                        "same family)")
     bool_flag(p, "tiny", False, "tiny test config instead of SD-1.5")
     bool_flag(p, "bf16", True, "bfloat16 compute")
 
@@ -128,6 +134,23 @@ def make_tokenizer(args, vocab_size: int):
     if added and not tok.added_tokens:
         tok.added_tokens.update(added)
     return tok
+
+
+def make_tokenizer2(args, cfg):
+    """SDXL second (OpenCLIP) tokenizer: prefer the checkpoint dir's own
+    ``tokenizer_2/`` (its "!" pad token differs from CLIP-L's); None for
+    single-encoder families or when no dir ships one — SDPipeline then
+    falls back to the primary tokenizer (pad ids only differ)."""
+    if getattr(cfg, "clip2", None) is None:
+        return None
+    from sdbc_tpu.data.tokenizer import CLIPTokenizer
+
+    for base in (getattr(args, "diffusers_ckpt", "") or "",
+                 getattr(args, "ckpt", "") or ""):
+        d = os.path.join(base, "tokenizer_2") if base else ""
+        if d and os.path.exists(os.path.join(d, "vocab.json")):
+            return CLIPTokenizer.from_pretrained(d)
+    return None
 
 
 def resolve_params_cfg(args):
@@ -210,19 +233,30 @@ def resolve_params_cfg(args):
         return finish(params, cfg)
 
     sched = args.scheduler or "ddim"
-    cfg = (PipelineConfig.tiny(sched) if args.tiny
-           else PipelineConfig.sd15(sched))
-    if not args.tiny:
-        print("WARNING: no --ckpt given; using RANDOM SD-1.5 weights "
+    family = getattr(args, "model_family", "sd15")
+    if args.tiny:
+        cfg = (PipelineConfig.tiny_xl(sched) if family == "sdxl"
+               else PipelineConfig.tiny(sched))
+    else:
+        cfg = {"sd15": PipelineConfig.sd15,
+               "sd21": PipelineConfig.sd21,
+               "sdxl": PipelineConfig.sdxl}[family](sched)
+        print(f"WARNING: no --ckpt given; using RANDOM {family} weights "
               "(zero-egress image — port real weights via models/port.py)")
     @jax.jit  # single compiled init: avoids per-layer dispatch roundtrips
     def build(key):
+        # split(3) kept for the single-encoder families: the historical
+        # draw order pins fresh-init determinism across versions
         k1, k2, k3 = jax.random.split(key, 3)
-        return {
+        p = {
             "text_encoder": clip.init(k1, cfg.clip),
             "unet": unet.init(k2, cfg.unet),
             "vae": vae.init(k3, cfg.vae),
         }
+        if cfg.clip2 is not None:  # SDXL second encoder
+            p["text_encoder_2"] = clip.init(jax.random.fold_in(key, 2),
+                                            cfg.clip2)
+        return p
 
     return finish(build(jax.random.key(args.seed)), cfg)
 

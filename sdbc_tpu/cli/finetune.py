@@ -107,7 +107,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "--train_unet, as in the reference "
                         "finetune_sd.py:146-149; an explicit --no-grad_ckpt "
                         "overrides the force — on TPU full-UNet training "
-                        "fits without remat at micro-batch 2 and runs ~23% "
+                        "fits without remat at micro-batch 2 and runs ~23%% "
                         "faster, PERF_NOTES round 3)")
     p.add_argument("--remat_mode", type=str, default="block",
                    choices=["block", "selective"],
@@ -238,6 +238,21 @@ def main(argv=None):
         resume_meta = ckpt_mod.load_metadata(resume_path)
     else:
         params, cfg = common.resolve_params_cfg(args)
+    is_xl = cfg.clip2 is not None
+    if is_xl and use_ti:
+        raise SystemExit("--ti_token is not wired for the SDXL family "
+                         "(the placeholder rows would exist in only one of "
+                         "the two encoder tables) — use --lora_rank or "
+                         "full fine-tuning")
+    if is_xl and use_cn:
+        raise SystemExit("--train_controlnet is SD-1/2-only for now (the "
+                         "control branch carries no text_time addition "
+                         "embedding)")
+    if is_xl and args.tp > 1:
+        raise SystemExit("SDXL with --tp is not validated (text_encoder_2 "
+                         "would replicate; the depth-stacked UNet blocks "
+                         "are untested under the model axis) — use plain "
+                         "data parallelism or --fsdp")
     if use_cn and "controlnet" not in params:
         # fresh branch: clone the base UNet's encoder half (zero output
         # convs ⇒ step 0 reproduces the base model bit-for-bit)
@@ -251,6 +266,15 @@ def main(argv=None):
             cfg.controlnet)
         print("fresh ControlNet cloned from the base UNet encoder")
     tok = common.make_tokenizer(args, cfg.clip.vocab_size)
+    tok2 = None
+    if is_xl:
+        if cfg.clip2.ctx != cfg.clip.ctx:
+            raise SystemExit("SDXL training assumes both encoders share one "
+                             f"context length (got {cfg.clip.ctx} vs "
+                             f"{cfg.clip2.ctx})")
+        # same pipeline fallback as SDPipeline: the two tokenizers differ
+        # only in pad id, which the bigG encoder ignores past eos
+        tok2 = common.make_tokenizer2(args, cfg) or tok
     ti_ids, ti_init_ids = None, None
     if use_ti:
         ti_ids = tok.add_placeholder(args.ti_token, args.ti_vectors)
@@ -266,7 +290,7 @@ def main(argv=None):
         include_desc=args.include_desc, max_length=cfg.clip.ctx,
         seed=args.seed, prompt_bank=args.prompt_bank,
         style_token=args.ti_token.strip().lower() if use_ti else "")
-    ds = GoodreadsDataset(dcfg, tok)
+    ds = GoodreadsDataset(dcfg, tok, tokenizer2=tok2)
     if use_ti and len(ds):
         # a long title can push the style suffix past the context window —
         # the placeholder ids then never reach the text encoder and the
@@ -310,7 +334,8 @@ def main(argv=None):
         ti_token=args.ti_token, ti_vectors=args.ti_vectors,
         ema_decay=args.ema_decay, min_snr_gamma=args.min_snr_gamma,
         noise_offset=args.noise_offset,
-        train_controlnet=use_cn, control_hint=args.control_hint)
+        train_controlnet=use_cn, control_hint=args.control_hint,
+        dual_text_encoder=is_xl)
 
     state = init_train_state(
         params, tcfg, dp_size=dp, compute_dtype=dt,
@@ -570,7 +595,7 @@ def main(argv=None):
 
         pipe = SDPipeline(
             merged_params(state, tcfg, use_ema=state.ema is not None),
-            cfg, tok, compute_dtype=dt)
+            cfg, tok, compute_dtype=dt, tokenizer2=tok2)
         grid_dir = os.path.join(tracker.dir, "grids")
         for include_desc in (False,):
             _, _, path = visualize_prompts(

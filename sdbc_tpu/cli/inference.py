@@ -157,7 +157,8 @@ def main(argv=None):
         raise SystemExit("--spatial requires --tp (it lays the mesh; "
                          "use --tp 1 for pure row sharding)")
     pipe = SDPipeline(params, cfg, tok, compute_dtype=common.compute_dtype(args),
-                      mesh=mesh, spatial=args.spatial)
+                      mesh=mesh, spatial=args.spatial,
+                      tokenizer2=common.make_tokenizer2(args, cfg))
 
     save_dir = os.path.join(args.save_dir, f"{args.run_id} inference")
     os.makedirs(save_dir, exist_ok=True)

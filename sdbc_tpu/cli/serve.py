@@ -155,7 +155,8 @@ def main(argv=None):
     params, cfg = common.resolve_params_cfg(args)
     tok = common.make_tokenizer(args, cfg.clip.vocab_size)
     pipe = SDPipeline(params, cfg, tok,
-                      compute_dtype=common.compute_dtype(args))
+                      compute_dtype=common.compute_dtype(args),
+                      tokenizer2=common.make_tokenizer2(args, cfg))
     if args.warmup:
         print(f"[serve] warming up ({args.num_inference_steps} steps, "
               f"{args.img_size}px, scheduler {cfg.scheduler})...", flush=True)

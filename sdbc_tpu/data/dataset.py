@@ -53,11 +53,17 @@ class DatasetConfig:
 class GoodreadsDataset:
     """Map-style dataset over the preprocessed Goodreads cover CSV."""
 
-    def __init__(self, cfg: DatasetConfig, tokenizer, test_speed: bool = False):
+    def __init__(self, cfg: DatasetConfig, tokenizer, test_speed: bool = False,
+                 tokenizer2=None):
+        """``tokenizer2``: SDXL's second (OpenCLIP) tokenizer — when set,
+        every item/batch additionally carries ``input_ids_2`` (the SAME
+        drawn prompt encoded by both tokenizers, as the dual-encoder
+        conditioning stack expects)."""
         import pandas as pd
 
         self.cfg = cfg
         self.tokenizer = tokenizer
+        self.tokenizer2 = tokenizer2
         self.test_speed = test_speed
         csv_path = os.path.join(cfg.data_root, cfg.csv_name)
         self.df = pd.read_csv(csv_path, index_col=0)
@@ -136,9 +142,13 @@ class GoodreadsDataset:
         prompt = self.prompt_for(idx)
         ids = np.asarray(self.tokenizer.encode(prompt, self.cfg.max_length),
                          np.int32)
+        out = {"pixel_values": pixels, "input_ids": ids, "prompt": prompt}
+        if self.tokenizer2 is not None:
+            out["input_ids_2"] = np.asarray(
+                self.tokenizer2.encode(prompt, self.cfg.max_length), np.int32)
         if self.test_speed:  # reference's per-item timing hook (utils.py:120-122)
             print(f"item {idx}: {time.perf_counter() - t0:.4f}s")
-        return {"pixel_values": pixels, "input_ids": ids, "prompt": prompt}
+        return out
 
 
 def decode_pixels(dataset: GoodreadsDataset, indices, num_workers: int = 4,
@@ -212,11 +222,18 @@ def make_dataloader(dataset: GoodreadsDataset, micro_batch: int,
         if local_sel is not None:
             batch_indices = [batch_indices[i] for i in local_sel]
         # prompt draws are serial in all paths (per-idx-keyed rng makes them
-        # order-independent anyway; serial keeps the code one shape)
+        # order-independent anyway; serial keeps the code one shape).
+        # Draw each prompt ONCE per index (prompt_for advances the per-idx
+        # visit count) and encode it with both tokenizers when dual.
+        prompts = [dataset.prompt_for(i) for i in batch_indices]
         ids = np.stack([
-            np.asarray(dataset.tokenizer.encode(
-                dataset.prompt_for(i), dataset.cfg.max_length), np.int32)
-            for i in batch_indices])
+            np.asarray(dataset.tokenizer.encode(pr, dataset.cfg.max_length),
+                       np.int32) for pr in prompts])
+        ids2 = None
+        if dataset.tokenizer2 is not None:
+            ids2 = np.stack([
+                np.asarray(dataset.tokenizer2.encode(
+                    pr, dataset.cfg.max_length), np.int32) for pr in prompts])
         if latent_cache is not None:
             cmean, clogvar = latent_cache
             idx = np.asarray(batch_indices)
@@ -228,6 +245,8 @@ def make_dataloader(dataset: GoodreadsDataset, micro_batch: int,
             payload = {"pixel_values": decode_pixels(
                 dataset, batch_indices, num_workers, pool=pil_pool)}
         payload["input_ids"] = ids
+        if ids2 is not None:
+            payload["input_ids_2"] = ids2
         mb = micro_batch if local_sel is None else n_micro_local
         a = len(batch_indices) // mb
         out = {k: v.reshape(a, mb, *v.shape[1:]) for k, v in payload.items()}

@@ -935,7 +935,7 @@ class SDPipeline:
 
     def __init__(self, params, cfg: PipelineConfig, tokenizer,
                  compute_dtype=jnp.bfloat16, mesh=None, spatial=False,
-                 attn_impl: Optional[str] = None):
+                 attn_impl: Optional[str] = None, tokenizer2=None):
         """``mesh``: optional jax.sharding.Mesh for multi-chip serving.  The
         batch shards over its ``data`` axis; a ``model`` axis > 1 additionally
         shards the weights Megatron-style (parallel/specs.py) so one sample
@@ -992,11 +992,25 @@ class SDPipeline:
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
+        # SDXL (cfg.clip2 set): the second (OpenCLIP) tokenizer.  Its BPE
+        # table matches the first's; only the pad token differs ("!" id 0
+        # instead of the eos token) — so falling back to the primary
+        # tokenizer changes pad ids only, which the bigG encoder was
+        # trained to ignore past eos.  Explicit is still better: pass the
+        # checkpoint's own tokenizer_2 when porting real weights.
+        self.tokenizer2 = tokenizer2
+        if cfg.is_sdxl and tokenizer2 is None:
+            self.tokenizer2 = tokenizer
         self.compute_dtype = compute_dtype
 
     def tokenize(self, prompts: Sequence[str]) -> np.ndarray:
         return np.asarray(self.tokenizer.batch_encode(prompts, self.cfg.clip.ctx),
                           np.int32)
+
+    def tokenize2(self, prompts: Sequence[str]) -> np.ndarray:
+        return np.asarray(
+            self.tokenizer2.batch_encode(prompts, self.cfg.clip2.ctx),
+            np.int32)
 
     BATCH_BUCKETS = (1, 2, 4, 8, 16, 32)
 
@@ -1106,6 +1120,14 @@ class SDPipeline:
         else:
             cond = jnp.asarray(self.tokenize(prompts))
             uncond = jnp.asarray(self.tokenize(negative_prompt))
+        cond2 = uncond2 = None
+        if self.cfg.is_sdxl:
+            if prompt_weighting:
+                raise NotImplementedError(
+                    "prompt_weighting is not yet wired for SDXL's dual "
+                    "encoders")
+            cond2 = jnp.asarray(self.tokenize2(prompts))
+            uncond2 = jnp.asarray(self.tokenize2(negative_prompt))
         # independent streams for the initial latents and the (ddpm)
         # sampler: never reuse a consumed key.  The fixed-latent parity
         # path (latents given) keeps key(seed) for the sampler, matching
@@ -1199,12 +1221,17 @@ class SDPipeline:
                 if cond_w is not None:
                     cond_w = jax.device_put(cond_w, rep)
                     uncond_w = jax.device_put(uncond_w, rep)
+                if cond2 is not None:
+                    cond2 = jax.device_put(cond2, rep)
+                    uncond2 = jax.device_put(uncond2, rep)
             else:
                 put = lambda x: jax.device_put(
                     x, data_sharding(self.mesh, jnp.ndim(x)))
                 cond, uncond, latents = put(cond), put(uncond), put(latents)
                 if cond_w is not None:
                     cond_w, uncond_w = put(cond_w), put(uncond_w)
+                if cond2 is not None:
+                    cond2, uncond2 = put(cond2), put(uncond2)
                 if img_arr is not None:
                     img_arr = put(img_arr)
                 if mask_arr is not None:
@@ -1224,7 +1251,8 @@ class SDPipeline:
                       use_karras_sigmas=bool(use_karras_sigmas),
                       control_image=ctrl_arr,
                       controlnet_scale=controlnet_scale,
-                      cond_weights=cond_w, uncond_weights=uncond_w)
+                      cond_weights=cond_w, uncond_weights=uncond_w,
+                      cond_ids2=cond2, uncond_ids2=uncond2)
         return np.asarray(imgs)[:b]
 
     def img2img(self, prompts, image, *, strength: float = 0.8, **kw):

@@ -93,11 +93,25 @@ def _port_resnet(sd, pfx):
     return p
 
 
-def _port_transformer(sd, pfx):
-    tb = f"{pfx}.transformer_blocks.0"
+def _proj_conv(sd, name):
+    """Spatial-transformer proj_in/proj_out → our 1×1-conv layout.
+
+    SD-1/2 store these as 1×1 convs; SDXL (use_linear_projection=True)
+    stores 2-D linear weights — mathematically the same per-pixel map, so a
+    (out, in) linear becomes a (1, 1, in, out) conv kernel.
+    """
+    w = sd[f"{name}.weight"]
+    if w.ndim == 2:
+        p = {"w": jnp.asarray(
+            np.transpose(w, (1, 0))[None, None].astype(np.float32))}
+        if f"{name}.bias" in sd:
+            p["b"] = jnp.asarray(sd[f"{name}.bias"].astype(np.float32))
+        return p
+    return _conv(sd, name)
+
+
+def _port_basic_block(sd, tb):
     return {
-        "norm": _norm(sd, f"{pfx}.norm"),
-        "proj_in": _conv(sd, f"{pfx}.proj_in"),
         "ln1": _norm(sd, f"{tb}.norm1"),
         "attn1": {
             "q": _linear(sd, f"{tb}.attn1.to_q"),
@@ -115,8 +129,27 @@ def _port_transformer(sd, pfx):
         "ln3": _norm(sd, f"{tb}.norm3"),
         "geglu": _linear(sd, f"{tb}.ff.net.0.proj"),
         "ff_out": _linear(sd, f"{tb}.ff.net.2"),
-        "proj_out": _conv(sd, f"{pfx}.proj_out"),
     }
+
+
+def _port_transformer(sd, pfx):
+    p = {
+        "norm": _norm(sd, f"{pfx}.norm"),
+        "proj_in": _proj_conv(sd, f"{pfx}.proj_in"),
+        "proj_out": _proj_conv(sd, f"{pfx}.proj_out"),
+    }
+    depth = 0
+    while f"{pfx}.transformer_blocks.{depth}.norm1.weight" in sd:
+        depth += 1
+    if depth == 1:  # SD-1/2: the historical flat layout
+        p.update(_port_basic_block(sd, f"{pfx}.transformer_blocks.0"))
+    else:  # SDXL: stacked depth-N blocks (models/unet.py scans them)
+        import jax
+
+        blocks = [_port_basic_block(sd, f"{pfx}.transformer_blocks.{i}")
+                  for i in range(depth)]
+        p["blocks"] = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+    return p
 
 
 def port_unet(sd: Dict[str, np.ndarray]) -> dict:
@@ -130,6 +163,11 @@ def port_unet(sd: Dict[str, np.ndarray]) -> dict:
         "norm_out": _norm(sd, "conv_norm_out"),
         "conv_out": _conv(sd, "conv_out"),
     }
+    if "add_embedding.linear_1.weight" in sd:  # SDXL text_time embedding
+        p["add_mlp"] = {
+            "fc1": _linear(sd, "add_embedding.linear_1"),
+            "fc2": _linear(sd, "add_embedding.linear_2"),
+        }
 
     def block(prefix):
         blk = {"resnets": [], "attns": []}
@@ -365,7 +403,7 @@ def port_clip_text(sd: Dict[str, np.ndarray]) -> dict:
     import jax
 
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
-    return {
+    out = {
         "token_embedding": {"table": jnp.asarray(
             sd[f"{pfx}embeddings.token_embedding.weight"].astype(np.float32))},
         "position_embedding": {"table": jnp.asarray(
@@ -373,6 +411,11 @@ def port_clip_text(sd: Dict[str, np.ndarray]) -> dict:
         "layers": stacked,
         "final_ln": _norm(sd, f"{pfx}final_layer_norm"),
     }
+    if "text_projection.weight" in sd:
+        # CLIPTextModelWithProjection (SDXL text_encoder_2): bias-free
+        # pooled-output projection
+        out["text_projection"] = _linear(sd, "text_projection")
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -411,11 +454,24 @@ def unet_config_from_diffusers(cfg: dict):
             f"{down}; this UNet layout is unsupported")
     heads = cfg.get("attention_head_dim", 8)
     if isinstance(heads, (list, tuple)):
-        # SD-2.x style: one entry per block (5,10,20,20)
+        # SD-2.x/XL style: one entry per block (5,10,20[,20])
         heads = tuple(heads) if len(set(heads)) > 1 else heads[0]
     # diffusers-0.7.2 passes attention_head_dim as Transformer2DModel's
     # num_attention_heads (the SD-1.x value 8 and SD-2.x's per-block
     # (5,10,20,20) are head COUNTS under that era's constructor quirk)
+    depth = cfg.get("transformer_layers_per_block", 1)
+    if isinstance(depth, (list, tuple)):
+        depth = tuple(depth) if len(set(depth)) > 1 else depth[0]
+    add_type = cfg.get("addition_embed_type")
+    add_dim = None
+    if add_type == "text_time":  # SDXL micro-conditioning
+        add_dim = cfg.get("projection_class_embeddings_input_dim")
+        if not add_dim:
+            raise ValueError("addition_embed_type=text_time needs "
+                             "projection_class_embeddings_input_dim")
+    elif add_type:
+        raise ValueError(f"unsupported addition_embed_type {add_type!r} "
+                         "(only SDXL's 'text_time' is implemented)")
     return UNetConfig(
         in_channels=cfg.get("in_channels", 4),
         out_channels=cfg.get("out_channels", 4),
@@ -426,6 +482,9 @@ def unet_config_from_diffusers(cfg: dict):
         attention_heads=heads,
         norm_groups=cfg.get("norm_num_groups", 32),
         cross_attn_blocks=cross,
+        transformer_depth=depth,
+        addition_embed_dim=add_dim,
+        addition_time_embed_dim=cfg.get("addition_time_embed_dim", 256),
     )
 
 
@@ -453,6 +512,11 @@ def clip_config_from_diffusers(cfg: dict):
     """transformers CLIPTextConfig json → models/clip.CLIPTextConfig."""
     from sdbc_tpu.models.clip import CLIPTextConfig
 
+    # projection_dim is present (default 512) in EVERY transformers CLIP
+    # config; only CLIPTextModelWithProjection (SDXL text_encoder_2)
+    # actually owns projection weights — gate on the architecture tag
+    with_proj = "CLIPTextModelWithProjection" in (cfg.get("architectures")
+                                                  or [])
     return CLIPTextConfig(
         vocab_size=cfg.get("vocab_size", 49408),
         hidden=cfg.get("hidden_size", 768),
@@ -462,6 +526,7 @@ def clip_config_from_diffusers(cfg: dict):
         ctx=cfg.get("max_position_embeddings", 77),
         eps=cfg.get("layer_norm_eps", 1e-5),
         act=cfg.get("hidden_act", "quick_gelu"),
+        projection_dim=cfg.get("projection_dim") if with_proj else None,
     )
 
 
@@ -491,6 +556,15 @@ def pipeline_config_from_diffusers(root: str, scheduler: str = "ddim"):
     p = os.path.join(root, "text_encoder", "config.json")
     if os.path.exists(p):
         clip_cfg = clip_config_from_diffusers(_read_json(p))
+    clip2_cfg = None
+    p = os.path.join(root, "text_encoder_2", "config.json")
+    if os.path.exists(p):  # SDXL second encoder
+        clip2_cfg = clip_config_from_diffusers(_read_json(p))
+        if not unet_cfg.addition_embed_dim:
+            raise ValueError(
+                f"{root} has a text_encoder_2 but its UNet config carries no "
+                "text_time addition embedding — not an SDXL layout this "
+                "framework recognizes")
     schedule = ScheduleConfig.sd15()
     p = os.path.join(root, "scheduler", "scheduler_config.json")
     if os.path.exists(p):
@@ -499,7 +573,8 @@ def pipeline_config_from_diffusers(root: str, scheduler: str = "ddim"):
             schedule = dataclasses.replace(
                 schedule, prediction_type=sc["prediction_type"])
     return PipelineConfig(clip=clip_cfg, unet=unet_cfg, vae=vae_cfg,
-                          schedule=schedule, scheduler=scheduler)
+                          schedule=schedule, scheduler=scheduler,
+                          clip2=clip2_cfg)
 
 
 # ---------------------------------------------------------------------------
@@ -513,6 +588,7 @@ def port_diffusers_checkpoint(root: str) -> dict:
         "unet": port_unet,
         "vae": port_vae,
         "text_encoder": port_clip_text,
+        "text_encoder_2": port_clip_text,  # SDXL (WithProjection handled)
     }
     for comp, fn in mapping.items():
         cdir = os.path.join(root, comp)
@@ -559,10 +635,7 @@ def _exp_resnet(out, pfx, p):
         _exp_conv(out, f"{pfx}.conv_shortcut", p["shortcut"])
 
 
-def _exp_transformer(out, pfx, p):
-    tb = f"{pfx}.transformer_blocks.0"
-    _exp_norm(out, f"{pfx}.norm", p["norm"])
-    _exp_conv(out, f"{pfx}.proj_in", p["proj_in"])
+def _exp_basic_block(out, tb, p):
     _exp_norm(out, f"{tb}.norm1", p["ln1"])
     _exp_norm(out, f"{tb}.norm2", p["ln2"])
     _exp_norm(out, f"{tb}.norm3", p["ln3"])
@@ -573,6 +646,33 @@ def _exp_transformer(out, pfx, p):
         _exp_linear(out, f"{tb}.{tname}.to_out.0", p[attn]["o"])
     _exp_linear(out, f"{tb}.ff.net.0.proj", p["geglu"])
     _exp_linear(out, f"{tb}.ff.net.2", p["ff_out"])
+
+
+def _exp_proj_linear(out, name, p):
+    """Write our (1,1,in,out) conv kernel back as a 2-D (out,in) linear —
+    the SDXL use_linear_projection layout."""
+    w = np.asarray(p["w"])
+    out[f"{name}.weight"] = np.ascontiguousarray(
+        np.transpose(w[0, 0], (1, 0)))
+    if "b" in p:
+        out[f"{name}.bias"] = np.asarray(p["b"])
+
+
+def _exp_transformer(out, pfx, p):
+    _exp_norm(out, f"{pfx}.norm", p["norm"])
+    if "blocks" in p:
+        # depth>1 ⇒ SDXL convention: linear proj_in/out, unstacked blocks
+        import jax
+
+        _exp_proj_linear(out, f"{pfx}.proj_in", p["proj_in"])
+        _exp_proj_linear(out, f"{pfx}.proj_out", p["proj_out"])
+        depth = np.asarray(p["blocks"]["ln1"]["scale"]).shape[0]
+        for i in range(depth):
+            blk = jax.tree.map(lambda x: x[i], p["blocks"])
+            _exp_basic_block(out, f"{pfx}.transformer_blocks.{i}", blk)
+        return
+    _exp_conv(out, f"{pfx}.proj_in", p["proj_in"])
+    _exp_basic_block(out, f"{pfx}.transformer_blocks.0", p)
     _exp_conv(out, f"{pfx}.proj_out", p["proj_out"])
 
 
@@ -581,6 +681,9 @@ def export_unet(params: dict) -> Dict[str, np.ndarray]:
     _exp_conv(out, "conv_in", params["conv_in"])
     _exp_linear(out, "time_embedding.linear_1", params["time_mlp"]["fc1"])
     _exp_linear(out, "time_embedding.linear_2", params["time_mlp"]["fc2"])
+    if "add_mlp" in params:  # SDXL text_time embedding
+        _exp_linear(out, "add_embedding.linear_1", params["add_mlp"]["fc1"])
+        _exp_linear(out, "add_embedding.linear_2", params["add_mlp"]["fc2"])
     _exp_norm(out, "conv_norm_out", params["norm_out"])
     _exp_conv(out, "conv_out", params["conv_out"])
 
@@ -686,6 +789,8 @@ def export_clip_text(params: dict) -> Dict[str, np.ndarray]:
         _exp_linear(out, f"{lp}.self_attn.out_proj", layer["attn"]["o"])
         _exp_linear(out, f"{lp}.mlp.fc1", layer["mlp"]["fc1"])
         _exp_linear(out, f"{lp}.mlp.fc2", layer["mlp"]["fc2"])
+    if "text_projection" in params:  # CLIPTextModelWithProjection (SDXL)
+        _exp_linear(out, "text_projection", params["text_projection"])
     return out
 
 
@@ -701,7 +806,7 @@ def _unet_config_to_diffusers(c) -> dict:
     up = ["CrossAttnUpBlock2D" if x else "UpBlock2D"
           for x in reversed(c.cross_attn_blocks)]
     heads = c.attention_heads
-    return {
+    out = {
         "_class_name": "UNet2DConditionModel",
         "_diffusers_version": "0.7.2",
         "in_channels": c.in_channels,
@@ -719,6 +824,18 @@ def _unet_config_to_diffusers(c) -> dict:
         "act_fn": "silu",
         "sample_size": 64,
     }
+    depth = c.transformer_depth
+    if (isinstance(depth, (tuple, list)) and max(depth) > 1) or \
+            (isinstance(depth, int) and depth > 1):
+        out["transformer_layers_per_block"] = (
+            list(depth) if isinstance(depth, (tuple, list)) else depth)
+        out["use_linear_projection"] = True  # the SDXL weight layout we emit
+    if c.addition_embed_dim:
+        out["addition_embed_type"] = "text_time"
+        out["projection_class_embeddings_input_dim"] = c.addition_embed_dim
+        out["addition_time_embed_dim"] = c.addition_time_embed_dim
+        out["sample_size"] = 128
+    return out
 
 
 def _vae_config_to_diffusers(c) -> dict:
@@ -740,8 +857,9 @@ def _vae_config_to_diffusers(c) -> dict:
 
 
 def _clip_config_to_diffusers(c) -> dict:
-    return {
-        "architectures": ["CLIPTextModel"],
+    out = {
+        "architectures": ["CLIPTextModelWithProjection" if c.projection_dim
+                          else "CLIPTextModel"],
         "model_type": "clip_text_model",
         "vocab_size": c.vocab_size,
         "hidden_size": c.hidden,
@@ -752,6 +870,9 @@ def _clip_config_to_diffusers(c) -> dict:
         "layer_norm_eps": c.eps,
         "hidden_act": c.act,
     }
+    if c.projection_dim:
+        out["projection_dim"] = c.projection_dim
+    return out
 
 
 def export_diffusers_checkpoint(params: dict, cfg, out_dir: str) -> str:
@@ -775,7 +896,13 @@ def export_diffusers_checkpoint(params: dict, cfg, out_dir: str) -> str:
                          _clip_config_to_diffusers(cfg.clip),
                          "model.safetensors"),
     }
-    index = {"_class_name": "StableDiffusionPipeline",
+    if getattr(cfg, "clip2", None) is not None:  # SDXL second encoder
+        layout["text_encoder_2"] = (export_clip_text,
+                                    _clip_config_to_diffusers(cfg.clip2),
+                                    "model.safetensors")
+    index = {"_class_name": ("StableDiffusionXLPipeline"
+                             if getattr(cfg, "clip2", None) is not None
+                             else "StableDiffusionPipeline"),
              "_diffusers_version": "0.7.2",
              "scheduler": ["diffusers", "PNDMScheduler"],
              "safety_checker": [None, None],
@@ -793,8 +920,10 @@ def export_diffusers_checkpoint(params: dict, cfg, out_dir: str) -> str:
         save_file(sd, os.path.join(cdir, fname))
         with open(os.path.join(cdir, "config.json"), "w") as f:
             json.dump(cjson, f, indent=2)
-        index[comp] = ["diffusers", cjson.get("_class_name")] \
-            if comp != "text_encoder" else ["transformers", "CLIPTextModel"]
+        if comp.startswith("text_encoder"):
+            index[comp] = ["transformers", cjson["architectures"][0]]
+        else:
+            index[comp] = ["diffusers", cjson.get("_class_name")]
     sdir = os.path.join(out_dir, "scheduler")
     os.makedirs(sdir, exist_ok=True)
     s = cfg.schedule

@@ -257,23 +257,33 @@ def _init_basic_block(key, dim, ctx_dim, heads):
 
 
 def _init_transformer(key, dim, ctx_dim, heads, depth: int = 1):
-    """depth=1 (SD-1/2) keeps the historical FLAT param layout (checkpoint /
-    golden / compile-cache compatibility); depth>1 (SDXL) stacks the blocks
-    into one scanned pytree under "blocks" — one compiled block body per
-    transformer instead of ``depth`` traced copies."""
-    ks = jax.random.split(key, depth + 3)
-    p = {
+    """depth=1 (SD-1/2) keeps the historical FLAT param layout AND key-draw
+    order (checkpoint / golden-fixture / compile-cache compatibility);
+    depth>1 (SDXL) stacks the blocks into one scanned pytree under
+    "blocks" — one compiled block body per transformer instead of ``depth``
+    traced copies."""
+    if depth == 1:
+        ks = jax.random.split(key, 6)
+        return {
+            "norm": nn.init_group_norm(dim),
+            "proj_in": nn.init_conv(ks[0], dim, dim, 1),
+            "ln1": nn.init_layer_norm(dim),
+            "attn1": _init_mha(ks[1], dim, dim, heads),
+            "ln2": nn.init_layer_norm(dim),
+            "attn2": _init_mha(ks[2], dim, ctx_dim, heads),
+            "ln3": nn.init_layer_norm(dim),
+            "geglu": nn.init_linear(ks[3], dim, 8 * dim),
+            "ff_out": nn.init_linear(ks[4], 4 * dim, dim),
+            "proj_out": nn.init_conv(ks[5], dim, dim, 1),
+        }
+    ks = jax.random.split(key, depth + 2)
+    blocks = [_init_basic_block(k, dim, ctx_dim, heads) for k in ks[2:]]
+    return {
         "norm": nn.init_group_norm(dim),
         "proj_in": nn.init_conv(ks[0], dim, dim, 1),
         "proj_out": nn.init_conv(ks[1], dim, dim, 1),
+        "blocks": jax.tree.map(lambda *xs: jnp.stack(xs), *blocks),
     }
-    if depth == 1:
-        p.update(_init_basic_block(ks[2], dim, ctx_dim, heads))
-    else:
-        blocks = [_init_basic_block(k, dim, ctx_dim, heads)
-                  for k in ks[2:2 + depth]]
-        p["blocks"] = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
-    return p
 
 
 def _basic_block(p, y, ctx, heads, attn_impl="auto"):

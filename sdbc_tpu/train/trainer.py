@@ -33,7 +33,8 @@ from sdbc_tpu.diffusion import schedulers as sched_mod
 from sdbc_tpu.models import clip as clip_mod
 from sdbc_tpu.models import unet as unet_mod
 from sdbc_tpu.models import vae as vae_mod
-from sdbc_tpu.diffusion.pipeline import PipelineConfig
+from sdbc_tpu.diffusion.pipeline import (PipelineConfig, _xl_added_cond,
+                                         encode_text_xl)
 from sdbc_tpu.utils.dtypes import cast_floating
 
 
@@ -99,6 +100,12 @@ class TrainConfig:
     # dataset columns.  Requires params["controlnet"] + cfg.controlnet.
     train_controlnet: bool = False
     control_hint: str = "edges"        # "edges" (Sobel) | "image" (identity)
+    # SDXL (cfg.clip2 set): train_text_encoder then covers BOTH encoders
+    # (the two are one conditioning stack — tuning only CLIP-L would skew
+    # the concatenated context against the frozen pooled embedding).  Set
+    # by the finetune CLI from cfg.is_sdxl; library callers must keep it
+    # consistent with the PipelineConfig they pass to make_train_step.
+    dual_text_encoder: bool = False
     # NOTE: no `seed` field — all training RNG comes from the explicit
     # `key` argument to the step function (utils/prng.py discipline); a
     # config seed here would look authoritative while doing nothing
@@ -116,6 +123,8 @@ class TrainConfig:
             keys.append("unet")
         if self.train_text_encoder:
             keys.append("text_encoder")
+            if self.dual_text_encoder:
+                keys.append("text_encoder_2")
         return tuple(keys)
 
 
@@ -133,6 +142,17 @@ class TrainState(NamedTuple):
 def _split_params(params, tcfg: TrainConfig, compute_dtype=jnp.bfloat16,
                   key=None, ti_init_ids=None):
     tkeys = tcfg.trainable_keys()
+    if tcfg.dual_text_encoder and tcfg.ti_token:
+        raise ValueError(
+            "textual inversion is not wired for the SDXL family: the "
+            "placeholder rows would exist only in the first encoder's "
+            "table while the second tokenizer/encoder never sees the "
+            "token — train both tables or use LoRA/full fine-tuning")
+    if tcfg.dual_text_encoder and tcfg.train_controlnet:
+        raise ValueError(
+            "train_controlnet is SD-1/2-only for now: the control branch "
+            "(models/controlnet.py) carries no text_time addition "
+            "embedding, so it cannot consume SDXL conditioning")
     if tcfg.train_controlnet:
         if tcfg.lora_rank > 0 or tcfg.ti_token:
             raise ValueError("train_controlnet is a full-branch mode; it "
@@ -318,8 +338,29 @@ def diffusion_loss(trainable, frozen, batch, key, cfg: PipelineConfig,
     t = jax.random.randint(kt, (bsz,), 0, cfg.schedule.num_train_timesteps)
     noisy = sched_mod.ddpm_add_noise(sched, latents, noise, t).astype(dt)
 
-    ctx = clip_mod.apply(params["text_encoder"], ids, cfg.clip,
-                         compute_dtype=dt)
+    added_cond = None
+    if cfg.clip2 is not None:
+        # SDXL conditioning: concatenated dual-encoder context + the
+        # text_time addition embedding.  Training images are plain bicubic
+        # resizes (data/dataset.py decode_and_prepare — no cropping), so the
+        # size/crop micro-conditioning is the uncropped native-resolution
+        # sextuple (S, S, 0, 0, S, S) with S recovered from the latent grid
+        # (f = 2^(levels-1), 8 for the SDXL VAE).
+        if "input_ids_2" not in batch:
+            raise ValueError(
+                "SDXL training (cfg.clip2 set) needs batch['input_ids_2'] "
+                "from the second tokenizer — build GoodreadsDataset with "
+                "tokenizer2 (the finetune CLI does this automatically)")
+        ctx, pooled = encode_text_xl(params, ids, batch["input_ids_2"],
+                                     cfg, dt)
+        s = latents.shape[1] * 2 ** (len(cfg.vae.block_out_channels) - 1)
+        time_ids = jnp.broadcast_to(
+            jnp.asarray([s, s, 0, 0, s, s], jnp.float32), (bsz, 6))
+        added_cond = _xl_added_cond(pooled, time_ids,
+                                    cfg.unet.addition_time_embed_dim)
+    else:
+        ctx = clip_mod.apply(params["text_encoder"], ids, cfg.clip,
+                             compute_dtype=dt)
     control_residuals = None
     if tcfg.train_controlnet:
         from sdbc_tpu.models import controlnet as cn_mod
@@ -340,7 +381,8 @@ def diffusion_loss(trainable, frozen, batch, key, cfg: PipelineConfig,
     pred = unet_mod.apply(params["unet"], noisy, t, ctx, cfg.unet,
                           remat=tcfg.grad_ckpt, remat_mode=tcfg.remat_mode,
                           attn_impl=attn_impl,
-                          control_residuals=control_residuals)
+                          control_residuals=control_residuals,
+                          added_cond=added_cond)
     if cfg.schedule.prediction_type == "v_prediction":
         target = sched_mod.velocity_target(sched, latents, noise, t)
     else:  # epsilon (the reference's objective, finetune_sd.py:483)
@@ -437,6 +479,8 @@ def make_train_step(cfg: PipelineConfig, tcfg: TrainConfig, mesh=None,
     sh = NamedSharding(mesh, P(None, "data"))
     data_keys = (("latent_mean", "latent_logvar") if cached_latents
                  else ("pixel_values",)) + ("input_ids",)
+    if tcfg.dual_text_encoder:  # SDXL: second tokenizer's ids ride along
+        data_keys += ("input_ids_2",)
     batch_sh = {k: sh for k in data_keys}
     return jax.jit(
         step_fn,

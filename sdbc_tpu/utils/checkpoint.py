@@ -33,7 +33,7 @@ from sdbc_tpu.models.vae import VAEConfig
 
 # "controlnet" is optional — present only on ControlNet-training runs
 # (models/controlnet.py); both save and load skip absent components
-COMPONENTS = ("text_encoder", "unet", "vae", "controlnet")
+COMPONENTS = ("text_encoder", "text_encoder_2", "unet", "vae", "controlnet")
 
 
 def _ckpt():
@@ -210,6 +210,8 @@ def config_to_json(cfg: PipelineConfig) -> dict:
         out["controlnet"] = {
             "conditioning_channels":
                 list(cfg.controlnet.conditioning_channels)}
+    if cfg.clip2 is not None:  # SDXL second encoder
+        out["clip2"] = dataclasses.asdict(cfg.clip2)
     return out
 
 
@@ -235,6 +237,7 @@ def config_from_json(d: dict) -> PipelineConfig:
         schedule=ScheduleConfig(**d["schedule"]),
         scheduler=d.get("scheduler", "ddim"),
         controlnet=controlnet,
+        clip2=CLIPTextConfig(**d["clip2"]) if "clip2" in d else None,
     )
 
 

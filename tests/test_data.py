@@ -48,6 +48,24 @@ def test_dataloader_batch_shapes(dataset):
     assert b["input_ids"].shape == (2, 2, 16)
 
 
+def test_dual_tokenizer_batches(data_root):
+    """tokenizer2 (SDXL) ⇒ items/batches carry input_ids_2 encoding the
+    SAME drawn prompt as input_ids (one prompt draw per index)."""
+    cfg = DatasetConfig(data_root=data_root, img_size=32, max_length=16,
+                        legible_text_prob=0.5)
+    tok = CLIPTokenizer.fallback(1000)
+    ds = GoodreadsDataset(cfg, tok, tokenizer2=tok)
+    item = ds[0]
+    assert item["input_ids_2"].shape == (16,)
+    np.testing.assert_array_equal(item["input_ids"], item["input_ids_2"])
+    b = next(iter(make_dataloader(ds, micro_batch=2, grad_accum=2, seed=5)))
+    assert b["input_ids_2"].shape == (2, 2, 16)
+    # identical tokenizers ⇒ identical ids: proves both encodings come
+    # from one prompt draw (a second draw would advance the visit rng)
+    np.testing.assert_array_equal(np.asarray(b["input_ids"]),
+                                  np.asarray(b["input_ids_2"]))
+
+
 def test_dataloader_epoch_shuffling(dataset):
     b1 = next(iter(make_dataloader(dataset, 2, 1, seed=1)))
     b2 = next(iter(make_dataloader(dataset, 2, 1, seed=2)))

@@ -1,0 +1,393 @@
+"""SDXL family tests: dual-encoder conditioning, pooled projection parity
+with transformers, depth-stacked transformer blocks, text_time addition
+embedding (plain + hoisted), port/export roundtrip, pipeline wiring.
+
+The reference tops out at SD-1.5 (finetune_sd.py:81, inference.py:421);
+SDXL is a beyond-reference family on the same TPU-native engine.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sdbc_tpu.diffusion.pipeline import PipelineConfig, SDPipeline, sample
+from sdbc_tpu.data.tokenizer import CLIPTokenizer
+from sdbc_tpu.models import clip, port, unet, vae
+from sdbc_tpu.utils.prng import per_sample_fixed_latents
+
+
+@pytest.fixture(scope="module")
+def xl_cfg():
+    return PipelineConfig.tiny_xl()
+
+
+@pytest.fixture(scope="module")
+def xl_params(xl_cfg):
+    ks = jax.random.split(jax.random.key(7), 4)
+    return {"text_encoder": clip.init(ks[0], xl_cfg.clip),
+            "text_encoder_2": clip.init(ks[1], xl_cfg.clip2),
+            "unet": unet.init(ks[2], xl_cfg.unet),
+            "vae": vae.init(ks[3], xl_cfg.vae)}
+
+
+@pytest.fixture(scope="module")
+def xl_pipe(xl_cfg, xl_params):
+    tok = CLIPTokenizer.fallback(xl_cfg.clip.vocab_size)
+    return SDPipeline(xl_params, xl_cfg, tok, compute_dtype=jnp.float32)
+
+
+# ------------------------------------------------------- encoder parity
+
+def test_clip_with_projection_parity_with_transformers(xl_cfg):
+    """apply_with_pooled vs transformers CLIPTextModelWithProjection: the
+    penultimate hidden state (no final LN) and the projected pooled output
+    must both match — true cross-implementation parity."""
+    torch = pytest.importorskip("torch")
+    from transformers import CLIPTextConfig as HFConfig
+    from transformers import CLIPTextModelWithProjection
+
+    c = xl_cfg.clip2
+    hf_cfg = HFConfig(
+        vocab_size=c.vocab_size, hidden_size=c.hidden,
+        intermediate_size=c.mlp, num_hidden_layers=c.layers,
+        num_attention_heads=c.heads, max_position_embeddings=c.ctx,
+        hidden_act=c.act, layer_norm_eps=c.eps,
+        projection_dim=c.projection_dim,
+        eos_token_id=c.vocab_size - 1)
+    torch.manual_seed(0)
+    model = CLIPTextModelWithProjection(hf_cfg).eval()
+    params = port.port_clip_text(
+        {k: v.numpy() for k, v in model.state_dict().items()})
+    assert "text_projection" in params
+
+    # eos (vocab-1) is also the max id, so both HF pooling generations
+    # (argmax-of-ids in 4.29, first-eos later) pick the same position
+    eos = c.vocab_size - 1
+    ids = np.array([[1, 5, 9, eos] + [0] * (c.ctx - 4),
+                    [3, 7, eos] + [0] * (c.ctx - 3)], np.int64)
+    with torch.no_grad():
+        out = model(input_ids=torch.from_numpy(ids),
+                    output_hidden_states=True)
+    ref_hidden = out.hidden_states[-2].numpy()  # penultimate, un-normed
+    ref_pooled = out.text_embeds.numpy()
+
+    hidden, pooled = clip.apply_with_pooled(
+        params, jnp.asarray(ids, jnp.int32), c, skip_layers=1, eot_id=eos)
+    np.testing.assert_allclose(np.asarray(hidden), ref_hidden, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(pooled), ref_pooled, atol=2e-4)
+
+
+def test_final_ln_flag_matches_hidden_states(xl_cfg):
+    """final_ln=False == transformers hidden_states[-1-skip] (raw)."""
+    c = xl_cfg.clip
+    params = clip.init(jax.random.key(1), c)
+    ids = jnp.ones((1, c.ctx), jnp.int32)
+    raw = clip.apply(params, ids, c, skip_layers=1, final_ln=False)
+    normed = clip.apply(params, ids, c, skip_layers=1)
+    assert not np.allclose(np.asarray(raw), np.asarray(normed))
+
+
+# --------------------------------------------- depth-stacked transformers
+
+def test_depth_stack_equals_sequential_blocks(xl_cfg, xl_params):
+    """The scanned depth-2 transformer == applying its two blocks one after
+    the other through a flat layout (same math, one compiled body)."""
+    blk = xl_params["unet"]["down"][1]["attns"][0]
+    assert "blocks" in blk
+    x = jax.random.normal(jax.random.key(3), (2, 4, 4, 64))
+    ctx = jax.random.normal(jax.random.key(4),
+                            (2, 16, xl_cfg.unet.cross_attention_dim))
+    stacked = unet._transformer(blk, x, ctx, 4, 8, attn_impl="xla")
+
+    shared = {"norm": blk["norm"], "proj_in": blk["proj_in"],
+              "proj_out": blk["proj_out"]}
+    b0 = jax.tree.map(lambda a: a[0], blk["blocks"])
+    b1 = jax.tree.map(lambda a: a[1], blk["blocks"])
+    y = unet._tfm_in(shared, x, 8)
+    y = unet._basic_block(b0, y, ctx, 4, "xla")
+    y = unet._basic_block(b1, y, ctx, 4, "xla")
+    manual = unet._tfm_out(shared, y, x)
+    np.testing.assert_allclose(np.asarray(stacked), np.asarray(manual),
+                               atol=1e-5)
+
+
+# ------------------------------------------------ addition embedding hoist
+
+def test_temb_hoist_matches_plain_added_cond(xl_cfg, xl_params):
+    """Sampling's hoisted (T, N, 1, 1, cout) tables == the unhoisted
+    added_cond path, per step."""
+    cfg = xl_cfg.unet
+    p = xl_params["unet"]
+    ts = jnp.asarray([7, 3, 1], jnp.int32)
+    lat = jax.random.normal(jax.random.key(5), (2, 8, 8, 4))
+    ctx = jax.random.normal(jax.random.key(6),
+                            (2, 16, cfg.cross_attention_dim))
+    added = jax.random.normal(jax.random.key(8), (2, cfg.addition_embed_dim))
+    tables = unet.precompute_temb(p, ts, cfg, dtype=jnp.float32,
+                                  added_cond=added)
+    for i in range(3):
+        tb = jnp.full((2,), ts[i], jnp.int32)
+        a = unet.apply(p, lat, tb, ctx, cfg, added_cond=added)
+        b = unet.apply(p, lat, tb, ctx, cfg,
+                       temb_proj=unet.index_temb(tables, i))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_apply_guards(xl_cfg, xl_params):
+    cfg = xl_cfg.unet
+    lat = jnp.zeros((1, 8, 8, 4))
+    ctx = jnp.zeros((1, 16, cfg.cross_attention_dim))
+    t = jnp.array([1])
+    with pytest.raises(ValueError, match="added_cond"):
+        unet.apply(xl_params["unet"], lat, t, ctx, cfg)
+    with pytest.raises(ValueError, match="added_cond"):
+        unet.precompute_temb(xl_params["unet"], t, cfg)
+
+
+# -------------------------------------------------------- port round trip
+
+def test_sdxl_export_port_roundtrip(tmp_path, xl_cfg, xl_params):
+    d = str(tmp_path / "xl")
+    port.export_diffusers_checkpoint(xl_params, xl_cfg, d)
+    cfg2 = port.pipeline_config_from_diffusers(d)
+    assert cfg2.unet == xl_cfg.unet
+    assert cfg2.clip2 == xl_cfg.clip2
+    assert cfg2.vae == xl_cfg.vae
+    back = port.port_diffusers_checkpoint(d)
+    assert jax.tree_util.tree_structure(back) == \
+        jax.tree_util.tree_structure(xl_params)
+    for a, b in zip(jax.tree_util.tree_leaves(xl_params),
+                    jax.tree_util.tree_leaves(back)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_sdxl_model_index_class(tmp_path, xl_cfg, xl_params):
+    import json
+    import os
+
+    d = str(tmp_path / "xl2")
+    port.export_diffusers_checkpoint(xl_params, xl_cfg, d)
+    with open(os.path.join(d, "model_index.json")) as f:
+        idx = json.load(f)
+    assert idx["_class_name"] == "StableDiffusionXLPipeline"
+    assert idx["text_encoder_2"] == ["transformers",
+                                     "CLIPTextModelWithProjection"]
+    # the UNet config records the SDXL-specific fields
+    with open(os.path.join(d, "unet", "config.json")) as f:
+        uc = json.load(f)
+    assert uc["addition_embed_type"] == "text_time"
+    assert uc["transformer_layers_per_block"] == [1, 2]
+    assert uc["use_linear_projection"] is True
+
+
+def test_linear_projection_port(tmp_path, xl_cfg, xl_params):
+    """A state dict with 2-D (linear) proj_in/out — the real SDXL layout —
+    ports into the same forward as the conv layout."""
+    sd = port.export_unet(xl_params["unet"])
+    # exported depth-2 transformers already use the linear layout; sanity:
+    assert any(k.endswith("proj_in.weight") and sd[k].ndim == 2 for k in sd)
+    back = port.port_unet(sd)
+    cfg = xl_cfg.unet
+    lat = jax.random.normal(jax.random.key(9), (1, 8, 8, 4))
+    ctx = jax.random.normal(jax.random.key(10),
+                            (1, 16, cfg.cross_attention_dim))
+    added = jnp.ones((1, cfg.addition_embed_dim))
+    t = jnp.array([5])
+    a = unet.apply(xl_params["unet"], lat, t, ctx, cfg, added_cond=added)
+    b = unet.apply(back, lat, t, ctx, cfg, added_cond=added)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+# ------------------------------------------------------------- training
+
+def _xl_batch(cfg, accum=1, micro=2):
+    return {
+        "pixel_values": jax.random.normal(
+            jax.random.key(11), (accum, micro, 32, 32, 3)) * 0.5,
+        "input_ids": jnp.ones((accum, micro, cfg.clip.ctx), jnp.int32),
+        "input_ids_2": jnp.ones((accum, micro, cfg.clip2.ctx), jnp.int32),
+    }
+
+
+def test_sdxl_train_step_loss_decreases(xl_cfg, xl_params):
+    from sdbc_tpu.train.trainer import (TrainConfig, init_train_state,
+                                        make_train_step)
+
+    tcfg = TrainConfig(train_unet=True, train_text_encoder=True,
+                       dual_text_encoder=True, grad_accum=1,
+                       learning_rate=1e-3, num_examples=100)
+    assert tcfg.trainable_keys() == ("unet", "text_encoder",
+                                     "text_encoder_2")
+    state = init_train_state(xl_params, tcfg, compute_dtype=jnp.float32)
+    assert set(state.trainable) == {"unet", "text_encoder", "text_encoder_2"}
+    step = make_train_step(xl_cfg, tcfg, compute_dtype=jnp.float32)
+    batch = _xl_batch(xl_cfg)
+    losses = []
+    key = jax.random.key(42)
+    for _ in range(5):
+        state, m = step(state, batch, key)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], losses
+    # the second encoder actually trains (its grads flow through the
+    # concatenated context AND the pooled text_time embedding)
+    deltas = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                          xl_params["text_encoder_2"],
+                          state.trainable["text_encoder_2"])
+    assert max(jax.tree_util.tree_leaves(deltas)) > 0
+
+
+def test_sdxl_train_missing_ids2_rejected(xl_cfg, xl_params):
+    from sdbc_tpu.train.trainer import (TrainConfig, init_train_state,
+                                        make_train_step)
+
+    tcfg = TrainConfig(train_unet=True, train_text_encoder=False,
+                       dual_text_encoder=True, grad_accum=1,
+                       learning_rate=1e-3, num_examples=10)
+    state = init_train_state(xl_params, tcfg, compute_dtype=jnp.float32)
+    step = make_train_step(xl_cfg, tcfg, compute_dtype=jnp.float32)
+    batch = _xl_batch(xl_cfg)
+    del batch["input_ids_2"]
+    with pytest.raises(ValueError, match="input_ids_2"):
+        step(state, batch, jax.random.key(0))
+
+
+def test_sdxl_ti_and_controlnet_rejected(xl_params):
+    from sdbc_tpu.train.trainer import TrainConfig, init_train_state
+
+    with pytest.raises(ValueError, match="textual inversion"):
+        init_train_state(xl_params,
+                         TrainConfig(dual_text_encoder=True, ti_token="<s>"),
+                         compute_dtype=jnp.float32)
+    with pytest.raises(ValueError, match="SD-1/2-only"):
+        init_train_state(
+            xl_params,
+            TrainConfig(dual_text_encoder=True, train_controlnet=True,
+                        train_unet=False, train_text_encoder=False),
+            compute_dtype=jnp.float32)
+
+
+def test_sdxl_lora_trains(xl_cfg, xl_params):
+    """LoRA adapters cover the depth-stacked SDXL attention projections
+    (the flat-dict broadcast handles the extra leading depth dim) and the
+    second encoder; one step moves the loss with the base frozen."""
+    from sdbc_tpu.train.trainer import (TrainConfig, init_train_state,
+                                        make_train_step, merged_params)
+
+    tcfg = TrainConfig(train_unet=True, train_text_encoder=True,
+                       dual_text_encoder=True, grad_accum=1, lora_rank=2,
+                       learning_rate=1e-2, num_examples=100)
+    state = init_train_state(xl_params, tcfg, compute_dtype=jnp.float32)
+    assert set(state.trainable) == {"lora"}
+    # adapters exist for both encoders and the stacked UNet blocks
+    keys = state.trainable["lora"].keys()
+    assert any(k.startswith("text_encoder_2.") for k in keys)
+    assert any(".blocks." in k for k in keys)
+    step = make_train_step(xl_cfg, tcfg, compute_dtype=jnp.float32)
+    batch = _xl_batch(xl_cfg)
+    key = jax.random.key(1)
+    losses = []
+    for _ in range(4):
+        state, m = step(state, batch, key)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    merged = merged_params(state, tcfg)
+    assert set(merged) == set(xl_params)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sdxl_dp_train_step_over_mesh(xl_cfg, xl_params):
+    """The mesh batch sharding covers input_ids_2 (regression: the DP spec
+    once listed only pixel_values/input_ids, so SDXL under a mesh failed
+    with a pytree-structure error before the first step)."""
+    from sdbc_tpu.parallel.mesh import MeshConfig, make_mesh, replicate_tree
+    from sdbc_tpu.train.trainer import (TrainConfig, init_train_state,
+                                        make_train_step)
+
+    tcfg = TrainConfig(train_unet=True, train_text_encoder=False,
+                       dual_text_encoder=True, grad_accum=1,
+                       learning_rate=1e-3, num_examples=100)
+    mesh = make_mesh(MeshConfig(data=8))
+    state = replicate_tree(
+        init_train_state(xl_params, tcfg, compute_dtype=jnp.float32), mesh)
+    step = make_train_step(xl_cfg, tcfg, mesh=mesh, dp_size=8,
+                           compute_dtype=jnp.float32)
+    batch = _xl_batch(xl_cfg, micro=8)
+    state, m = step(state, batch, jax.random.key(2))
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_sdxl_checkpoint_roundtrip(tmp_path, xl_cfg, xl_params):
+    """utils/checkpoint carries text_encoder_2 + clip2 config through the
+    orbax layout (COMPONENTS + config_to_json/from_json)."""
+    from sdbc_tpu.utils import checkpoint as ck
+
+    path = str(tmp_path / "ckpt")
+    ck.save_pipeline(path, xl_params, xl_cfg)
+    params2, cfg2 = ck.load_pipeline(path)
+    assert cfg2.clip2 == xl_cfg.clip2
+    assert set(params2) == set(xl_params)
+    for a, b in zip(jax.tree_util.tree_leaves(xl_params),
+                    jax.tree_util.tree_leaves(params2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+# ------------------------------------------------------------- pipeline
+
+def test_sdxl_pipeline_samples(xl_pipe):
+    lat = per_sample_fixed_latents(1, (4, 16, 16), seed=11)
+    out = xl_pipe(["a book cover"], height=32, width=32,
+                  num_inference_steps=2, latents=lat)
+    assert out.shape == (1, 32, 32, 3)
+    assert np.isfinite(out).all()
+
+
+def test_sdxl_negative_prompt_changes_output(xl_pipe):
+    lat = per_sample_fixed_latents(1, (4, 16, 16), seed=12)
+    a = xl_pipe(["a cover"], height=32, width=32, num_inference_steps=2,
+                latents=lat)
+    b = xl_pipe(["a cover"], negative_prompt="blurry", height=32, width=32,
+                num_inference_steps=2, latents=lat)
+    assert not np.allclose(a, b)
+
+
+def test_sdxl_time_ids_change_output(xl_cfg, xl_params, xl_pipe):
+    """Micro-conditioning is live: different time_ids → different images."""
+    tok = xl_pipe.tokenizer
+    ids = jnp.asarray(xl_pipe.tokenize(["a cover"]))
+    ids2 = jnp.asarray(xl_pipe.tokenize2(["a cover"]))
+    un = jnp.asarray(xl_pipe.tokenize([""]))
+    un2 = jnp.asarray(xl_pipe.tokenize2([""]))
+    lat = jax.random.normal(jax.random.key(13), (1, 8, 8, 4))
+    kw = dict(cfg=xl_cfg, num_inference_steps=2, compute_dtype=jnp.float32,
+              cond_ids2=ids2, uncond_ids2=un2)
+    a = sample(xl_params, ids, un, lat, jax.random.key(0), 7.5,
+               time_ids=jnp.asarray([[32., 32, 0, 0, 32, 32]]), **kw)
+    b = sample(xl_params, ids, un, lat, jax.random.key(0), 7.5,
+               time_ids=jnp.asarray([[64., 64, 16, 16, 32, 32]]), **kw)
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_sdxl_missing_ids2_rejected(xl_cfg, xl_params, xl_pipe):
+    ids = jnp.asarray(xl_pipe.tokenize(["a"]))
+    lat = jnp.zeros((1, 8, 8, 4))
+    with pytest.raises(ValueError, match="cond_ids2"):
+        sample(xl_params, ids, ids, lat, jax.random.key(0), 7.5,
+               cfg=xl_cfg, num_inference_steps=2,
+               compute_dtype=jnp.float32)
+
+
+def test_sdxl_prompt_weighting_rejected(xl_pipe):
+    with pytest.raises(NotImplementedError, match="prompt_weighting"):
+        xl_pipe(["a (big:1.2) cover"], height=32, width=32,
+                num_inference_steps=2, prompt_weighting=True)
+
+
+def test_sdxl_img2img(xl_pipe):
+    img = np.full((1, 32, 32, 3), 0.5, np.float32)
+    out = xl_pipe.img2img(["a cover"], img, strength=0.6,
+                          num_inference_steps=3)
+    assert out.shape == (1, 32, 32, 3)
+    assert np.isfinite(out).all()
