@@ -65,7 +65,12 @@ class PipelineConfig:
         import math
 
         n = int(math.log2(self.vae_scale)) + 1
-        ramp = (16, 32, 96, 256) if n >= 4 else (8, 16, 96, 256)[:n]
+        if n == 4:      # f8 (SD-1.5/2.x): diffusers-parity ramp
+            ramp = (16, 32, 96, 256)
+        elif n < 4:     # shallow VAEs (tiny): truncated ramp
+            ramp = (8, 16, 96, 256)[:n]
+        else:           # deeper VAEs (f16+): extend at the widest stage
+            ramp = (16, 32, 96, 256) + (256,) * (n - 4)
         cn = controlnet_mod.ControlNetConfig(unet=self.unet,
                                              conditioning_channels=ramp)
         return dataclasses.replace(self, controlnet=cn)
@@ -84,9 +89,8 @@ class PipelineConfig:
         text encoder, per-level head counts, v-prediction by default
         (SD-2.1 768); pass prediction_type="epsilon" for the 512 -base
         checkpoints.  Same VAE as SD-1.x."""
-        import dataclasses as _dc
-        sched = _dc.replace(sched_mod.ScheduleConfig.sd15(),
-                            prediction_type=prediction_type)
+        sched = dataclasses.replace(sched_mod.ScheduleConfig.sd15(),
+                                    prediction_type=prediction_type)
         return PipelineConfig(clip_mod.CLIPTextConfig.sd2(),
                               unet_mod.UNetConfig.sd21(),
                               vae_mod.VAEConfig.sd15(), sched, scheduler)
@@ -117,8 +121,8 @@ class PipelineConfig:
         projection, depth-stacked transformers, no-attention level,
         addition embedding) at test scale.  addition_embed_dim = 16
         (clip2 projection) + 6·4 (time ids) = 40 = UNetConfig.tiny_xl's."""
-        import dataclasses as _dc
-        clip2 = _dc.replace(clip_mod.CLIPTextConfig.tiny(), projection_dim=16)
+        clip2 = dataclasses.replace(clip_mod.CLIPTextConfig.tiny(),
+                                    projection_dim=16)
         return PipelineConfig(clip_mod.CLIPTextConfig.tiny(),
                               unet_mod.UNetConfig.tiny_xl(),
                               vae_mod.VAEConfig.tiny(),
@@ -168,6 +172,12 @@ def encode_text_xl(params, ids, ids2, cfg: PipelineConfig,
     mean the SDXL-default penultimate state; 3 stops one layer earlier, etc.
     The pooled output always runs the full second-encoder stack.
     """
+    if ids.shape[1] != ids2.shape[1]:
+        raise ValueError(
+            f"SDXL dual-encoder contexts differ: ids {ids.shape[1]} vs "
+            f"ids2 {ids2.shape[1]} tokens — the two hidden states are "
+            "concatenated feature-wise, so both tokenizers must encode at "
+            "one shared length")
     skip = max(clip_skip - 1, 1)
     h1 = clip_mod.apply(params["text_encoder"], ids, cfg.clip,
                         compute_dtype=compute_dtype, skip_layers=skip,
@@ -445,23 +455,43 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
         _cond_emb2 = controlnet_mod.embed_cond(_cn, _ci2, cfg.controlnet)
         _cscale = jnp.asarray(controlnet_scale, jnp.float32)
 
-    def _control_residuals(lat2, t):
+    def _hoist_tproj(ts_grid):
+        """Per-step time-projection tables for the whole sampling grid —
+        the UNet's (always) plus the ControlNet encoder-half's (when a
+        control image is attached), bundled under a reserved "ctrl" key
+        that model_out_fn strips back out.  index_temb slices both trees
+        uniformly (every leaf is a (T, ...) table)."""
+        tp = unet_mod.precompute_temb(uparams, ts_grid, cfg.unet, dtype=dt,
+                                      added_cond=added2)
+        if control_image is not None:
+            tp = dict(tp)
+            tp["ctrl"] = controlnet_mod.precompute_temb(
+                _cn, ts_grid, cfg.controlnet, dtype=dt)
+        return tp
+
+    def _control_residuals(lat2, t, ctp=None):
         if control_image is None:
             return None
         # float timesteps: the karras grids condition on continuous t (the
         # ControlNet runs its own time MLP — the sinusoidal embedding
-        # accepts floats)
+        # accepts floats).  ``ctp``: this step's slice of the hoisted
+        # ControlNet time-projection tables (None → recompute in-graph).
         ctb = jnp.full((lat2.shape[0],), t, jnp.float32)
         return controlnet_mod.apply(
             _cn, lat2, ctb, context, _cond_emb2, cfg.controlnet,
-            conditioning_scale=_cscale, attn_impl=attn_impl)
+            conditioning_scale=_cscale, attn_impl=attn_impl, temb_proj=ctp)
 
     def model_out_fn(lat, t, tp=None):
         lat2 = jnp.concatenate([lat, lat], axis=0)
         tb = jnp.full((lat2.shape[0],), t, jnp.int32)
+        ctp = None
+        if tp is not None and "ctrl" in tp:
+            ctp = tp["ctrl"]
+            tp = {k: v for k, v in tp.items() if k != "ctrl"}
         out = unet_mod.apply(uparams, lat2, tb, context, cfg.unet,
                              attn_impl=attn_impl, temb_proj=tp,
-                             control_residuals=_control_residuals(lat2, t))
+                             control_residuals=_control_residuals(lat2, t,
+                                                                  ctp))
         out_u, out_c = jnp.split(out.astype(jnp.float32), 2, axis=0)
         return cfg_combine(out_u, out_c)
 
@@ -534,8 +564,7 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
                 else orig_lat.astype(dt)
         # hoist the per-ResBlock time projections out of the loop (~3.5 ms/
         # step of latency-bound (8,1280)-sized matmuls at SD-1.5 shapes)
-        tproj = unet_mod.precompute_temb(uparams, ts, cfg.unet, dtype=dt,
-                                         added_cond=added2)
+        tproj = _hoist_tproj(ts)
 
         if cache_interval and cache_interval > 1:
             cache0, model_out_cached = make_cached_unet(tproj)
@@ -575,8 +604,7 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
         if orig_lat is not None:
             lat = noise_to_sigma(sigmas[t_start]) \
                 if t_start < num_inference_steps else orig_lat.astype(dt)
-        tproj = unet_mod.precompute_temb(uparams, ts_f, cfg.unet, dtype=dt,
-                                           added_cond=added2)
+        tproj = _hoist_tproj(ts_f)
         lower_order_final = num_inference_steps < 15
         state0 = sched_mod.dpm_init_state(lat.shape)
 
@@ -626,8 +654,7 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
         if orig_lat is not None:
             lat = noise_to(ts[t_start]) if t_start < num_inference_steps \
                 else orig_lat.astype(dt)
-        tproj = unet_mod.precompute_temb(uparams, ts, cfg.unet, dtype=dt,
-                                         added_cond=added2)
+        tproj = _hoist_tproj(ts)
         # lower-order-final safeguard (diffusers semantics): at small step
         # counts the last step drops to first order for stability
         lower_order_final = num_inference_steps < 15
@@ -684,8 +711,7 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
         if orig_lat is not None:
             lat = noise_to_sigma(sigmas[t_start]) \
                 if t_start < num_inference_steps else orig_lat.astype(dt)
-        tproj = unet_mod.precompute_temb(uparams, ts_f, cfg.unet, dtype=dt,
-                                           added_cond=added2)
+        tproj = _hoist_tproj(ts_f)
 
         def body(i, carry):
             lat, k = carry
@@ -714,8 +740,7 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
         if orig_lat is not None:
             lat = noise_to(ts[t_start]) if t_start < num_inference_steps \
                 else orig_lat.astype(dt)
-        tproj = unet_mod.precompute_temb(uparams, ts, cfg.unet, dtype=dt,
-                                         added_cond=added2)
+        tproj = _hoist_tproj(ts)
 
         def body(i, carry):
             lat, k = carry
@@ -740,8 +765,7 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
                                                  num_inference_steps)
         sigmas, ts_f = jnp.asarray(sigmas_np), jnp.asarray(ts_np)
         coeffs = sched_mod.lms_coeff_table_sigmas(sigmas_np)
-        tproj = unet_mod.precompute_temb(uparams, ts_f, cfg.unet, dtype=dt,
-                                           added_cond=added2)
+        tproj = _hoist_tproj(ts_f)
 
         def body(i, carry):
             state, lat = carry
@@ -764,8 +788,7 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
         ts = sched_mod.lms_timesteps(cfg.schedule, num_inference_steps)
         ratio = sched_mod.inference_stride(cfg.schedule, num_inference_steps)
         coeffs = sched_mod.lms_coeff_table(cfg.schedule, num_inference_steps)
-        tproj = unet_mod.precompute_temb(uparams, ts, cfg.unet, dtype=dt,
-                                         added_cond=added2)
+        tproj = _hoist_tproj(ts)
 
         def body(i, carry):
             state, lat = carry
@@ -780,8 +803,7 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
 
     elif cfg.scheduler == "pndm":
         ts = sched_mod.pndm_timesteps(cfg.schedule, num_inference_steps)
-        tproj = unet_mod.precompute_temb(uparams, ts, cfg.unet, dtype=dt,
-                                         added_cond=added2)
+        tproj = _hoist_tproj(ts)
 
         def body(i, carry):
             state, lat = carry
@@ -800,8 +822,7 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
         if orig_lat is not None:
             lat = noise_to(ts[t_start]) if t_start < num_inference_steps \
                 else orig_lat.astype(dt)
-        tproj = unet_mod.precompute_temb(uparams, ts, cfg.unet, dtype=dt,
-                                         added_cond=added2)
+        tproj = _hoist_tproj(ts)
 
         def body(i, carry):
             lat, k = carry

@@ -94,7 +94,9 @@ def init(key, cfg: CLIPTextConfig):
         "final_ln": nn.init_layer_norm(cfg.hidden),
     }
     if cfg.projection_dim:
-        kj = jax.random.split(kt)[0]
+        # fold_in: a fresh key that leaves the historical kt/kp/kl draw
+        # order untouched (kt is already consumed by the token table)
+        kj = jax.random.fold_in(key, 3)
         p["text_projection"] = nn.init_linear(kj, cfg.hidden,
                                               cfg.projection_dim,
                                               use_bias=False)
@@ -167,7 +169,7 @@ def apply(params, input_ids, cfg: CLIPTextConfig, compute_dtype=jnp.float32,
 
 def apply_with_pooled(params, input_ids, cfg: CLIPTextConfig,
                       compute_dtype=jnp.float32, skip_layers: int = 0,
-                      eot_id: int = 49407):
+                      eot_id: int | None = None):
     """One encoder pass returning BOTH SDXL conditioning tensors:
 
     - hidden: the ``skip_layers``-early hidden state WITHOUT final LayerNorm
@@ -177,6 +179,12 @@ def apply_with_pooled(params, input_ids, cfg: CLIPTextConfig,
       position of each row, through ``text_projection`` when the config
       carries one (CLIPTextModelWithProjection semantics), shape
       (B, projection_dim or hidden).
+
+    ``eot_id`` defaults to ``cfg.vocab_size - 1`` — every CLIP-family
+    vocabulary (OpenAI 49408, the tiny fallback tokenizer) places
+    <|endoftext|> last.  Pass it explicitly for a vocab that doesn't, or
+    the pooled row silently lands on position 0 (BOS) and is constant
+    across prompts.
 
     The layer scan is split at the capture point so the full depth runs
     exactly once (no second encoder pass for the pooled branch).
@@ -199,6 +207,8 @@ def apply_with_pooled(params, input_ids, cfg: CLIPTextConfig,
         x, _ = jax.lax.scan(body, x, tail)
     x = nn.layer_norm(params["final_ln"], x, eps=cfg.eps)
     # transformers pools at the FIRST eos position (argmax of the match mask)
+    if eot_id is None:
+        eot_id = cfg.vocab_size - 1
     eot_pos = jnp.argmax(input_ids == eot_id, axis=1)
     pooled = x[jnp.arange(x.shape[0]), eot_pos]
     if "text_projection" in params:

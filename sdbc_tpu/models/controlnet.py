@@ -80,12 +80,10 @@ def num_skips(cfg: unet_mod.UNetConfig) -> int:
 def _skip_channels(cfg: unet_mod.UNetConfig):
     ch = cfg.block_out_channels
     out = [ch[0]]
-    cin = ch[0]
     for i, cout in enumerate(ch):
         out.extend([cout] * cfg.layers_per_block)
         if i < len(ch) - 1:
             out.append(cout)
-        cin = cout
     return out
 
 

@@ -413,6 +413,15 @@ def make_train_step(cfg: PipelineConfig, tcfg: TrainConfig, mesh=None,
     optimizer update is applied.  Under a mesh, batch dims are sharded over
     ``data`` and XLA inserts the gradient psum.
     """
+    if tcfg.dual_text_encoder != cfg.is_sdxl:
+        # the two flags encode one fact (the finetune CLI derives the
+        # TrainConfig field from cfg.is_sdxl); a desync would either crash
+        # the mesh sharding spec or silently freeze text_encoder_2 while
+        # text_encoder trains — fail loudly instead
+        raise ValueError(
+            f"TrainConfig.dual_text_encoder={tcfg.dual_text_encoder} but "
+            f"cfg.clip2 is {'set' if cfg.is_sdxl else 'None'} — set "
+            "dual_text_encoder iff the PipelineConfig is SDXL")
     sched = sched_mod.make_schedule(cfg.schedule)
     opt = make_optimizer(tcfg, dp_size)
     # TP training: model-axis-sharded q/k/v must take the partitionable XLA

@@ -322,3 +322,41 @@ def test_sd15_with_controlnet_shapes():
     assert cfg.controlnet.conditioning_channels == (16, 32, 96, 256)
     assert cfg.controlnet.spatial_reduction == 8
     assert controlnet.num_skips(cfg.unet) == 12  # diffusers SD-1.5 parity
+
+
+def test_with_controlnet_deep_vae_ramp():
+    """f16 (5-level) VAE: the ramp extends so spatial_reduction still
+    equals vae_scale (regression: n>4 silently produced a len-4 ramp)."""
+    from sdbc_tpu.models.vae import VAEConfig
+
+    deep_vae = dataclasses.replace(
+        VAEConfig.sd15(), block_out_channels=(128, 256, 512, 512, 512))
+    cfg = dataclasses.replace(PipelineConfig.sd15(), vae=deep_vae)
+    cn = cfg.with_controlnet()
+    assert cn.vae_scale == 16
+    assert cn.controlnet.spatial_reduction == 16
+    assert cn.controlnet.conditioning_channels == (16, 32, 96, 256, 256)
+
+
+def test_precompute_temb_matches_unhoisted(cn_cfg, cn_params):
+    """controlnet.precompute_temb tables == the in-graph time MLP path,
+    step by step (the sampling loop hoists them via pipeline._hoist_tproj)."""
+    cn = cn_params["controlnet"]
+    ts = jnp.asarray([9.0, 5.0, 1.0], jnp.float32)
+    tables = controlnet.precompute_temb(cn, ts, cn_cfg.controlnet,
+                                        dtype=jnp.float32)
+    lat = jax.random.normal(jax.random.key(21), (2, 8, 8, 4))
+    ctx = jax.random.normal(jax.random.key(22),
+                            (2, 16, cn_cfg.unet.cross_attention_dim))
+    cond = controlnet.embed_cond(cn, np.full((2, 16, 16, 3), 0.5, np.float32),
+                                 cn_cfg.controlnet)
+    for i in range(3):
+        tb = jnp.full((2,), ts[i], jnp.float32)
+        a = controlnet.apply(cn, lat, tb, ctx, cond, cn_cfg.controlnet)
+        b = controlnet.apply(cn, lat, tb, ctx, cond, cn_cfg.controlnet,
+                             temb_proj=unet.index_temb(tables, i))
+        la, lb = jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)
+        assert len(la) == len(lb) > 0
+        for x, y in zip(la, lb):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       atol=1e-5)

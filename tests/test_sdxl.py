@@ -391,3 +391,45 @@ def test_sdxl_img2img(xl_pipe):
                           num_inference_steps=3)
     assert out.shape == (1, 32, 32, 3)
     assert np.isfinite(out).all()
+
+
+def test_pooled_eot_derived_from_vocab(xl_cfg, xl_params):
+    """apply_with_pooled's default eot derives from cfg.vocab_size
+    (regression: a hard-coded 49407 silently pooled BOS — constant across
+    prompts — for the tiny 1000-vocab family)."""
+    c = xl_cfg.clip2
+    eos = c.vocab_size - 1
+    a = np.array([[1, 5, eos] + [0] * (c.ctx - 3)], np.int32)
+    b = np.array([[2, 7, 4, eos] + [0] * (c.ctx - 4)], np.int32)
+    _, pa = clip.apply_with_pooled(xl_params["text_encoder_2"],
+                                   jnp.asarray(a), c)
+    _, pb = clip.apply_with_pooled(xl_params["text_encoder_2"],
+                                   jnp.asarray(b), c)
+    assert not np.allclose(np.asarray(pa), np.asarray(pb))
+    # explicit eot == the derived default
+    _, pe = clip.apply_with_pooled(xl_params["text_encoder_2"],
+                                   jnp.asarray(a), c, eot_id=eos)
+    np.testing.assert_array_equal(np.asarray(pa), np.asarray(pe))
+
+
+def test_encode_text_xl_ctx_mismatch_rejected(xl_cfg, xl_params):
+    from sdbc_tpu.diffusion.pipeline import encode_text_xl
+
+    ids = jnp.ones((1, xl_cfg.clip.ctx), jnp.int32)
+    ids2 = jnp.ones((1, xl_cfg.clip.ctx + 2), jnp.int32)
+    with pytest.raises(ValueError, match="contexts differ"):
+        encode_text_xl(xl_params, ids, ids2, xl_cfg,
+                       compute_dtype=jnp.float32)
+
+
+def test_dual_flag_desync_rejected(xl_cfg, xl_params, tiny_cfg):
+    """make_train_step fails loudly when TrainConfig.dual_text_encoder
+    disagrees with cfg.clip2 (either direction)."""
+    from sdbc_tpu.train.trainer import TrainConfig, make_train_step
+
+    with pytest.raises(ValueError, match="dual_text_encoder"):
+        make_train_step(xl_cfg, TrainConfig(dual_text_encoder=False),
+                        compute_dtype=jnp.float32)
+    with pytest.raises(ValueError, match="dual_text_encoder"):
+        make_train_step(tiny_cfg, TrainConfig(dual_text_encoder=True),
+                        compute_dtype=jnp.float32)
