@@ -158,13 +158,23 @@ def encode_text(params, ids, cfg: PipelineConfig, compute_dtype=jnp.bfloat16,
 
 
 def encode_text_xl(params, ids, ids2, cfg: PipelineConfig,
-                   compute_dtype=jnp.bfloat16, clip_skip: int = 0):
+                   compute_dtype=jnp.bfloat16, clip_skip: int = 0,
+                   weights=None, weights2=None):
     """SDXL dual-encoder conditioning.
 
-    ids/ids2: (B, 77) from the CLIP-L and OpenCLIP tokenizers respectively.
+    ids/ids2: (B, 77·k) from the CLIP-L and OpenCLIP tokenizers
+    respectively (k > 1 = chunked long prompts: each 77-token window is
+    encoded independently, like encode_text; the pooled output comes from
+    the FIRST window — the community convention for long SDXL prompts).
     Returns (context, pooled): the two encoders' hidden states concatenated
     feature-wise (768 ⧺ 1280 = 2048) and the second encoder's projected
     pooled output (1280).
+
+    ``weights``/``weights2`` (optional, (B, 77·k)): per-token emphasis
+    weights applied to each encoder's hidden state separately
+    (_apply_token_weights — mean-restored per encoder so each half keeps
+    its trained magnitude).  The pooled output is never weighted: it
+    carries global content, and emphasis is a cross-attention concept.
 
     SDXL conditions on hidden_states[-2] — the penultimate layer WITHOUT the
     final LayerNorm (unlike the SD-1.x clip-skip convention, which final-LNs
@@ -179,12 +189,33 @@ def encode_text_xl(params, ids, ids2, cfg: PipelineConfig,
             "concatenated feature-wise, so both tokenizers must encode at "
             "one shared length")
     skip = max(clip_skip - 1, 1)
-    h1 = clip_mod.apply(params["text_encoder"], ids, cfg.clip,
-                        compute_dtype=compute_dtype, skip_layers=skip,
-                        final_ln=False)
-    h2, pooled = clip_mod.apply_with_pooled(
-        params["text_encoder_2"], ids2, cfg.clip2,
-        compute_dtype=compute_dtype, skip_layers=skip)
+    ctx = cfg.clip.ctx
+    b, width = ids.shape
+    if width != ctx:
+        if width % ctx:
+            raise ValueError(f"token ids width {width} is not a multiple of "
+                             f"the encoder context {ctx}")
+        k = width // ctx
+        h1 = clip_mod.apply(params["text_encoder"], ids.reshape(-1, ctx),
+                            cfg.clip, compute_dtype=compute_dtype,
+                            skip_layers=skip, final_ln=False)
+        h1 = h1.reshape(b, width, h1.shape[-1])
+        h2, pooled = clip_mod.apply_with_pooled(
+            params["text_encoder_2"], ids2.reshape(-1, ctx), cfg.clip2,
+            compute_dtype=compute_dtype, skip_layers=skip)
+        h2 = h2.reshape(b, width, h2.shape[-1])
+        pooled = pooled.reshape(b, k, -1)[:, 0]  # first window's pooled
+    else:
+        h1 = clip_mod.apply(params["text_encoder"], ids, cfg.clip,
+                            compute_dtype=compute_dtype, skip_layers=skip,
+                            final_ln=False)
+        h2, pooled = clip_mod.apply_with_pooled(
+            params["text_encoder_2"], ids2, cfg.clip2,
+            compute_dtype=compute_dtype, skip_layers=skip)
+    if weights is not None:
+        h1 = _apply_token_weights(h1, weights)
+    if weights2 is not None:
+        h2 = _apply_token_weights(h2, weights2)
     return jnp.concatenate([h1, h2], axis=-1), pooled
 
 
@@ -232,7 +263,8 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
            use_karras_sigmas: bool = False,
            control_image=None, controlnet_scale=1.0,
            cond_weights=None, uncond_weights=None,
-           cond_ids2=None, uncond_ids2=None, time_ids=None):
+           cond_ids2=None, uncond_ids2=None, time_ids=None,
+           cond_weights2=None, uncond_weights2=None):
     """Run the full CFG sampling graph.
 
     params: {"text_encoder", "unet", "vae"} param trees (fp32 masters; cast here)
@@ -332,13 +364,14 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
             raise ValueError("ControlNet is wired for the single-encoder "
                              "families only (the control branch carries no "
                              "addition embedding)")
-        if cond_weights is not None or uncond_weights is not None:
-            raise ValueError("prompt_weighting is not yet wired for SDXL's "
-                             "dual encoders")
         ctx_c, pool_c = encode_text_xl(params, cond_ids, cond_ids2, cfg, dt,
-                                       clip_skip=clip_skip)
+                                       clip_skip=clip_skip,
+                                       weights=cond_weights,
+                                       weights2=cond_weights2)
         ctx_u, pool_u = encode_text_xl(params, uncond_ids, uncond_ids2, cfg,
-                                       dt, clip_skip=clip_skip)
+                                       dt, clip_skip=clip_skip,
+                                       weights=uncond_weights,
+                                       weights2=uncond_weights2)
         if time_ids is None:
             hh = latents.shape[1] * cfg.vae_scale
             ww = latents.shape[2] * cfg.vae_scale
@@ -1120,35 +1153,39 @@ class SDPipeline:
             prompts = list(prompts) + [""] * (bucket - b)
             negative_prompt = list(negative_prompt) + [""] * (bucket - b)
         cond_w = uncond_w = None
+        cond2 = uncond2 = cond_w2 = uncond_w2 = None
         if prompt_weighting:
             # community emphasis syntax "(word:1.3)" + chunked long prompts
-            # (data/prompt_weights.py).  Both CFG branches are padded to the
-            # same window count; one compiled graph per (bucket, k) pair.
+            # (data/prompt_weights.py).  Every (tokenizer, CFG-branch) pair
+            # is padded to ONE shared window count; one compiled graph per
+            # (bucket, k) pair.  SDXL: both encoders get their own ids +
+            # weights (same BPE table ⇒ normally identical, but a ported
+            # tokenizer_2 dir may differ in pad id).
             from sdbc_tpu.data.prompt_weights import batch_encode_weighted
 
             ctx = self.cfg.clip.ctx
-            cids, cw = batch_encode_weighted(
-                self.tokenizer, prompts, ctx, max_prompt_chunks)
-            uids, uw = batch_encode_weighted(
-                self.tokenizer, negative_prompt, ctx, max_prompt_chunks,
-                min_chunks=cids.shape[1] // ctx)
-            if uids.shape[1] > cids.shape[1]:
-                cids, cw = batch_encode_weighted(
-                    self.tokenizer, prompts, ctx, max_prompt_chunks,
-                    min_chunks=uids.shape[1] // ctx)
+            toks = [self.tokenizer]
+            if self.cfg.is_sdxl:
+                toks.append(self.tokenizer2)
+            probe = [batch_encode_weighted(t, txt, ctx, max_prompt_chunks)
+                     for t in toks for txt in (prompts, negative_prompt)]
+            k = max(a.shape[1] // ctx for a, _ in probe)
+            enc = [batch_encode_weighted(t, txt, ctx, max_prompt_chunks,
+                                         min_chunks=k)
+                   for t in toks for txt in (prompts, negative_prompt)]
+            (cids, cw), (uids, uw) = enc[0], enc[1]
             cond, uncond = jnp.asarray(cids), jnp.asarray(uids)
             cond_w, uncond_w = jnp.asarray(cw), jnp.asarray(uw)
+            if self.cfg.is_sdxl:
+                (cids2, cw2), (uids2, uw2) = enc[2], enc[3]
+                cond2, uncond2 = jnp.asarray(cids2), jnp.asarray(uids2)
+                cond_w2, uncond_w2 = jnp.asarray(cw2), jnp.asarray(uw2)
         else:
             cond = jnp.asarray(self.tokenize(prompts))
             uncond = jnp.asarray(self.tokenize(negative_prompt))
-        cond2 = uncond2 = None
-        if self.cfg.is_sdxl:
-            if prompt_weighting:
-                raise NotImplementedError(
-                    "prompt_weighting is not yet wired for SDXL's dual "
-                    "encoders")
-            cond2 = jnp.asarray(self.tokenize2(prompts))
-            uncond2 = jnp.asarray(self.tokenize2(negative_prompt))
+            if self.cfg.is_sdxl:
+                cond2 = jnp.asarray(self.tokenize2(prompts))
+                uncond2 = jnp.asarray(self.tokenize2(negative_prompt))
         # independent streams for the initial latents and the (ddpm)
         # sampler: never reuse a consumed key.  The fixed-latent parity
         # path (latents given) keeps key(seed) for the sampler, matching
@@ -1245,6 +1282,9 @@ class SDPipeline:
                 if cond2 is not None:
                     cond2 = jax.device_put(cond2, rep)
                     uncond2 = jax.device_put(uncond2, rep)
+                if cond_w2 is not None:
+                    cond_w2 = jax.device_put(cond_w2, rep)
+                    uncond_w2 = jax.device_put(uncond_w2, rep)
             else:
                 put = lambda x: jax.device_put(
                     x, data_sharding(self.mesh, jnp.ndim(x)))
@@ -1253,6 +1293,8 @@ class SDPipeline:
                     cond_w, uncond_w = put(cond_w), put(uncond_w)
                 if cond2 is not None:
                     cond2, uncond2 = put(cond2), put(uncond2)
+                if cond_w2 is not None:
+                    cond_w2, uncond_w2 = put(cond_w2), put(uncond_w2)
                 if img_arr is not None:
                     img_arr = put(img_arr)
                 if mask_arr is not None:
@@ -1273,7 +1315,8 @@ class SDPipeline:
                       control_image=ctrl_arr,
                       controlnet_scale=controlnet_scale,
                       cond_weights=cond_w, uncond_weights=uncond_w,
-                      cond_ids2=cond2, uncond_ids2=uncond2)
+                      cond_ids2=cond2, uncond_ids2=uncond2,
+                      cond_weights2=cond_w2, uncond_weights2=uncond_w2)
         return np.asarray(imgs)[:b]
 
     def img2img(self, prompts, image, *, strength: float = 0.8, **kw):

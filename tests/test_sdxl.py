@@ -379,10 +379,53 @@ def test_sdxl_missing_ids2_rejected(xl_cfg, xl_params, xl_pipe):
                compute_dtype=jnp.float32)
 
 
-def test_sdxl_prompt_weighting_rejected(xl_pipe):
-    with pytest.raises(NotImplementedError, match="prompt_weighting"):
-        xl_pipe(["a (big:1.2) cover"], height=32, width=32,
-                num_inference_steps=2, prompt_weighting=True)
+def test_sdxl_prompt_weighting(xl_pipe):
+    """Emphasis syntax is live for the dual encoders: a weighted prompt
+    diverges from the identical plain prompt on fixed latents, and a
+    weight of 1.0 is a no-op."""
+    lat = per_sample_fixed_latents(1, (4, 16, 16), seed=21)
+    kw = dict(height=32, width=32, num_inference_steps=2, latents=lat,
+              prompt_weighting=True)
+    plain = xl_pipe(["a big cover"], **kw)
+    boosted = xl_pipe(["a (big:1.8) cover"], **kw)
+    unit = xl_pipe(["a (big:1.0) cover"], **kw)
+    assert np.isfinite(boosted).all()
+    assert not np.allclose(plain, boosted)
+    np.testing.assert_allclose(plain, unit, atol=1e-5)
+
+
+def test_sdxl_long_prompt_chunks(xl_pipe):
+    """A prompt beyond the tiny 16-token context chunks into k windows and
+    still samples (pooled comes from the first window)."""
+    lat = per_sample_fixed_latents(1, (4, 16, 16), seed=22)
+    long_prompt = "a " + " ".join(f"word{i}" for i in range(40)) + " cover"
+    out = xl_pipe([long_prompt], height=32, width=32, num_inference_steps=2,
+                  latents=lat, prompt_weighting=True)
+    assert out.shape == (1, 32, 32, 3)
+    assert np.isfinite(out).all()
+
+
+def test_encode_text_xl_chunked_pooled_from_first_window(xl_cfg, xl_params):
+    """k=2 chunked encode: the pooled output equals the single-window
+    pooled of window 0 exactly; the context doubles in sequence length."""
+    from sdbc_tpu.diffusion.pipeline import encode_text_xl
+
+    c = xl_cfg.clip
+    eos = c.vocab_size - 1
+    w0 = np.array([1, 5, eos] + [0] * (c.ctx - 3), np.int32)
+    w1 = np.array([2, 7, eos] + [0] * (c.ctx - 3), np.int32)
+    single = jnp.asarray(w0[None])
+    double = jnp.asarray(np.concatenate([w0, w1])[None])
+    ctx1, p1 = encode_text_xl(xl_params, single, single, xl_cfg,
+                              compute_dtype=jnp.float32)
+    ctx2, p2 = encode_text_xl(xl_params, double, double, xl_cfg,
+                              compute_dtype=jnp.float32)
+    assert ctx2.shape == (1, 2 * c.ctx, ctx1.shape[-1])
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-6)
+    # each window is encoded independently: window 0 of the chunked
+    # context == the single-window context
+    np.testing.assert_allclose(np.asarray(ctx2[:, :c.ctx]),
+                               np.asarray(ctx1), atol=1e-6)
 
 
 def test_sdxl_img2img(xl_pipe):
