@@ -244,10 +244,6 @@ def main(argv=None):
                          "(the placeholder rows would exist in only one of "
                          "the two encoder tables) — use --lora_rank or "
                          "full fine-tuning")
-    if is_xl and use_cn:
-        raise SystemExit("--train_controlnet is SD-1/2-only for now (the "
-                         "control branch carries no text_time addition "
-                         "embedding)")
     if is_xl and args.tp > 1:
         raise SystemExit("SDXL with --tp is not validated (text_encoder_2 "
                          "would replicate; the depth-stacked UNet blocks "

@@ -360,10 +360,6 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
         if cond_ids2 is None or uncond_ids2 is None:
             raise ValueError("SDXL configs (cfg.clip2 set) need cond_ids2/"
                              "uncond_ids2 from the second tokenizer")
-        if control_image is not None:
-            raise ValueError("ControlNet is wired for the single-encoder "
-                             "families only (the control branch carries no "
-                             "addition embedding)")
         ctx_c, pool_c = encode_text_xl(params, cond_ids, cond_ids2, cfg, dt,
                                        clip_skip=clip_skip,
                                        weights=cond_weights,
@@ -499,7 +495,7 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
         if control_image is not None:
             tp = dict(tp)
             tp["ctrl"] = controlnet_mod.precompute_temb(
-                _cn, ts_grid, cfg.controlnet, dtype=dt)
+                _cn, ts_grid, cfg.controlnet, dtype=dt, added_cond=added2)
         return tp
 
     def _control_residuals(lat2, t, ctp=None):
@@ -508,11 +504,13 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
         # float timesteps: the karras grids condition on continuous t (the
         # ControlNet runs its own time MLP — the sinusoidal embedding
         # accepts floats).  ``ctp``: this step's slice of the hoisted
-        # ControlNet time-projection tables (None → recompute in-graph).
+        # ControlNet time-projection tables (None → recompute in-graph,
+        # with the SDXL addition embedding when the family carries one).
         ctb = jnp.full((lat2.shape[0],), t, jnp.float32)
         return controlnet_mod.apply(
             _cn, lat2, ctb, context, _cond_emb2, cfg.controlnet,
-            conditioning_scale=_cscale, attn_impl=attn_impl, temb_proj=ctp)
+            conditioning_scale=_cscale, attn_impl=attn_impl, temb_proj=ctp,
+            added_cond=None if ctp is not None else added2)
 
     def model_out_fn(lat, t, tp=None):
         lat2 = jnp.concatenate([lat, lat], axis=0)

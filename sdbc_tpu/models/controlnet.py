@@ -115,6 +115,8 @@ def init(key, cfg: ControlNetConfig):
         "zero_mid": _zero_conv(ucfg.block_out_channels[-1],
                                ucfg.block_out_channels[-1]),
     }
+    if "add_mlp" in base:  # SDXL text_time addition embedding
+        p["add_mlp"] = base["add_mlp"]
     return p
 
 
@@ -124,7 +126,7 @@ def from_unet(unet_params, key, cfg: ControlNetConfig):
     exactly zero, so step 0 reproduces the base model bit-for-bit."""
     ucfg = cfg.unet
     copy = lambda t: jax.tree_util.tree_map(jnp.array, t)
-    return {
+    p = {
         "conv_in": copy(unet_params["conv_in"]),
         "time_mlp": copy(unet_params["time_mlp"]),
         "down": copy(unet_params["down"]),
@@ -134,6 +136,9 @@ def from_unet(unet_params, key, cfg: ControlNetConfig):
         "zero_mid": _zero_conv(ucfg.block_out_channels[-1],
                                ucfg.block_out_channels[-1]),
     }
+    if "add_mlp" in unet_params:  # SDXL: the branch conditions like the base
+        p["add_mlp"] = copy(unet_params["add_mlp"])
+    return p
 
 
 def embed_cond(params, control_image, cfg: ControlNetConfig):
@@ -191,12 +196,31 @@ def training_hint(pixels, kind: str):
 
 
 def precompute_temb(params, timesteps, cfg: ControlNetConfig,
-                    dtype=jnp.bfloat16):
-    """unet.precompute_temb for the encoder-half tree (down + mid only)."""
+                    dtype=jnp.bfloat16, added_cond=None):
+    """unet.precompute_temb for the encoder-half tree (down + mid only).
+
+    ``added_cond`` (SDXL, required iff cfg.unet.addition_embed_dim): same
+    semantics as unet.precompute_temb — tables become (T, N, 1, 1, cout).
+    """
+    ucfg = cfg.unet
+    if (added_cond is None) != (not ucfg.addition_embed_dim):
+        raise ValueError("precompute_temb: added_cond must be passed exactly "
+                         "when cfg.unet.addition_embed_dim is set")
     temb = unet_mod._temb_mlp(params, timesteps,
-                              cfg.unet.block_out_channels[0], dtype)
+                              ucfg.block_out_channels[0], dtype)
+    if added_cond is not None:
+        aug = nn.linear(params["add_mlp"]["fc2"], jax.nn.silu(
+            nn.linear(params["add_mlp"]["fc1"],
+                      added_cond.astype(jnp.float32))))
+        temb = temb[:, None, :] + aug[None].astype(temb.dtype)  # (T, N, ted)
     st = jax.nn.silu(temb)
-    proj = lambda r: nn.linear(r["temb"], st)
+
+    def proj(r):
+        out = nn.linear(r["temb"], st)   # (T, cout) or (T, N, cout)
+        if added_cond is not None:       # → (T, N, 1, 1, cout), as unet's
+            out = out[:, :, None, None]
+        return out
+
     return {"down": [{"resnets": [proj(r) for r in blk["resnets"]]}
                      for blk in params["down"]],
             "mid": {"resnet1": proj(params["mid"]["resnet1"]),
@@ -205,14 +229,28 @@ def precompute_temb(params, timesteps, cfg: ControlNetConfig,
 
 def apply(params, latents, timesteps, encoder_hidden_states, cond_emb,
           cfg: ControlNetConfig, *, conditioning_scale: float = 1.0,
-          remat: bool = False, attn_impl: str = "auto", temb_proj=None):
+          remat: bool = False, attn_impl: str = "auto", temb_proj=None,
+          added_cond=None):
     """Encoder-half forward → (down_residuals tuple, mid_residual).
 
     cond_emb: precomputed ``embed_cond`` output (latent-res).  Residuals are
     ordered exactly like the base UNet's skip appends (conv_in, then each
     down-block resnet, then each downsample) and are consumed by
     ``unet.apply(..., control_residuals=...)``.
+
+    ``added_cond`` (SDXL): the (N, addition_embed_dim) text_time vector,
+    required iff the UNet config sets ``addition_embed_dim`` and no
+    ``temb_proj`` is given (the hoisted tables already bake it in) — the
+    branch conditions its ResBlocks exactly like the base UNet.
     """
+    if temb_proj is None and (added_cond is None) != \
+            (not cfg.unet.addition_embed_dim):
+        raise ValueError(
+            "added_cond must be passed exactly when "
+            "cfg.unet.addition_embed_dim is set (SDXL ControlNet)")
+    if added_cond is not None and temb_proj is not None:
+        raise ValueError("added_cond is already baked into temb_proj tables "
+                         "(precompute_temb added_cond) — pass only one")
     ucfg = cfg.unet
     g = ucfg.norm_groups
     nheads = ucfg.heads_per_level
@@ -230,6 +268,11 @@ def apply(params, latents, timesteps, encoder_hidden_states, cond_emb,
     if temb_proj is None:
         temb = unet_mod._temb_mlp(params, timesteps,
                                   ucfg.block_out_channels[0], latents.dtype)
+        if added_cond is not None:
+            aug = nn.linear(params["add_mlp"]["fc2"], jax.nn.silu(
+                nn.linear(params["add_mlp"]["fc1"],
+                          added_cond.astype(jnp.float32))))
+            temb = temb + aug.astype(temb.dtype)
         tp_down = [{"resnets": [None] * len(b["resnets"])}
                    for b in params["down"]]
         tp_mid = {"resnet1": None, "resnet2": None}

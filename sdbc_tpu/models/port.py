@@ -217,6 +217,11 @@ def port_controlnet(sd: Dict[str, np.ndarray]) -> dict:
             "fc2": _linear(sd, "time_embedding.linear_2"),
         },
     }
+    if "add_embedding.linear_1.weight" in sd:  # SDXL ControlNet
+        p["add_mlp"] = {
+            "fc1": _linear(sd, "add_embedding.linear_1"),
+            "fc2": _linear(sd, "add_embedding.linear_2"),
+        }
 
     p["down"] = []
     i = 0
@@ -262,12 +267,14 @@ def controlnet_config_from_diffusers(cfg: dict, unet_cfg=None):
     """diffusers ControlNetModel config.json → ControlNetConfig.
 
     The ControlNet config carries the UNet-encoder fields directly (it has
-    no up blocks, so the mirror check of ``unet_config_from_diffusers``
-    does not apply); pass ``unet_cfg`` to override with the base model's
-    config instead (they must agree for the residual shapes to line up).
+    no up blocks and no out_channels, so those are synthesized for the
+    shared ``unet_config_from_diffusers`` parse — which also picks up the
+    SDXL fields: transformer_layers_per_block, addition_embed_type /
+    projection_class_embeddings_input_dim, addition_time_embed_dim); pass
+    ``unet_cfg`` to override with the base model's config instead (they
+    must agree for the residual shapes to line up).
     """
     from sdbc_tpu.models.controlnet import ControlNetConfig
-    from sdbc_tpu.models.unet import UNetConfig
 
     if unet_cfg is None:
         down = cfg.get("down_block_types",
@@ -275,20 +282,12 @@ def controlnet_config_from_diffusers(cfg: dict, unet_cfg=None):
         for t in down:
             if t not in ("CrossAttnDownBlock2D", "DownBlock2D"):
                 raise ValueError(f"unsupported ControlNet block type {t!r}")
-        heads = cfg.get("attention_head_dim", 8)
-        if isinstance(heads, (list, tuple)):
-            heads = tuple(heads) if len(set(heads)) > 1 else heads[0]
-        unet_cfg = UNetConfig(
-            in_channels=cfg.get("in_channels", 4),
-            block_out_channels=tuple(cfg.get("block_out_channels",
-                                             (320, 640, 1280, 1280))),
-            layers_per_block=cfg.get("layers_per_block", 2),
-            cross_attention_dim=cfg.get("cross_attention_dim", 768),
-            attention_heads=heads,
-            norm_groups=cfg.get("norm_num_groups", 32),
-            cross_attn_blocks=tuple(t == "CrossAttnDownBlock2D"
-                                    for t in down),
-        )
+        mirror = ["CrossAttnUpBlock2D" if t == "CrossAttnDownBlock2D"
+                  else "UpBlock2D" for t in reversed(down)]
+        unet_cfg = unet_config_from_diffusers(
+            {**cfg, "down_block_types": list(down),
+             "up_block_types": mirror,
+             "out_channels": cfg.get("out_channels", 4)})
     order = cfg.get("controlnet_conditioning_channel_order", "rgb")
     if order != "rgb":
         raise ValueError(f"conditioning channel order {order!r} unsupported "
@@ -714,6 +713,9 @@ def export_controlnet(params: dict) -> Dict[str, np.ndarray]:
     _exp_conv(out, "conv_in", params["conv_in"])
     _exp_linear(out, "time_embedding.linear_1", params["time_mlp"]["fc1"])
     _exp_linear(out, "time_embedding.linear_2", params["time_mlp"]["fc2"])
+    if "add_mlp" in params:  # SDXL ControlNet text_time embedding
+        _exp_linear(out, "add_embedding.linear_1", params["add_mlp"]["fc1"])
+        _exp_linear(out, "add_embedding.linear_2", params["add_mlp"]["fc2"])
     for i, blk in enumerate(params["down"]):
         prefix = f"down_blocks.{i}"
         for j, r in enumerate(blk["resnets"]):

@@ -148,11 +148,6 @@ def _split_params(params, tcfg: TrainConfig, compute_dtype=jnp.bfloat16,
             "placeholder rows would exist only in the first encoder's "
             "table while the second tokenizer/encoder never sees the "
             "token — train both tables or use LoRA/full fine-tuning")
-    if tcfg.dual_text_encoder and tcfg.train_controlnet:
-        raise ValueError(
-            "train_controlnet is SD-1/2-only for now: the control branch "
-            "(models/controlnet.py) carries no text_time addition "
-            "embedding, so it cannot consume SDXL conditioning")
     if tcfg.train_controlnet:
         if tcfg.lora_rank > 0 or tcfg.ti_token:
             raise ValueError("train_controlnet is a full-branch mode; it "
@@ -377,7 +372,8 @@ def diffusion_loss(trainable, frozen, batch, key, cfg: PipelineConfig,
                                      cfg.controlnet)
         control_residuals = cn_mod.apply(
             params["controlnet"], noisy, t, ctx, cond_emb, cfg.controlnet,
-            remat=tcfg.grad_ckpt, attn_impl=attn_impl)
+            remat=tcfg.grad_ckpt, attn_impl=attn_impl,
+            added_cond=added_cond)
     pred = unet_mod.apply(params["unet"], noisy, t, ctx, cfg.unet,
                           remat=tcfg.grad_ckpt, remat_mode=tcfg.remat_mode,
                           attn_impl=attn_impl,
