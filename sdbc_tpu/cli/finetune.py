@@ -244,11 +244,6 @@ def main(argv=None):
                          "(the placeholder rows would exist in only one of "
                          "the two encoder tables) — use --lora_rank or "
                          "full fine-tuning")
-    if is_xl and args.tp > 1:
-        raise SystemExit("SDXL with --tp is not validated (text_encoder_2 "
-                         "would replicate; the depth-stacked UNet blocks "
-                         "are untested under the model axis) — use plain "
-                         "data parallelism or --fsdp")
     if use_cn and "controlnet" not in params:
         # fresh branch: clone the base UNet's encoder half (zero output
         # convs ⇒ step 0 reproduces the base model bit-for-bit)

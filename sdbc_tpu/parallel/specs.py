@@ -85,8 +85,10 @@ _TP_RULES = (
 
 # components whose interior the TP rules may shard; anything else (vae,
 # embeddings, inception, bart, ...) stays replicated even when a ResBlock
-# rule would match its key names
-_TP_COMPONENTS = ("unet", "text_encoder")
+# rule would match its key names.  text_encoder_2 (SDXL) reuses the CLIP
+# rules — same layer structure, bigger hidden; its text_projection has no
+# rule and stays replicated (one tiny matmul per prompt).
+_TP_COMPONENTS = ("unet", "text_encoder", "text_encoder_2")
 
 
 def _path_str(path) -> str:
@@ -229,11 +231,21 @@ def validate_tp(cfg, m: int) -> tuple:
     if m <= 1:
         return ()
     u, c = cfg.unet, cfg.clip
-    if any(h % m for h in u.heads_per_level):
+    # only levels that HAVE attention constrain the head split (SDXL-base
+    # declares heads=(5, 10, 20) but level 0 carries no transformer — its
+    # nominal 5 heads never materialize as parameters)
+    attn_heads = [h for h, has in zip(u.heads_per_level, u.cross_attn_blocks)
+                  if has]
+    attn_heads.append(u.heads_per_level[-1])  # the mid transformer's
+    if any(h % m for h in attn_heads):
         raise ValueError(f"model axis {m} must divide the UNet head count "
-                         f"at every level ({u.heads_per_level})")
+                         f"at every attention level ({tuple(attn_heads)})")
     if u.norm_groups % m:
         raise ValueError(f"model axis {m} must divide UNet norm_groups "
                          f"{u.norm_groups} (keeps GroupNorm groups intact "
                          f"per shard)")
-    return ("text_encoder",) if c.heads % m else ()
+    excl = ("text_encoder",) if c.heads % m else ()
+    c2 = getattr(cfg, "clip2", None)
+    if c2 is not None and c2.heads % m:
+        excl += ("text_encoder_2",)
+    return excl

@@ -622,3 +622,94 @@ def test_sdxl_controlnet_port_roundtrip(xl_cn):
     for a, b in zip(jax.tree_util.tree_leaves(cn_params["controlnet"]),
                     jax.tree_util.tree_leaves(back)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+# ------------------------------------------------- SDXL tensor parallelism
+
+def test_sdxl_validate_tp_envelope():
+    """SDXL-base TP envelope: level 0 declares 5 nominal heads but carries
+    no transformer, so only the attention levels (10, 20) + the mid (20)
+    and the two encoders (CLIP-L 12, bigG 20) constrain the axis — m=2
+    shards everything; m=4 is rejected by level 1's 10 heads."""
+    from sdbc_tpu.parallel.specs import validate_tp
+
+    cfg = PipelineConfig.sdxl()
+    assert validate_tp(cfg, 2) == ()
+    with pytest.raises(ValueError, match="attention level"):
+        validate_tp(cfg, 4)
+
+
+def test_sdxl_tp_sampling_matches_replicated(xl_cfg, xl_params):
+    """2-way TP SDXL sampling (both encoders + the depth-stacked scanned
+    UNet blocks model-sharded) == the replicated graph."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from sdbc_tpu.parallel import specs as S
+    from sdbc_tpu.parallel.mesh import MeshConfig, make_mesh
+
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    assert S.validate_tp(xl_cfg, 2) == ()
+    sp = S.tp_specs(xl_params, mesh)
+    leaves = lambda t: jax.tree.leaves(t, is_leaf=lambda x: isinstance(x, P))
+    assert any(s != P() for s in leaves(sp["text_encoder_2"]))
+    # the stacked (scanned) SDXL transformer blocks shard on their LAST
+    # dims — the depth axis stays unsharded
+    stacked = sp["unet"]["down"][1]["attns"][0]["blocks"]["attn1"]["q"]["w"]
+    assert stacked == P(None, None, "model")
+
+    b = 4
+    cond = jnp.ones((b, xl_cfg.clip.ctx), jnp.int32)
+    uncond = jnp.zeros((b, xl_cfg.clip.ctx), jnp.int32)
+    lat = jax.random.normal(jax.random.key(0), (b, 8, 8, 4), jnp.float32)
+    ref = sample(xl_params, cond, uncond, lat, jax.random.key(1), 7.5,
+                 cfg=xl_cfg, num_inference_steps=2,
+                 compute_dtype=jnp.float32, cond_ids2=cond,
+                 uncond_ids2=uncond)
+
+    tp_params = S.shard_tree(xl_params, mesh, sp)
+    shard = lambda x: jax.device_put(
+        x, NamedSharding(mesh, P(*(("data",) + (None,) * (x.ndim - 1)))))
+    out = sample(tp_params, shard(cond), shard(uncond), shard(lat),
+                 jax.random.key(1), 7.5, cfg=xl_cfg,
+                 num_inference_steps=2, compute_dtype=jnp.float32,
+                 cond_ids2=shard(cond), uncond_ids2=shard(uncond))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_sdxl_tp_dp_train_step_matches_single_device(xl_cfg, xl_params):
+    """One SDXL train step on a (data=4, model=2) mesh with TP-sharded
+    state == the single-device step (loss + post-update params)."""
+    from sdbc_tpu.parallel import specs as S
+    from sdbc_tpu.parallel.mesh import MeshConfig, make_mesh
+    from sdbc_tpu.train.trainer import (TrainConfig, init_train_state,
+                                        make_train_step)
+
+    tcfg = TrainConfig(train_unet=True, train_text_encoder=True,
+                       dual_text_encoder=True, grad_accum=1,
+                       learning_rate=1e-4, num_examples=100)
+    batch = {
+        "pixel_values": jax.random.normal(jax.random.key(0),
+                                          (1, 4, 32, 32, 3)) * 0.5,
+        "input_ids": jnp.ones((1, 4, xl_cfg.clip.ctx), jnp.int32),
+        "input_ids_2": jnp.ones((1, 4, xl_cfg.clip2.ctx), jnp.int32),
+    }
+    key = jax.random.key(5)
+
+    s_single = init_train_state(xl_params, tcfg, compute_dtype=jnp.float32)
+    s1, m1 = make_train_step(xl_cfg, tcfg, compute_dtype=jnp.float32)(
+        s_single, batch, key)
+
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    s_tp = init_train_state(xl_params, tcfg, compute_dtype=jnp.float32)
+    s_tp = S.shard_tree(s_tp, mesh, S.tp_specs(s_tp, mesh))
+    step = make_train_step(xl_cfg, tcfg, mesh=mesh, dp_size=4,
+                           compute_dtype=jnp.float32)
+    s1_tp, m_tp = step(s_tp, batch, key)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m_tp["loss"]),
+                               rtol=1e-4)
+    flat_s, _ = jax.tree_util.tree_flatten_with_path(s1.trainable)
+    flat_t = jax.tree.leaves(s1_tp.trainable)
+    for (path, a), b in zip(flat_s, flat_t):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=2e-5, err_msg=str(path))
