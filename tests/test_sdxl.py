@@ -713,3 +713,23 @@ def test_sdxl_tp_dp_train_step_matches_single_device(xl_cfg, xl_params):
     for (path, a), b in zip(flat_s, flat_t):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
                                    atol=2e-5, err_msg=str(path))
+
+
+def test_sdxl_spatial_pipeline_matches_unsharded(xl_cfg, xl_params):
+    """SDPipeline(mesh=..., spatial=True) with the SDXL family: a batch-1
+    prompt runs with latent rows sharded over all 8 devices (dual-encoder
+    conditioning replicated) and matches the single-device pipeline."""
+    from sdbc_tpu.parallel.mesh import MeshConfig, make_mesh
+
+    tok = CLIPTokenizer.fallback(xl_cfg.clip.vocab_size)
+    kw = dict(height=32, width=32, num_inference_steps=2, seed=7)
+    ref_pipe = SDPipeline(xl_params, xl_cfg, tok,
+                          compute_dtype=jnp.float32, attn_impl="xla")
+    ref = ref_pipe("a book cover", **kw)
+
+    mesh = make_mesh(MeshConfig(data=8))
+    sp_pipe = SDPipeline(xl_params, xl_cfg, tok,
+                         compute_dtype=jnp.float32, mesh=mesh, spatial=True)
+    out = sp_pipe("a book cover", **kw)
+    assert out.shape == ref.shape == (1, 32, 32, 3)
+    np.testing.assert_allclose(out, ref, atol=1e-4)
