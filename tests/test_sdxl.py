@@ -733,3 +733,21 @@ def test_sdxl_spatial_pipeline_matches_unsharded(xl_cfg, xl_params):
     out = sp_pipe("a book cover", **kw)
     assert out.shape == ref.shape == (1, 32, 32, 3)
     np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_sdxl_sdpipeline_tp_serving(xl_cfg, xl_params):
+    """SDPipeline(mesh=...) — the CLI serving path — matches the
+    single-device SDXL pipeline under a (data=4, model=2) mesh (both
+    encoders and the stacked UNet blocks model-sharded)."""
+    from sdbc_tpu.parallel.mesh import MeshConfig, make_mesh
+
+    tok = CLIPTokenizer.fallback(xl_cfg.clip.vocab_size)
+    kw = dict(height=32, width=32, num_inference_steps=2, seed=3)
+    prompts = ["a book cover"] * 4
+    ref = SDPipeline(xl_params, xl_cfg, tok,
+                     compute_dtype=jnp.float32)(prompts, **kw)
+
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    out = SDPipeline(xl_params, xl_cfg, tok, compute_dtype=jnp.float32,
+                     mesh=mesh)(prompts, **kw)
+    np.testing.assert_allclose(out, ref, atol=1e-4)
