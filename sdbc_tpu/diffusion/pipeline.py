@@ -45,6 +45,11 @@ class PipelineConfig:
     # params then carry "text_encoder_2" and the UNet config must set
     # addition_embed_dim (the pooled embed feeds the text_time embedding)
     clip2: Optional[clip_mod.CLIPTextConfig] = None
+    # SDXL-refiner flavor: params carry ONLY text_encoder_2 (context =
+    # bigG penultimate state alone), and the micro-conditioning is 5 ids
+    # (orig size, crop, AESTHETIC SCORE — per CFG branch) instead of 6.
+    # clip is set = clip2 so the tokenizer/ctx plumbing is unchanged.
+    refiner: bool = False
 
     @property
     def is_sdxl(self) -> bool:
@@ -109,6 +114,20 @@ class PipelineConfig:
                               clip2=clip_mod.CLIPTextConfig.sdxl_g())
 
     @staticmethod
+    def sdxl_refiner(scheduler: str = "ddim") -> "PipelineConfig":
+        """SDXL-refiner: the ensemble-of-expert-denoisers tail model
+        (high-resolution detail specialist, typically driven through
+        ``SDPipeline.img2img`` on the base model's output or the
+        denoising_start/denoising_end latent handoff).  Single bigG
+        encoder, aesthetic-score micro-conditioning."""
+        big_g = clip_mod.CLIPTextConfig.sdxl_g()
+        return PipelineConfig(big_g,
+                              unet_mod.UNetConfig.sdxl_refiner(),
+                              vae_mod.VAEConfig.sdxl(),
+                              sched_mod.ScheduleConfig.sd15(), scheduler,
+                              clip2=big_g, refiner=True)
+
+    @staticmethod
     def tiny(scheduler: str = "ddim") -> "PipelineConfig":
         return PipelineConfig(clip_mod.CLIPTextConfig.tiny(),
                               unet_mod.UNetConfig.tiny(),
@@ -128,6 +147,20 @@ class PipelineConfig:
                               vae_mod.VAEConfig.tiny(),
                               sched_mod.ScheduleConfig.sd15(), scheduler,
                               clip2=clip2)
+
+    @staticmethod
+    def tiny_xl_refiner(scheduler: str = "ddim") -> "PipelineConfig":
+        """Toy refiner: single-encoder SDXL conditioning at test scale.
+        addition_embed_dim = 16 (clip2 projection) + 5·4 (orig/crop/
+        aesthetic time ids) = 36; context dim = the tiny bigG's 32."""
+        clip2 = dataclasses.replace(clip_mod.CLIPTextConfig.tiny(),
+                                    projection_dim=16)
+        u = dataclasses.replace(unet_mod.UNetConfig.tiny_xl(),
+                                cross_attention_dim=32,
+                                addition_embed_dim=36)
+        return PipelineConfig(clip2, u, vae_mod.VAEConfig.tiny(),
+                              sched_mod.ScheduleConfig.sd15(), scheduler,
+                              clip2=clip2, refiner=True)
 
 
 def encode_text(params, ids, cfg: PipelineConfig, compute_dtype=jnp.bfloat16,
@@ -196,26 +229,32 @@ def encode_text_xl(params, ids, ids2, cfg: PipelineConfig,
             raise ValueError(f"token ids width {width} is not a multiple of "
                              f"the encoder context {ctx}")
         k = width // ctx
-        h1 = clip_mod.apply(params["text_encoder"], ids.reshape(-1, ctx),
-                            cfg.clip, compute_dtype=compute_dtype,
-                            skip_layers=skip, final_ln=False)
-        h1 = h1.reshape(b, width, h1.shape[-1])
+        h1 = None
+        if not cfg.refiner:
+            h1 = clip_mod.apply(params["text_encoder"], ids.reshape(-1, ctx),
+                                cfg.clip, compute_dtype=compute_dtype,
+                                skip_layers=skip, final_ln=False)
+            h1 = h1.reshape(b, width, h1.shape[-1])
         h2, pooled = clip_mod.apply_with_pooled(
             params["text_encoder_2"], ids2.reshape(-1, ctx), cfg.clip2,
             compute_dtype=compute_dtype, skip_layers=skip)
         h2 = h2.reshape(b, width, h2.shape[-1])
         pooled = pooled.reshape(b, k, -1)[:, 0]  # first window's pooled
     else:
-        h1 = clip_mod.apply(params["text_encoder"], ids, cfg.clip,
-                            compute_dtype=compute_dtype, skip_layers=skip,
-                            final_ln=False)
+        h1 = None
+        if not cfg.refiner:
+            h1 = clip_mod.apply(params["text_encoder"], ids, cfg.clip,
+                                compute_dtype=compute_dtype,
+                                skip_layers=skip, final_ln=False)
         h2, pooled = clip_mod.apply_with_pooled(
             params["text_encoder_2"], ids2, cfg.clip2,
             compute_dtype=compute_dtype, skip_layers=skip)
-    if weights is not None:
+    if h1 is not None and weights is not None:
         h1 = _apply_token_weights(h1, weights)
     if weights2 is not None:
         h2 = _apply_token_weights(h2, weights2)
+    if cfg.refiner:  # single-encoder flavor: bigG context alone
+        return h2, pooled
     return jnp.concatenate([h1, h2], axis=-1), pooled
 
 
@@ -264,7 +303,8 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
            control_image=None, controlnet_scale=1.0,
            cond_weights=None, uncond_weights=None,
            cond_ids2=None, uncond_ids2=None, time_ids=None,
-           cond_weights2=None, uncond_weights2=None):
+           cond_weights2=None, uncond_weights2=None,
+           aesthetic_score=6.0, negative_aesthetic_score=2.5):
     """Run the full CFG sampling graph.
 
     params: {"text_encoder", "unet", "vae"} param trees (fp32 masters; cast here)
@@ -368,16 +408,37 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
                                        dt, clip_skip=clip_skip,
                                        weights=uncond_weights,
                                        weights2=uncond_weights2)
-        if time_ids is None:
+        if cfg.refiner:
+            # refiner micro-conditioning: 5 ids, the last an AESTHETIC
+            # SCORE that differs between the CFG branches (diffusers
+            # requires_aesthetics_score: cond 6.0, uncond 2.5 defaults)
+            if time_ids is not None:
+                raise ValueError("refiner configs derive their own "
+                                 "(orig, crop, aesthetic) time ids — use "
+                                 "aesthetic_score/negative_aesthetic_score "
+                                 "instead of time_ids")
             hh = latents.shape[1] * cfg.vae_scale
             ww = latents.shape[2] * cfg.vae_scale
-            time_ids = jnp.tile(
-                jnp.asarray([[hh, ww, 0, 0, hh, ww]], jnp.float32),
-                (latents.shape[0], 1))
+            base4 = jnp.tile(jnp.asarray([[hh, ww, 0, 0]], jnp.float32),
+                             (latents.shape[0], 1))
+            score = lambda s: jnp.full((latents.shape[0], 1),
+                                       jnp.asarray(s, jnp.float32))
+            tid_u = jnp.concatenate(
+                [base4, score(negative_aesthetic_score)], axis=-1)
+            tid_c = jnp.concatenate([base4, score(aesthetic_score)],
+                                    axis=-1)
+            time_ids2 = jnp.concatenate([tid_u, tid_c], axis=0)
+        else:
+            if time_ids is None:
+                hh = latents.shape[1] * cfg.vae_scale
+                ww = latents.shape[2] * cfg.vae_scale
+                time_ids = jnp.tile(
+                    jnp.asarray([[hh, ww, 0, 0, hh, ww]], jnp.float32),
+                    (latents.shape[0], 1))
+            time_ids2 = jnp.concatenate([time_ids, time_ids], axis=0)
         # uncond ⧺ cond row order matches the context concat below
         added2 = _xl_added_cond(
-            jnp.concatenate([pool_u, pool_c], axis=0),
-            jnp.concatenate([time_ids, time_ids], axis=0),
+            jnp.concatenate([pool_u, pool_c], axis=0), time_ids2,
             cfg.unet.addition_time_embed_dim)
     else:
         ctx_c = encode_text(params, cond_ids, cfg, dt, clip_skip=clip_skip)
@@ -1076,7 +1137,9 @@ class SDPipeline:
                  guidance_rescale: float = 0.0, clip_skip: int = 0,
                  use_karras_sigmas: bool = False, control_image=None,
                  controlnet_scale: float = 1.0,
-                 prompt_weighting: bool = False, max_prompt_chunks: int = 3):
+                 prompt_weighting: bool = False, max_prompt_chunks: int = 3,
+                 aesthetic_score: float = 6.0,
+                 negative_aesthetic_score: float = 2.5):
         """``negative_prompt``: str or per-prompt list encoded as the CFG
         unconditional branch instead of "" (the diffusers-0.7.2
         StableDiffusionPipeline parameter the reference's engine exposes);
@@ -1314,7 +1377,10 @@ class SDPipeline:
                       controlnet_scale=controlnet_scale,
                       cond_weights=cond_w, uncond_weights=uncond_w,
                       cond_ids2=cond2, uncond_ids2=uncond2,
-                      cond_weights2=cond_w2, uncond_weights2=uncond_w2)
+                      cond_weights2=cond_w2, uncond_weights2=uncond_w2,
+                      aesthetic_score=float(aesthetic_score),
+                      negative_aesthetic_score=float(
+                          negative_aesthetic_score))
         return np.asarray(imgs)[:b]
 
     def img2img(self, prompts, image, *, strength: float = 0.8, **kw):

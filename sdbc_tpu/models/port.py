@@ -556,6 +556,7 @@ def pipeline_config_from_diffusers(root: str, scheduler: str = "ddim"):
     if os.path.exists(p):
         clip_cfg = clip_config_from_diffusers(_read_json(p))
     clip2_cfg = None
+    refiner = False
     p = os.path.join(root, "text_encoder_2", "config.json")
     if os.path.exists(p):  # SDXL second encoder
         clip2_cfg = clip_config_from_diffusers(_read_json(p))
@@ -564,6 +565,13 @@ def pipeline_config_from_diffusers(root: str, scheduler: str = "ddim"):
                 f"{root} has a text_encoder_2 but its UNet config carries no "
                 "text_time addition embedding — not an SDXL layout this "
                 "framework recognizes")
+        if not os.path.exists(os.path.join(root, "text_encoder",
+                                           "config.json")):
+            # SDXL-refiner layout: bigG alone (diffusers saves the dir
+            # with text_encoder/tokenizer null), aesthetic-score
+            # micro-conditioning
+            refiner = True
+            clip_cfg = clip2_cfg
     schedule = ScheduleConfig.sd15()
     p = os.path.join(root, "scheduler", "scheduler_config.json")
     if os.path.exists(p):
@@ -573,7 +581,7 @@ def pipeline_config_from_diffusers(root: str, scheduler: str = "ddim"):
                 schedule, prediction_type=sc["prediction_type"])
     return PipelineConfig(clip=clip_cfg, unet=unet_cfg, vae=vae_cfg,
                           schedule=schedule, scheduler=scheduler,
-                          clip2=clip2_cfg)
+                          clip2=clip2_cfg, refiner=refiner)
 
 
 # ---------------------------------------------------------------------------
@@ -902,7 +910,9 @@ def export_diffusers_checkpoint(params: dict, cfg, out_dir: str) -> str:
         layout["text_encoder_2"] = (export_clip_text,
                                     _clip_config_to_diffusers(cfg.clip2),
                                     "model.safetensors")
-    index = {"_class_name": ("StableDiffusionXLPipeline"
+    index = {"_class_name": ("StableDiffusionXLImg2ImgPipeline"
+                             if getattr(cfg, "refiner", False)
+                             else "StableDiffusionXLPipeline"
                              if getattr(cfg, "clip2", None) is not None
                              else "StableDiffusionPipeline"),
              "_diffusers_version": "0.7.2",

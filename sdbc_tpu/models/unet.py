@@ -109,6 +109,20 @@ class UNetConfig:
                           addition_embed_dim=2816)
 
     @staticmethod
+    def sdxl_refiner() -> "UNetConfig":
+        # SDXL-refiner: 4 levels, attention on the middle two, uniform
+        # transformer depth 4, head_dim 64 → (6, 12, 24, 24) heads,
+        # 1280-d context (OpenCLIP-bigG ONLY — no CLIP-L), text_time
+        # addition embedding of 2560 (= 1280 pooled + 5×256: orig size,
+        # crop, AESTHETIC SCORE instead of target size)
+        return UNetConfig(block_out_channels=(384, 768, 1536, 1536),
+                          cross_attention_dim=1280,
+                          attention_heads=(6, 12, 24, 24),
+                          cross_attn_blocks=(False, True, True, False),
+                          transformer_depth=4,
+                          addition_embed_dim=2560)
+
+    @staticmethod
     def tiny() -> "UNetConfig":
         return UNetConfig(block_out_channels=(32, 64), layers_per_block=1,
                           cross_attention_dim=32, attention_heads=4,

@@ -409,6 +409,12 @@ def make_train_step(cfg: PipelineConfig, tcfg: TrainConfig, mesh=None,
     optimizer update is applied.  Under a mesh, batch dims are sharded over
     ``data`` and XLA inserts the gradient psum.
     """
+    if getattr(cfg, "refiner", False):
+        raise ValueError(
+            "training the SDXL refiner is not wired: the loss path encodes "
+            "with both encoders (dual_text_encoder) while a refiner carries "
+            "only text_encoder_2 — serve it (text2img/img2img/ensemble) or "
+            "fine-tune the base model instead")
     if tcfg.dual_text_encoder != cfg.is_sdxl:
         # the two flags encode one fact (the finetune CLI derives the
         # TrainConfig field from cfg.is_sdxl); a desync would either crash

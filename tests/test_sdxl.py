@@ -751,3 +751,124 @@ def test_sdxl_sdpipeline_tp_serving(xl_cfg, xl_params):
     out = SDPipeline(xl_params, xl_cfg, tok, compute_dtype=jnp.float32,
                      mesh=mesh)(prompts, **kw)
     np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+# ------------------------------------------------------------ SDXL refiner
+
+@pytest.fixture(scope="module")
+def rf_cfg():
+    return PipelineConfig.tiny_xl_refiner()
+
+
+@pytest.fixture(scope="module")
+def rf_params(rf_cfg):
+    ks = jax.random.split(jax.random.key(17), 3)
+    return {"text_encoder_2": clip.init(ks[0], rf_cfg.clip2),
+            "unet": unet.init(ks[1], rf_cfg.unet),
+            "vae": vae.init(ks[2], rf_cfg.vae)}
+
+
+@pytest.fixture(scope="module")
+def rf_pipe(rf_cfg, rf_params):
+    tok = CLIPTokenizer.fallback(rf_cfg.clip.vocab_size)
+    return SDPipeline(rf_params, rf_cfg, tok, compute_dtype=jnp.float32)
+
+
+def test_refiner_config_shape():
+    """The real refiner preset carries the published layout: single bigG
+    encoder, 1280-d context, 4 levels with attention on the middle two,
+    2560-d text_time addition (1280 pooled + 5x256 aesthetic ids)."""
+    cfg = PipelineConfig.sdxl_refiner()
+    assert cfg.refiner and cfg.is_sdxl
+    assert cfg.clip is cfg.clip2
+    u = cfg.unet
+    assert u.block_out_channels == (384, 768, 1536, 1536)
+    assert u.cross_attn_blocks == (False, True, True, False)
+    assert u.cross_attention_dim == 1280 == cfg.clip2.hidden
+    assert u.addition_embed_dim == 2560 == cfg.clip2.projection_dim + 5 * 256
+    assert u.depth_per_level == (4, 4, 4, 4)
+    assert u.heads_per_level == (6, 12, 24, 24)
+
+
+def test_refiner_text2img(rf_pipe):
+    out = rf_pipe(["a book cover"], height=32, width=32,
+                  num_inference_steps=3)
+    assert out.shape == (1, 32, 32, 3)
+    assert np.isfinite(out).all()
+
+
+def test_refiner_aesthetic_score_conditions(rf_pipe):
+    """The aesthetic score feeds the addition embedding: changing it (same
+    seed, same graph — traced scalar) changes the output."""
+    kw = dict(height=32, width=32, num_inference_steps=2, seed=5)
+    a = rf_pipe(["a cover"], aesthetic_score=6.0, **kw)
+    b = rf_pipe(["a cover"], aesthetic_score=0.0, **kw)
+    c = rf_pipe(["a cover"], aesthetic_score=6.0, **kw)
+    np.testing.assert_array_equal(a, c)  # same score reproduces exactly
+    assert np.abs(a - b).max() > 1e-6
+
+
+def test_refiner_img2img(rf_pipe):
+    """The canonical base→refiner flow: refine an existing image with
+    moderate strength (diffusers StableDiffusionXLImg2ImgPipeline with a
+    refiner checkpoint)."""
+    img = np.random.RandomState(0).rand(1, 32, 32, 3).astype(np.float32)
+    out = rf_pipe.img2img(["a cover"], img, strength=0.5,
+                          num_inference_steps=4)
+    assert out.shape == (1, 32, 32, 3)
+    assert np.isfinite(out).all()
+
+
+def test_refiner_rejects_time_ids_and_training(rf_cfg, rf_params):
+    from sdbc_tpu.train.trainer import TrainConfig, make_train_step
+
+    ids = jnp.ones((1, rf_cfg.clip.ctx), jnp.int32)
+    lat = jnp.zeros((1, 8, 8, 4), jnp.float32)
+    with pytest.raises(ValueError, match="aesthetic_score"):
+        sample(rf_params, ids, ids, lat, jax.random.key(0), 7.5,
+               cfg=rf_cfg, num_inference_steps=2,
+               compute_dtype=jnp.float32, cond_ids2=ids, uncond_ids2=ids,
+               time_ids=jnp.zeros((1, 6)))
+    with pytest.raises(ValueError, match="refiner"):
+        make_train_step(rf_cfg, TrainConfig(dual_text_encoder=True),
+                        compute_dtype=jnp.float32)
+
+
+def test_refiner_dir_config_inference(tmp_path):
+    """A diffusers SDXL-refiner dir (text_encoder_2 present, text_encoder
+    ABSENT — diffusers saves it null) infers a refiner PipelineConfig:
+    single-encoder context, refiner=True, clip = clip2."""
+    import json
+    import os
+
+    root = str(tmp_path)
+    cfgs = {
+        "unet": {
+            "in_channels": 4, "out_channels": 4,
+            "block_out_channels": [32, 64], "layers_per_block": 1,
+            "cross_attention_dim": 32, "attention_head_dim": [4, 4],
+            "norm_num_groups": 8, "transformer_layers_per_block": 2,
+            "addition_embed_type": "text_time",
+            "projection_class_embeddings_input_dim": 36,
+            "addition_time_embed_dim": 4,
+            "down_block_types": ["DownBlock2D", "CrossAttnDownBlock2D"],
+            "up_block_types": ["CrossAttnUpBlock2D", "UpBlock2D"],
+        },
+        "text_encoder_2": {
+            "vocab_size": 1000, "hidden_size": 32, "num_hidden_layers": 2,
+            "num_attention_heads": 4, "intermediate_size": 64,
+            "max_position_embeddings": 16, "projection_dim": 16,
+            "architectures": ["CLIPTextModelWithProjection"],
+        },
+    }
+    for comp, c in cfgs.items():
+        os.makedirs(os.path.join(root, comp))
+        with open(os.path.join(root, comp, "config.json"), "w") as f:
+            json.dump(c, f)
+
+    cfg = port.pipeline_config_from_diffusers(root)
+    assert cfg.refiner
+    assert cfg.is_sdxl
+    assert cfg.clip == cfg.clip2
+    assert cfg.clip2.projection_dim == 16
+    assert cfg.unet.addition_embed_dim == 36
