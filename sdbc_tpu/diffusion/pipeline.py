@@ -289,14 +289,15 @@ def _apply_token_weights(emb, w):
     jax.jit,
     static_argnames=("cfg", "num_inference_steps", "compute_dtype", "decode",
                      "cache_interval", "cache_tail", "attn_impl",
-                     "chunked_decode", "t_start", "pack_heads",
+                     "chunked_decode", "t_start", "t_end", "pack_heads",
                      "guidance_rescale", "clip_skip", "use_karras_sigmas"))
 def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
            *, cfg: PipelineConfig, num_inference_steps: int = 50,
            compute_dtype=jnp.bfloat16, decode: bool = True,
            cache_interval: int = 0, cache_tail: int = 0,
            attn_impl: str = "inference", chunked_decode=None,
-           init_image=None, t_start: int = 0, mask=None,
+           init_image=None, t_start: int = 0, t_end: Optional[int] = None,
+           mask=None,
            pack_heads: Optional[bool] = None,
            guidance_rescale: float = 0.0, clip_skip: int = 0,
            use_karras_sigmas: bool = False,
@@ -377,6 +378,26 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
                          "are defined on the integer training grid")
     if not 0 <= t_start <= num_inference_steps:
         raise ValueError(f"t_start={t_start} outside [0, {num_inference_steps}]")
+    if t_end is not None:
+        # ensemble-of-expert-denoisers handoff (SDXL base → refiner): the
+        # base stage stops at step t_end and hands its RAW latents (decode=
+        # False) to the tail model, which resumes at t_start=t_end on the
+        # SAME grid (pass latents directly, no init_image — the loop then
+        # starts from them without re-noising)
+        if cfg.scheduler in ("pndm", "lms"):
+            raise ValueError("t_end (denoising_end) is implemented for the "
+                             "single-step schedulers (ddim/dpm/ddpm/"
+                             "euler_a) only — the PNDM/LMS multistep state "
+                             "does not hand off cleanly")
+        if not t_start <= t_end <= num_inference_steps:
+            raise ValueError(f"t_end={t_end} outside "
+                             f"[{t_start}, {num_inference_steps}]")
+        if mask is not None:
+            raise ValueError("t_end cannot combine with mask (inpainting "
+                             "blends against the final noise level — a "
+                             "truncated run would hand off a half-blended "
+                             "composite)")
+    t_stop = num_inference_steps if t_end is None else t_end
     if control_image is not None:
         if "controlnet" not in params or cfg.controlnet is None:
             raise ValueError("control_image needs params['controlnet'] and "
@@ -671,7 +692,7 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
                     nlat = blend(nlat, t - ratio)
                 return nlat, cache
 
-            lat, _ = jax.lax.fori_loop(t_start, num_inference_steps, body,
+            lat, _ = jax.lax.fori_loop(t_start, t_stop, body,
                                        (lat, cache0))
         else:
             def body(i, lat):
@@ -684,7 +705,7 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
                     nlat = blend(nlat, t - ratio)
                 return nlat
 
-            lat = jax.lax.fori_loop(t_start, num_inference_steps, body, lat)
+            lat = jax.lax.fori_loop(t_start, t_stop, body, lat)
 
     elif cfg.scheduler == "dpm" and use_karras_sigmas:
         # DPM-Solver++(2M) on the Karras σ grid (λ = −log σ carries the
@@ -717,7 +738,7 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
                     lat = blend_sigma(lat, sigmas[i + 1])
                 return state, lat, cache
 
-            _, lat, _ = jax.lax.fori_loop(t_start, num_inference_steps,
+            _, lat, _ = jax.lax.fori_loop(t_start, t_stop,
                                           body, (state0, lat, cache0))
         else:
             def body(i, carry):
@@ -735,7 +756,7 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
                     lat = blend_sigma(lat, sigmas[i + 1])
                 return state, lat
 
-            _, lat = jax.lax.fori_loop(t_start, num_inference_steps, body,
+            _, lat = jax.lax.fori_loop(t_start, t_stop, body,
                                        (state0, lat))
 
     elif cfg.scheduler == "dpm":
@@ -774,7 +795,7 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
                     lat = blend(lat, t - ratio)
                 return state, lat, cache
 
-            _, lat, _ = jax.lax.fori_loop(t_start, num_inference_steps, body,
+            _, lat, _ = jax.lax.fori_loop(t_start, t_stop, body,
                                           (state0, lat, cache0))
         else:
             def body(i, carry):
@@ -790,7 +811,7 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
                     lat = blend(lat, t - ratio)
                 return state, lat
 
-            _, lat = jax.lax.fori_loop(t_start, num_inference_steps, body,
+            _, lat = jax.lax.fori_loop(t_start, t_stop, body,
                                        (state0, lat))
 
     elif cfg.scheduler == "euler_a" and use_karras_sigmas:
@@ -819,7 +840,7 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
                 nlat = blend_sigma(nlat, sigmas[i + 1])
             return nlat, k
 
-        lat, _ = jax.lax.fori_loop(t_start, num_inference_steps, body,
+        lat, _ = jax.lax.fori_loop(t_start, t_stop, body,
                                    (lat, key))
 
     elif cfg.scheduler == "euler_a":
@@ -846,7 +867,7 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
                 nlat = blend(nlat, t - ratio)
             return nlat, k
 
-        lat, _ = jax.lax.fori_loop(t_start, num_inference_steps, body,
+        lat, _ = jax.lax.fori_loop(t_start, t_stop, body,
                                    (lat, key))
 
     elif cfg.scheduler == "lms" and use_karras_sigmas:
@@ -929,7 +950,7 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
                 nlat = blend(nlat, t - ratio)
             return nlat, k
 
-        lat, _ = jax.lax.fori_loop(t_start, num_inference_steps, body,
+        lat, _ = jax.lax.fori_loop(t_start, t_stop, body,
                                    (lat, key))
     else:
         raise ValueError(f"unknown scheduler {cfg.scheduler}")
@@ -1139,7 +1160,9 @@ class SDPipeline:
                  controlnet_scale: float = 1.0,
                  prompt_weighting: bool = False, max_prompt_chunks: int = 3,
                  aesthetic_score: float = 6.0,
-                 negative_aesthetic_score: float = 2.5):
+                 negative_aesthetic_score: float = 2.5,
+                 denoising_start: Optional[float] = None,
+                 denoising_end: Optional[float] = None):
         """``negative_prompt``: str or per-prompt list encoded as the CFG
         unconditional branch instead of "" (the diffusers-0.7.2
         StableDiffusionPipeline parameter the reference's engine exposes);
@@ -1252,6 +1275,9 @@ class SDPipeline:
         # path (latents given) keeps key(seed) for the sampler, matching
         # the recorded protocol.
         sampler_key = jax.random.key(seed)
+        if denoising_start is not None and latents is None:
+            raise ValueError("denoising_start requires latents= (the "
+                             "base stage's decode=False output)")
         if latents is None:
             lkey, sampler_key = jax.random.split(jax.random.key(seed))
             f = self.cfg.vae_scale
@@ -1280,6 +1306,28 @@ class SDPipeline:
 
         img_arr = mask_arr = None
         t_start = 0
+        t_end = None
+        if denoising_end is not None:
+            # SDXL ensemble base stage (diffusers denoising_end): run only
+            # the first round(n·e) steps; pair with decode=False to hand
+            # the raw latents to a refiner
+            if not 0.0 < denoising_end <= 1.0:
+                raise ValueError(f"denoising_end must be in (0, 1], got "
+                                 f"{denoising_end}")
+            t_end = int(round(num_inference_steps * denoising_end))
+        if denoising_start is not None:
+            # SDXL ensemble tail stage (diffusers denoising_start): resume
+            # at round(n·s) from the ``latents=`` handed over by the base
+            # stage — no re-noising (init_image is the img2img protocol
+            # and is mutually exclusive)
+            if init_image is not None:
+                raise ValueError("denoising_start resumes from raw handed-"
+                                 "over latents; it cannot combine with "
+                                 "init_image (use strength for img2img)")
+            if not 0.0 <= denoising_start < 1.0:
+                raise ValueError(f"denoising_start must be in [0, 1), got "
+                                 f"{denoising_start}")
+            t_start = int(round(num_inference_steps * denoising_start))
         if init_image is not None:
             img_arr = preprocess_image(init_image, height, width)
             if img_arr.shape[0] == 1 and b > 1:
@@ -1369,7 +1417,8 @@ class SDPipeline:
                       cache_interval=cache_interval, cache_tail=cache_tail,
                       attn_impl=self._attn_impl,
                       chunked_decode=self.mesh is None,
-                      init_image=img_arr, t_start=t_start, mask=mask_arr,
+                      init_image=img_arr, t_start=t_start, t_end=t_end,
+                      mask=mask_arr,
                       guidance_rescale=float(guidance_rescale),
                       clip_skip=int(clip_skip),
                       use_karras_sigmas=bool(use_karras_sigmas),

@@ -872,3 +872,43 @@ def test_refiner_dir_config_inference(tmp_path):
     assert cfg.clip == cfg.clip2
     assert cfg.clip2.projection_dim == 16
     assert cfg.unet.addition_embed_dim == 36
+
+
+def test_denoising_split_equals_full_run(xl_pipe):
+    """Ensemble handoff invariant: denoising_end=0.5 + resume with
+    denoising_start=0.5 on the SAME model reproduces the uninterrupted
+    run (same grid, raw-latent handoff, no re-noising) — the structural
+    guarantee the base→refiner ensemble rests on."""
+    kw = dict(height=32, width=32, num_inference_steps=4)
+    lat = per_sample_fixed_latents(1, (4, 16, 16), seed=41)
+    full = xl_pipe(["a cover"], latents=lat, **kw)
+    half = xl_pipe(["a cover"], latents=lat, decode=False,
+                   denoising_end=0.5, **kw)
+    resumed = xl_pipe(["a cover"], latents=half, denoising_start=0.5, **kw)
+    # two compiled graphs (0..4 vs 0..2 + 2..4): float wobble only
+    np.testing.assert_allclose(resumed, full, atol=1e-5)
+
+
+def test_base_to_refiner_ensemble(xl_pipe, rf_pipe):
+    """The SDXL ensemble-of-expert-denoisers serving flow: the base model
+    runs the high-noise 80%, hands raw latents to the refiner for the
+    low-noise tail (diffusers denoising_end/denoising_start protocol)."""
+    kw = dict(height=32, width=32, num_inference_steps=5)
+    lat = xl_pipe(["a cover"], decode=False, denoising_end=0.8, seed=9,
+                  **kw)
+    assert lat.shape == (1, 16, 16, 4)
+    out = rf_pipe(["a cover"], latents=lat, denoising_start=0.8,
+                  aesthetic_score=6.0, **kw)
+    assert out.shape == (1, 32, 32, 3)
+    assert np.isfinite(out).all()
+
+
+def test_denoising_start_guards(xl_pipe):
+    img = np.zeros((1, 32, 32, 3), np.float32)
+    with pytest.raises(ValueError, match="requires latents"):
+        xl_pipe(["a"], height=32, width=32, num_inference_steps=2,
+                denoising_start=0.5)
+    with pytest.raises(ValueError, match="cannot combine with init_image"):
+        xl_pipe(["a"], height=32, width=32, num_inference_steps=2,
+                denoising_start=0.5, init_image=img,
+                latents=per_sample_fixed_latents(1, (4, 16, 16), seed=1))
