@@ -263,3 +263,33 @@ def resolve_params_cfg(args):
 
 def compute_dtype(args):
     return jnp.bfloat16 if args.bf16 else jnp.float32
+
+
+def resolve_refiner(path: str, scheduler: str):
+    """--refiner_ckpt resolution: our checkpoint layout or a diffusers
+    save_pretrained dir (auto-detected by the unet/config.json marker).
+
+    The scheduler is forced to the base pipeline's: the ensemble handoff
+    resumes mid-grid, so both stages must step the same grid
+    (diffusion/pipeline.py EnsemblePipeline validates the schedule too).
+    """
+    import dataclasses
+
+    from sdbc_tpu.utils import checkpoint as ckpt_mod
+
+    if os.path.exists(os.path.join(path, "unet", "config.json")):
+        from sdbc_tpu.models.port import (pipeline_config_from_diffusers,
+                                          port_diffusers_checkpoint)
+
+        params = port_diffusers_checkpoint(path)
+        cfg = pipeline_config_from_diffusers(path, scheduler)
+    else:
+        params, cfg = ckpt_mod.load_pipeline(path)
+        cfg = dataclasses.replace(cfg, scheduler=scheduler)
+    if not getattr(cfg, "refiner", False):
+        raise SystemExit(
+            f"--refiner_ckpt {path} is not a refiner layout (expected "
+            "text_encoder_2 WITHOUT text_encoder + a text_time addition "
+            "embedding) — pass the base model via --ckpt/--diffusers_ckpt "
+            "instead")
+    return params, cfg

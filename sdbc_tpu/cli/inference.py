@@ -67,6 +67,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="enter_prompt mode: path to a spatial conditioning "
                         "image (edges/depth/pose) routed through "
                         "--controlnet_path (models/controlnet.py)")
+    p.add_argument("--refiner_ckpt", type=str, default="",
+                   help="SDXL refiner checkpoint (our layout or a diffusers "
+                        "save_pretrained dir, auto-detected): wraps serving "
+                        "in the ensemble-of-expert-denoisers handoff — the "
+                        "base runs the high-noise fraction, the refiner the "
+                        "tail (diffusion/pipeline.py EnsemblePipeline)")
+    p.add_argument("--refiner_frac", type=float, default=0.8,
+                   help="denoising handoff fraction for --refiner_ckpt "
+                        "(base runs [0, frac), refiner [frac, 1])")
     p.add_argument("--controlnet_scale", type=float, default=1.0,
                    help="multiplier on the injected ControlNet residuals")
     common.bool_flag(p, "prompt_weighting", False,
@@ -159,6 +168,17 @@ def main(argv=None):
     pipe = SDPipeline(params, cfg, tok, compute_dtype=common.compute_dtype(args),
                       mesh=mesh, spatial=args.spatial,
                       tokenizer2=common.make_tokenizer2(args, cfg))
+    if args.refiner_ckpt:
+        from sdbc_tpu.diffusion.pipeline import EnsemblePipeline
+
+        rf_params, rf_cfg = common.resolve_refiner(args.refiner_ckpt,
+                                                   cfg.scheduler)
+        rf_pipe = SDPipeline(rf_params, rf_cfg, tok,
+                             compute_dtype=common.compute_dtype(args),
+                             tokenizer2=common.make_tokenizer2(args, rf_cfg))
+        pipe = EnsemblePipeline(pipe, rf_pipe, handoff=args.refiner_frac)
+        print(f"ensemble serving: refiner {args.refiner_ckpt} takes over "
+              f"at {args.refiner_frac:.0%} of the denoising run")
 
     save_dir = os.path.join(args.save_dir, f"{args.run_id} inference")
     os.makedirs(save_dir, exist_ok=True)

@@ -912,3 +912,43 @@ def test_denoising_start_guards(xl_pipe):
         xl_pipe(["a"], height=32, width=32, num_inference_steps=2,
                 denoising_start=0.5, init_image=img,
                 latents=per_sample_fixed_latents(1, (4, 16, 16), seed=1))
+
+
+def test_ensemble_pipeline_equals_manual_two_stage(xl_pipe, rf_pipe):
+    """EnsemblePipeline == the explicit decode=False / denoising_start
+    two-call protocol, bit for bit (same graphs, same inputs)."""
+    from sdbc_tpu.diffusion.pipeline import EnsemblePipeline
+
+    ens = EnsemblePipeline(xl_pipe, rf_pipe, handoff=0.6)
+    kw = dict(height=32, width=32, num_inference_steps=5, seed=13)
+    got = ens(["a cover"], **kw)
+    lat = xl_pipe(["a cover"], decode=False, denoising_end=0.6, **kw)
+    want = rf_pipe(["a cover"], latents=lat, denoising_start=0.6, **kw)
+    np.testing.assert_array_equal(got, want)
+    assert np.isfinite(got).all()
+
+
+def test_ensemble_pipeline_guards(xl_pipe, rf_pipe):
+    from sdbc_tpu.diffusion.pipeline import EnsemblePipeline
+
+    with pytest.raises(ValueError, match="must be a refiner"):
+        EnsemblePipeline(xl_pipe, xl_pipe)
+    with pytest.raises(ValueError, match="base slot"):
+        EnsemblePipeline(rf_pipe, rf_pipe)
+    ens = EnsemblePipeline(xl_pipe, rf_pipe)
+    with pytest.raises(ValueError, match="inpaint"):
+        ens(["a"], height=32, width=32, num_inference_steps=2,
+            mask_image=np.ones((1, 16, 16, 1), np.float32),
+            init_image=np.zeros((1, 32, 32, 3), np.float32))
+
+
+def test_ensemble_scheduler_mismatch_rejected(xl_cfg, xl_params, rf_pipe):
+    import dataclasses as dc
+
+    from sdbc_tpu.diffusion.pipeline import EnsemblePipeline
+
+    tok = CLIPTokenizer.fallback(xl_cfg.clip.vocab_size)
+    base_dpm = SDPipeline(xl_params, dc.replace(xl_cfg, scheduler="dpm"),
+                          tok, compute_dtype=jnp.float32)
+    with pytest.raises(ValueError, match="share the schedule"):
+        EnsemblePipeline(base_dpm, rf_pipe)
