@@ -50,6 +50,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cache_tail", type=int, default=0)
     p.add_argument("--max_batch", type=int, default=4,
                    help="largest num_images accepted per request")
+    p.add_argument("--refiner_ckpt", type=str, default="",
+                   help="SDXL refiner checkpoint/diffusers dir: serve the "
+                        "base->refiner ensemble (EnsemblePipeline)")
+    p.add_argument("--refiner_frac", type=float, default=0.8)
     common.bool_flag(p, "warmup", True,
                      "compile the batch-1 graph before accepting traffic")
     return p
@@ -157,6 +161,17 @@ def main(argv=None):
     pipe = SDPipeline(params, cfg, tok,
                       compute_dtype=common.compute_dtype(args),
                       tokenizer2=common.make_tokenizer2(args, cfg))
+    if args.refiner_ckpt:
+        from sdbc_tpu.diffusion.pipeline import EnsemblePipeline
+
+        rf_params, rf_cfg = common.resolve_refiner(args.refiner_ckpt,
+                                                   cfg.scheduler)
+        rf_pipe = SDPipeline(rf_params, rf_cfg, tok,
+                             compute_dtype=common.compute_dtype(args),
+                             tokenizer2=common.make_tokenizer2(args, rf_cfg))
+        pipe = EnsemblePipeline(pipe, rf_pipe, handoff=args.refiner_frac)
+        print(f"[serve] ensemble: refiner takes over at "
+              f"{args.refiner_frac:.0%}", flush=True)
     if args.warmup:
         print(f"[serve] warming up ({args.num_inference_steps} steps, "
               f"{args.img_size}px, scheduler {cfg.scheduler})...", flush=True)

@@ -109,3 +109,51 @@ def test_concurrent_requests_serialize(server):
         t.join(timeout=300)
     assert len(results) == 3
     assert all(r == b"\x89PNG\r\n\x1a\n" for r in results)
+
+
+def test_serve_ensemble_generate():
+    """The daemon serves an EnsemblePipeline (base→refiner) unchanged —
+    the wrapper matches SDPipeline's calling convention."""
+    from http.server import ThreadingHTTPServer
+
+    from sdbc_tpu.cli import common
+    from sdbc_tpu.cli.serve import build_parser, make_app
+    from sdbc_tpu.data.tokenizer import CLIPTokenizer
+    from sdbc_tpu.diffusion.pipeline import (EnsemblePipeline,
+                                             PipelineConfig, SDPipeline)
+    from sdbc_tpu.models import clip, unet, vae
+
+    xl_cfg = PipelineConfig.tiny_xl()
+    ks = jax.random.split(jax.random.key(7), 4)
+    xl_params = {"text_encoder": clip.init(ks[0], xl_cfg.clip),
+                 "text_encoder_2": clip.init(ks[1], xl_cfg.clip2),
+                 "unet": unet.init(ks[2], xl_cfg.unet),
+                 "vae": vae.init(ks[3], xl_cfg.vae)}
+    rf_cfg = PipelineConfig.tiny_xl_refiner()
+    rks = jax.random.split(jax.random.key(17), 3)
+    rf_params = {"text_encoder_2": clip.init(rks[0], rf_cfg.clip2),
+                 "unet": unet.init(rks[1], rf_cfg.unet),
+                 "vae": vae.init(rks[2], rf_cfg.vae)}
+    tok = CLIPTokenizer.fallback(xl_cfg.clip.vocab_size)
+    ens = EnsemblePipeline(
+        SDPipeline(xl_params, xl_cfg, tok, compute_dtype=jnp.float32),
+        SDPipeline(rf_params, rf_cfg, tok, compute_dtype=jnp.float32),
+        handoff=0.5)
+
+    args = build_parser().parse_args(
+        ["--tiny", "--img_size", "32", "--num_inference_steps", "2",
+         "--max_batch", "2", "--no-bf16"])
+    common.resolve_img_size(args)
+    handler, state = make_app(ens, args)
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        with _post(url, {"prompt": "a tiny cover", "seed": 7}) as r:
+            assert r.headers["Content-Type"] == "image/png"
+            assert r.read()[:8] == b"\x89PNG\r\n\x1a\n"
+        assert state["requests"] >= 1
+    finally:
+        srv.shutdown()
+        srv.server_close()
