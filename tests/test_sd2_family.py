@@ -129,7 +129,7 @@ def test_validate_tp_per_level_heads(tiny_cfg):
                               unet=dataclasses.replace(
                                   tiny_cfg.unet, attention_heads=(2, 4)))
     assert validate_tp(cfg, 2) == ()  # 2 divides (2, 4) and clip heads 4
-    with pytest.raises(ValueError, match="every level"):
+    with pytest.raises(ValueError, match="every attention level"):
         validate_tp(cfg, 4)  # 4 does not divide level-0's 2 heads
 
 
