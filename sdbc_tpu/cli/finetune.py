@@ -326,7 +326,7 @@ def main(argv=None):
         ema_decay=args.ema_decay, min_snr_gamma=args.min_snr_gamma,
         noise_offset=args.noise_offset,
         train_controlnet=use_cn, control_hint=args.control_hint,
-        dual_text_encoder=is_xl)
+        dual_text_encoder=is_xl, refiner=getattr(cfg, "refiner", False))
 
     state = init_train_state(
         params, tcfg, dp_size=dp, compute_dtype=dt,

@@ -106,6 +106,10 @@ class TrainConfig:
     # by the finetune CLI from cfg.is_sdxl; library callers must keep it
     # consistent with the PipelineConfig they pass to make_train_step.
     dual_text_encoder: bool = False
+    # SDXL-refiner (cfg.refiner): params carry only text_encoder_2, and
+    # the training micro-conditioning is the 5-id aesthetic tuple.  Set by
+    # the finetune CLI from cfg.refiner; implies dual_text_encoder.
+    refiner: bool = False
     # NOTE: no `seed` field — all training RNG comes from the explicit
     # `key` argument to the step function (utils/prng.py discipline); a
     # config seed here would look authoritative while doing nothing
@@ -122,7 +126,8 @@ class TrainConfig:
         if self.train_unet:
             keys.append("unet")
         if self.train_text_encoder:
-            keys.append("text_encoder")
+            if not self.refiner:  # a refiner has no first encoder
+                keys.append("text_encoder")
             if self.dual_text_encoder:
                 keys.append("text_encoder_2")
         return tuple(keys)
@@ -349,8 +354,14 @@ def diffusion_loss(trainable, frozen, batch, key, cfg: PipelineConfig,
         ctx, pooled = encode_text_xl(params, ids, batch["input_ids_2"],
                                      cfg, dt)
         s = latents.shape[1] * 2 ** (len(cfg.vae.block_out_channels) - 1)
-        time_ids = jnp.broadcast_to(
-            jnp.asarray([s, s, 0, 0, s, s], jnp.float32), (bsz, 6))
+        if cfg.refiner:
+            # refiner micro-conditioning: (orig, crop, aesthetic score);
+            # training images are treated as high-quality targets — the
+            # constant 6.0 the diffusers fine-tuning scripts use
+            tid = jnp.asarray([s, s, 0, 0, 6.0], jnp.float32)
+        else:
+            tid = jnp.asarray([s, s, 0, 0, s, s], jnp.float32)
+        time_ids = jnp.broadcast_to(tid, (bsz, tid.shape[0]))
         added_cond = _xl_added_cond(pooled, time_ids,
                                     cfg.unet.addition_time_embed_dim)
     else:
@@ -409,12 +420,17 @@ def make_train_step(cfg: PipelineConfig, tcfg: TrainConfig, mesh=None,
     optimizer update is applied.  Under a mesh, batch dims are sharded over
     ``data`` and XLA inserts the gradient psum.
     """
-    if getattr(cfg, "refiner", False):
+    if tcfg.refiner != getattr(cfg, "refiner", False):
+        # same desync discipline as dual_text_encoder below: the refiner
+        # flag changes which encoders exist AND the micro-conditioning
         raise ValueError(
-            "training the SDXL refiner is not wired: the loss path encodes "
-            "with both encoders (dual_text_encoder) while a refiner carries "
-            "only text_encoder_2 — serve it (text2img/img2img/ensemble) or "
-            "fine-tune the base model instead")
+            f"TrainConfig.refiner={tcfg.refiner} but cfg.refiner="
+            f"{getattr(cfg, 'refiner', False)} — set TrainConfig.refiner "
+            "iff the PipelineConfig is an SDXL refiner")
+    if tcfg.refiner and not tcfg.dual_text_encoder:
+        raise ValueError("refiner training implies dual_text_encoder=True "
+                         "(the refiner IS an SDXL-family config; its one "
+                         "encoder is text_encoder_2)")
     if tcfg.dual_text_encoder != cfg.is_sdxl:
         # the two flags encode one fact (the finetune CLI derives the
         # TrainConfig field from cfg.is_sdxl); a desync would either crash

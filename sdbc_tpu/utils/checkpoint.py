@@ -212,6 +212,8 @@ def config_to_json(cfg: PipelineConfig) -> dict:
                 list(cfg.controlnet.conditioning_channels)}
     if cfg.clip2 is not None:  # SDXL second encoder
         out["clip2"] = dataclasses.asdict(cfg.clip2)
+    if getattr(cfg, "refiner", False):  # SDXL refiner flavor
+        out["refiner"] = True
     return out
 
 
@@ -238,6 +240,7 @@ def config_from_json(d: dict) -> PipelineConfig:
         scheduler=d.get("scheduler", "ddim"),
         controlnet=controlnet,
         clip2=CLIPTextConfig(**d["clip2"]) if "clip2" in d else None,
+        refiner=bool(d.get("refiner", False)),
     )
 
 

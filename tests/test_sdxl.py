@@ -819,7 +819,7 @@ def test_refiner_img2img(rf_pipe):
     assert np.isfinite(out).all()
 
 
-def test_refiner_rejects_time_ids_and_training(rf_cfg, rf_params):
+def test_refiner_rejects_time_ids_and_flag_desync(rf_cfg, rf_params):
     from sdbc_tpu.train.trainer import TrainConfig, make_train_step
 
     ids = jnp.ones((1, rf_cfg.clip.ctx), jnp.int32)
@@ -829,9 +829,39 @@ def test_refiner_rejects_time_ids_and_training(rf_cfg, rf_params):
                cfg=rf_cfg, num_inference_steps=2,
                compute_dtype=jnp.float32, cond_ids2=ids, uncond_ids2=ids,
                time_ids=jnp.zeros((1, 6)))
+    # TrainConfig.refiner must mirror cfg.refiner (same desync discipline
+    # as dual_text_encoder)
     with pytest.raises(ValueError, match="refiner"):
         make_train_step(rf_cfg, TrainConfig(dual_text_encoder=True),
                         compute_dtype=jnp.float32)
+    with pytest.raises(ValueError, match="implies dual_text_encoder"):
+        make_train_step(rf_cfg, TrainConfig(refiner=True),
+                        compute_dtype=jnp.float32)
+
+
+def test_refiner_train_step_loss_decreases(rf_cfg, rf_params):
+    """Refiner fine-tuning: one encoder (text_encoder_2) + UNet train; the
+    loss conditions on the 5-id aesthetic tuple."""
+    from sdbc_tpu.train.trainer import (TrainConfig, init_train_state,
+                                        make_train_step)
+
+    tcfg = TrainConfig(train_unet=True, train_text_encoder=True,
+                       dual_text_encoder=True, refiner=True, grad_accum=1,
+                       learning_rate=1e-3, num_examples=100)
+    assert tcfg.trainable_keys() == ("unet", "text_encoder_2")
+    state = init_train_state(rf_params, tcfg, compute_dtype=jnp.float32)
+    assert set(state.trainable) == {"unet", "text_encoder_2"}
+    step = make_train_step(rf_cfg, tcfg, compute_dtype=jnp.float32)
+    batch = _xl_batch(rf_cfg)
+    losses = []
+    key = jax.random.key(42)
+    for _ in range(5):
+        state, m = step(state, batch, key)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], losses
+    t0 = rf_params["text_encoder_2"]["token_embedding"]["table"]
+    t1 = state.trainable["text_encoder_2"]["token_embedding"]["table"]
+    assert float(jnp.max(jnp.abs(t1 - t0))) > 0
 
 
 def test_refiner_dir_config_inference(tmp_path):
@@ -952,3 +982,16 @@ def test_ensemble_scheduler_mismatch_rejected(xl_cfg, xl_params, rf_pipe):
                           tok, compute_dtype=jnp.float32)
     with pytest.raises(ValueError, match="share the schedule"):
         EnsemblePipeline(base_dpm, rf_pipe)
+
+
+def test_refiner_config_checkpoint_roundtrip(rf_cfg):
+    """The refiner flag must survive config (de)serialization — losing it
+    makes a served checkpoint look dual-encoder and crash on the missing
+    text_encoder (caught driving the train->serve cycle)."""
+    import json
+
+    from sdbc_tpu.utils.checkpoint import config_from_json, config_to_json
+
+    back = config_from_json(json.loads(json.dumps(config_to_json(rf_cfg))))
+    assert back == rf_cfg
+    assert back.refiner
