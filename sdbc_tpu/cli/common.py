@@ -185,20 +185,31 @@ def resolve_params_cfg(args):
         if cp:
             from sdbc_tpu.models.port import load_controlnet
 
-            cn_params, cn_cfg = load_controlnet(cp)
-            # the residual shapes depend on the encoder-half layout only —
-            # out_channels (absent from ControlNet configs) is irrelevant
-            probe = dataclasses.replace(cn_cfg.unet,
-                                        out_channels=cfg.unet.out_channels)
-            if probe != cfg.unet:
-                raise SystemExit(
-                    f"--controlnet_path {cp}: its UNet layout {cn_cfg.unet} "
-                    f"does not match the base model's {cfg.unet} — the "
-                    "injected residual shapes would disagree")
-            params = {**params, "controlnet": cn_params}
+            branches = []
+            cn_cfg = None
+            # comma-separated paths = multi-ControlNet (residuals sum);
+            # every branch must share the base model's encoder layout
+            for one in [s for s in cp.split(",") if s]:
+                cn_params, cn_cfg = load_controlnet(one)
+                # the residual shapes depend on the encoder-half layout
+                # only — out_channels (absent from ControlNet configs) is
+                # irrelevant
+                probe = dataclasses.replace(
+                    cn_cfg.unet, out_channels=cfg.unet.out_channels)
+                if probe != cfg.unet:
+                    raise SystemExit(
+                        f"--controlnet_path {one}: its UNet layout "
+                        f"{cn_cfg.unet} does not match the base model's "
+                        f"{cfg.unet} — the injected residual shapes would "
+                        "disagree")
+                branches.append(cn_params)
+                print(f"attached ControlNet {one}")
+            params = {**params, "controlnet":
+                      branches[0] if len(branches) == 1 else branches}
             cfg = dataclasses.replace(
-                cfg, controlnet=dataclasses.replace(cn_cfg, unet=probe))
-            print(f"attached ControlNet {cp}")
+                cfg, controlnet=dataclasses.replace(
+                    cn_cfg, unet=dataclasses.replace(
+                        cn_cfg.unet, out_channels=cfg.unet.out_channels)))
         return params, cfg
 
     if getattr(args, "wandb_artifact_run", ""):

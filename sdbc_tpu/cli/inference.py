@@ -21,6 +21,12 @@ import numpy as np
 from sdbc_tpu.cli import common
 
 
+def _scale_list(s: str):
+    """--controlnet_scale parser: '0.8' → float, '0.8,1.2' → [floats]."""
+    vals = [float(v) for v in s.split(",") if v]
+    return vals if len(vals) > 1 else vals[0]
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     common.add_model_args(p)
@@ -76,8 +82,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--refiner_frac", type=float, default=0.8,
                    help="denoising handoff fraction for --refiner_ckpt "
                         "(base runs [0, frac), refiner [frac, 1])")
-    p.add_argument("--controlnet_scale", type=float, default=1.0,
-                   help="multiplier on the injected ControlNet residuals")
+    p.add_argument("--controlnet_scale", type=_scale_list, default=1.0,
+                   help="multiplier on the injected ControlNet residuals "
+                        "(comma-separated with multi-ControlNet: one per "
+                        "branch)")
     common.bool_flag(p, "prompt_weighting", False,
                      "enable the community prompt-emphasis syntax "
                      "('(word:1.3)', '((up))', '[down]') and chunked long "
@@ -207,10 +215,14 @@ def main(argv=None):
                 raise SystemExit("--control_image needs a ControlNet: pass "
                                  "--controlnet_path or a --ckpt from a "
                                  "--train_controlnet run")
-            if not os.path.exists(args.control_image):
-                raise SystemExit(
-                    f"--control_image {args.control_image} not found")
-            control_image = Image.open(args.control_image)
+            paths = [s for s in args.control_image.split(",") if s]
+            for one in paths:
+                if not os.path.exists(one):
+                    raise SystemExit(f"--control_image {one} not found")
+            # comma-separated = multi-ControlNet (one image per
+            # --controlnet_path branch, residuals sum)
+            control_image = ([Image.open(one) for one in paths]
+                             if len(paths) > 1 else Image.open(paths[0]))
         imgs = pipe([args.prompt], height=args.img_size, width=args.img_size,
                     num_inference_steps=args.num_inference_steps,
                     guidance_scale=args.guidance_scale, seed=args.seed,

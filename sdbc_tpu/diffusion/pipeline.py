@@ -559,12 +559,34 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
         # hoisted: the conditioning embedding depends only on the control
         # image, never on the latent or step — one strided conv stack per
         # call instead of one per step (the diffusers ControlNetModel
-        # recomputes it every step)
-        _cn = params["controlnet"]
-        _ci2 = jnp.concatenate([control_image, control_image],
-                               axis=0).astype(dt)
-        _cond_emb2 = controlnet_mod.embed_cond(_cn, _ci2, cfg.controlnet)
-        _cscale = jnp.asarray(controlnet_scale, jnp.float32)
+        # recomputes it every step).  Multi-ControlNet (the diffusers
+        # MultiControlNetModel surface): params["controlnet"], the control
+        # images and the scales may all be LISTS — every branch shares the
+        # base UNet's encoder layout (cfg.controlnet), the injected
+        # residuals sum.
+        _cns = params["controlnet"]
+        if not isinstance(_cns, (list, tuple)):
+            _cns = [_cns]
+        _cimgs = (list(control_image)
+                  if isinstance(control_image, (list, tuple))
+                  else [control_image])
+        if len(_cimgs) != len(_cns):
+            raise ValueError(
+                f"{len(_cimgs)} control images for {len(_cns)} ControlNet "
+                "branches — pass exactly one image per branch")
+        _cscales = (list(controlnet_scale)
+                    if isinstance(controlnet_scale, (list, tuple))
+                    else [controlnet_scale] * len(_cns))
+        if len(_cscales) != len(_cns):
+            raise ValueError(
+                f"{len(_cscales)} controlnet scales for {len(_cns)} "
+                "branches — pass one scale, or one per branch")
+        _cond_embs = [
+            controlnet_mod.embed_cond(
+                cn, jnp.concatenate([img, img], axis=0).astype(dt),
+                cfg.controlnet)
+            for cn, img in zip(_cns, _cimgs)]
+        _cscales = [jnp.asarray(s, jnp.float32) for s in _cscales]
 
     def _hoist_tproj(ts_grid):
         """Per-step time-projection tables for the whole sampling grid —
@@ -576,8 +598,9 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
                                       added_cond=added2)
         if control_image is not None:
             tp = dict(tp)
-            tp["ctrl"] = controlnet_mod.precompute_temb(
-                _cn, ts_grid, cfg.controlnet, dtype=dt, added_cond=added2)
+            tp["ctrl"] = [controlnet_mod.precompute_temb(
+                cn, ts_grid, cfg.controlnet, dtype=dt, added_cond=added2)
+                for cn in _cns]
         return tp
 
     def _control_residuals(lat2, t, ctp=None):
@@ -589,10 +612,16 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
         # ControlNet time-projection tables (None → recompute in-graph,
         # with the SDXL addition embedding when the family carries one).
         ctb = jnp.full((lat2.shape[0],), t, jnp.float32)
-        return controlnet_mod.apply(
-            _cn, lat2, ctb, context, _cond_emb2, cfg.controlnet,
-            conditioning_scale=_cscale, attn_impl=attn_impl, temb_proj=ctp,
-            added_cond=None if ctp is not None else added2)
+        ctps = ctp if ctp is not None else [None] * len(_cns)
+        total = None
+        for cn, ce, sc, cp in zip(_cns, _cond_embs, _cscales, ctps):
+            r = controlnet_mod.apply(
+                cn, lat2, ctb, context, ce, cfg.controlnet,
+                conditioning_scale=sc, attn_impl=attn_impl, temb_proj=cp,
+                added_cond=None if cp is not None else added2)
+            total = r if total is None else jax.tree.map(
+                lambda a, b: a + b, total, r)
+        return total
 
     def model_out_fn(lat, t, tp=None):
         lat2 = jnp.concatenate([lat, lat], axis=0)
@@ -1356,17 +1385,24 @@ class SDPipeline:
                     mask_arr = np.concatenate([mask_arr, pad], axis=0)
         ctrl_arr = None
         if control_image is not None:
-            ctrl_arr = preprocess_image(control_image, height, width)
-            if ctrl_arr.shape[0] == 1 and b > 1:
-                ctrl_arr = np.tile(ctrl_arr, (b, 1, 1, 1))
-            if ctrl_arr.shape[0] != b:
-                raise ValueError(f"{ctrl_arr.shape[0]} control images for "
-                                 f"{b} requested images (pass 1, or one "
-                                 "per image)")
-            if ctrl_arr.shape[0] < len(prompts):  # pad to the bucket
-                pad = np.zeros((len(prompts) - ctrl_arr.shape[0],)
-                               + ctrl_arr.shape[1:], np.float32)
-                ctrl_arr = np.concatenate([ctrl_arr, pad], axis=0)
+            def prep_ctrl(img):
+                arr = preprocess_image(img, height, width)
+                if arr.shape[0] == 1 and b > 1:
+                    arr = np.tile(arr, (b, 1, 1, 1))
+                if arr.shape[0] != b:
+                    raise ValueError(f"{arr.shape[0]} control images for "
+                                     f"{b} requested images (pass 1, or "
+                                     "one per image)")
+                if arr.shape[0] < len(prompts):  # pad to the bucket
+                    pad = np.zeros((len(prompts) - arr.shape[0],)
+                                   + arr.shape[1:], np.float32)
+                    arr = np.concatenate([arr, pad], axis=0)
+                return arr
+
+            # multi-ControlNet: a list of images, one per attached branch
+            ctrl_arr = ([prep_ctrl(c) for c in control_image]
+                        if isinstance(control_image, (list, tuple))
+                        else prep_ctrl(control_image))
         if self.mesh is not None:
             from sdbc_tpu.parallel.mesh import (data_sharding, replicate,
                                                 spatial_sharding)
@@ -1409,7 +1445,9 @@ class SDPipeline:
                 if mask_arr is not None:
                     mask_arr = put(mask_arr)
                 if ctrl_arr is not None:
-                    ctrl_arr = put(ctrl_arr)
+                    ctrl_arr = ([put(c) for c in ctrl_arr]
+                                if isinstance(ctrl_arr, list)
+                                else put(ctrl_arr))
         imgs = sample(self.params, cond, uncond, latents, sampler_key,
                       guidance_scale, cfg=self.cfg,
                       num_inference_steps=num_inference_steps,

@@ -167,6 +167,12 @@ def _split_params(params, tcfg: TrainConfig, compute_dtype=jnp.bfloat16,
                 "train_controlnet needs params['controlnet'] — attach one "
                 "with models.controlnet.from_unet(params['unet'], ...) or "
                 "port a checkpoint (models/port.load_controlnet)")
+        if isinstance(params["controlnet"], (list, tuple)):
+            raise ValueError(
+                "train_controlnet trains ONE branch (multi-ControlNet is a "
+                "serving composition — residuals sum at sampling time); "
+                "train branches separately and attach them together with "
+                "a comma-separated --controlnet_path")
     if tcfg.ti_token:
         # textual inversion: everything freezes; the trainable tree is the
         # appended embedding rows, concatenated inside the loss (merge)

@@ -360,3 +360,87 @@ def test_precompute_temb_matches_unhoisted(cn_cfg, cn_params):
         for x, y in zip(la, lb):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                        atol=1e-5)
+
+
+# --------------------------------------------------------- multi-ControlNet
+
+@pytest.fixture(scope="module")
+def multi_cn_params(cn_cfg, tiny_params):
+    """Two independent branches: one trained-looking (nonzero zero-convs),
+    one fresh (exact no-op)."""
+    cn1 = controlnet.from_unet(tiny_params["unet"], jax.random.key(7),
+                               cn_cfg.controlnet)
+    # give branch 1 nonzero output convs so it actually contributes
+    cn1 = dict(cn1)
+    cn1["zero_mid"] = jax.tree.map(
+        lambda a: a + 0.01 * jax.random.normal(jax.random.key(8), a.shape),
+        cn1["zero_mid"])
+    cn2 = controlnet.from_unet(tiny_params["unet"], jax.random.key(9),
+                               cn_cfg.controlnet)
+    return cn1, cn2
+
+
+def test_multi_controlnet_zero_scale_matches_single(cn_cfg, tiny_params,
+                                                    multi_cn_params):
+    """[cn1 @ 1.0, cn2 @ 0.0] == cn1 alone: the residual sum is linear in
+    the per-branch conditioning scales."""
+    cn1, cn2 = multi_cn_params
+    tok = CLIPTokenizer.fallback(cn_cfg.clip.vocab_size)
+    kw = dict(height=32, width=32, num_inference_steps=2, seed=5)
+    ctrl = _control(1, 32)
+
+    single = SDPipeline({**tiny_params, "controlnet": cn1}, cn_cfg, tok,
+                        compute_dtype=jnp.float32)
+    a = single(["a cover"], control_image=ctrl, controlnet_scale=1.0, **kw)
+
+    multi = SDPipeline({**tiny_params, "controlnet": [cn1, cn2]}, cn_cfg,
+                       tok, compute_dtype=jnp.float32)
+    b = multi(["a cover"], control_image=[ctrl, _control(1, 32)],
+              controlnet_scale=[1.0, 0.0], **kw)
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_multi_controlnet_fresh_branches_are_noop(cn_cfg, tiny_params,
+                                                  base_pipe):
+    """Two FRESH branches attached together still reproduce the base
+    model (each branch's zero convs inject exact zeros, and 0 + 0 = 0)."""
+    cn_a = controlnet.from_unet(tiny_params["unet"], jax.random.key(11),
+                                cn_cfg.controlnet)
+    cn_b = controlnet.from_unet(tiny_params["unet"], jax.random.key(12),
+                                cn_cfg.controlnet)
+    tok = CLIPTokenizer.fallback(cn_cfg.clip.vocab_size)
+    kw = dict(height=32, width=32, num_inference_steps=2)
+    lat = per_sample_fixed_latents(1, (4, 16, 16), seed=21)
+    ref = base_pipe(["a cover"], latents=lat, **kw)
+    multi = SDPipeline({**tiny_params, "controlnet": [cn_a, cn_b]}, cn_cfg,
+                       tok, compute_dtype=jnp.float32)
+    out = multi(["a cover"], latents=lat,
+                control_image=[_control(1, 32), _control(1, 32)], **kw)
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_multi_controlnet_count_mismatch_rejected(cn_cfg, tiny_params,
+                                                  multi_cn_params):
+    cn1, cn2 = multi_cn_params
+    tok = CLIPTokenizer.fallback(cn_cfg.clip.vocab_size)
+    multi = SDPipeline({**tiny_params, "controlnet": [cn1, cn2]}, cn_cfg,
+                       tok, compute_dtype=jnp.float32)
+    kw = dict(height=32, width=32, num_inference_steps=2)
+    with pytest.raises(ValueError, match="control images for 2"):
+        multi(["a cover"], control_image=_control(1, 32), **kw)
+    with pytest.raises(ValueError, match="scales for 2"):
+        multi(["a cover"], control_image=[_control(1, 32), _control(1, 32)],
+              controlnet_scale=[1.0, 0.5, 0.2], **kw)
+
+
+def test_multi_controlnet_training_rejected(cn_cfg, tiny_params,
+                                            multi_cn_params):
+    from sdbc_tpu.train.trainer import TrainConfig, init_train_state
+
+    cn1, cn2 = multi_cn_params
+    with pytest.raises(ValueError, match="ONE branch"):
+        init_train_state(
+            {**tiny_params, "controlnet": [cn1, cn2]},
+            TrainConfig(train_controlnet=True, train_unet=False,
+                        train_text_encoder=False),
+            compute_dtype=jnp.float32)
