@@ -36,7 +36,8 @@ class PipelineConfig:
     unet: unet_mod.UNetConfig
     vae: vae_mod.VAEConfig
     schedule: sched_mod.ScheduleConfig
-    scheduler: str = "ddim"  # "ddim" | "pndm" | "ddpm" | "dpm" | "euler_a" | "lms"
+    # "ddim" | "pndm" | "ddpm" | "dpm" | "euler_a" | "lms" | "unipc"
+    scheduler: str = "ddim"
     # optional spatially-conditioned control branch (models/controlnet.py);
     # set when serving with a ControlNet — params then carry a "controlnet"
     # subtree alongside text_encoder/unet/vae
@@ -370,6 +371,11 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
                          "implemented for the ddim, dpm and ddpm schedulers "
                          "only — the PNDM/LMS multistep warmup does not "
                          "truncate cleanly at t_start")
+    if mask is not None and cfg.scheduler == "unipc":
+        raise ValueError("inpainting (mask) is not implemented for unipc — "
+                         "the per-step latent blend invalidates the "
+                         "corrector's last_sample (it would overwrite the "
+                         "kept region); use ddim/dpm/ddpm for inpainting")
     if mask is not None and init_image is None:
         raise ValueError("mask (inpainting) requires init_image")
     if use_karras_sigmas and cfg.scheduler not in ("euler_a", "lms", "dpm"):
@@ -384,11 +390,11 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
         # False) to the tail model, which resumes at t_start=t_end on the
         # SAME grid (pass latents directly, no init_image — the loop then
         # starts from them without re-noising)
-        if cfg.scheduler in ("pndm", "lms"):
+        if cfg.scheduler in ("pndm", "lms", "unipc"):
             raise ValueError("t_end (denoising_end) is implemented for the "
                              "single-step schedulers (ddim/dpm/ddpm/"
-                             "euler_a) only — the PNDM/LMS multistep state "
-                             "does not hand off cleanly")
+                             "euler_a) only — the PNDM/LMS/UniPC multistep "
+                             "state does not hand off cleanly")
         if not t_start <= t_end <= num_inference_steps:
             raise ValueError(f"t_end={t_end} outside "
                              f"[{t_start}, {num_inference_steps}]")
@@ -842,6 +848,34 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
 
             _, lat = jax.lax.fori_loop(t_start, t_stop, body,
                                        (state0, lat))
+
+    elif cfg.scheduler == "unipc":
+        # UniPC (Zhao et al. 2023, arXiv:2302.04867; bh2 data-prediction,
+        # solver order 2): predictor-corrector sharing ONE model evaluation
+        # per step — the corrector refines the current sample with the
+        # output just computed at it, then the predictor advances.
+        # DPM-2M-class cost with better few-step quality (bonus scheduler
+        # beyond the reference's three).
+        ts = sched_mod.unipc_timesteps(cfg.schedule, num_inference_steps)
+        ratio = sched_mod.inference_stride(cfg.schedule, num_inference_steps)
+        if orig_lat is not None:
+            lat = noise_to(ts[t_start]) if t_start < num_inference_steps \
+                else orig_lat.astype(dt)
+        tproj = _hoist_tproj(ts)
+        state0 = sched_mod.unipc_init_state(lat.shape)
+
+        def body(i, carry):
+            state, lat = carry
+            t = ts[i]
+            out = model_out_fn(lat, t, unet_mod.index_temb(tproj, i))
+            _, x0 = sched_mod.to_eps_x0(sched, out, t, lat,
+                                        cfg.schedule.prediction_type)
+            state, lat = sched_mod.unipc_step(
+                sched, state, x0, t, t - ratio, lat,
+                last_step=i == t_stop - 1)
+            return state, lat
+
+        _, lat = jax.lax.fori_loop(t_start, t_stop, body, (state0, lat))
 
     elif cfg.scheduler == "euler_a" and use_karras_sigmas:
         # Euler ancestral on the Karras σ grid (arXiv:2206.00364 eq. 5):

@@ -671,6 +671,124 @@ def _lambda_of(alpha_bar):
     return jnp.log(jnp.maximum(a, 1e-20)) - jnp.log(jnp.maximum(s, 1e-20))
 
 
+def _alpha_sigma_of_lambda(lam):
+    """(α, σ) from log-SNR λ: α² = sigmoid(2λ) (since α²+σ²=1, λ=log α/σ)."""
+    a2 = jax.nn.sigmoid(2.0 * lam)
+    return jnp.sqrt(a2), jnp.sqrt(1.0 - a2)
+
+
+class UniPCState(NamedTuple):
+    m0: jax.Array           # newest past x0 prediction (model point at lam0)
+    m1: jax.Array           # second-newest x0 prediction (at lam1)
+    lam0: jax.Array         # () log-SNR of m0's model point
+    lam1: jax.Array         # () log-SNR of m1's model point
+    last_sample: jax.Array  # corrected sample at lam0 (the predictor's input)
+    count: jax.Array        # () int32 — model evaluations consumed so far
+
+
+def unipc_init_state(latent_shape) -> UniPCState:
+    z = jnp.zeros(latent_shape, jnp.float32)
+    return UniPCState(m0=z, m1=z, lam0=jnp.zeros((), jnp.float32),
+                      lam1=jnp.zeros((), jnp.float32), last_sample=z,
+                      count=jnp.asarray(0, jnp.int32))
+
+
+def unipc_timesteps(cfg: ScheduleConfig, num_inference_steps: int) -> jnp.ndarray:
+    """Same leading-space descending sequence as DDIM."""
+    return ddim_timesteps(cfg, num_inference_steps)
+
+
+def _unipc_bh2_terms(h):
+    """(h_phi_1, B_h, b1, b2) of the B₂(h)=e^h−1 data-prediction variant.
+
+    hh = −h (predict-x0 coordinates).  h_phi_1 = hφ₁(hh) = e^hh − 1;
+    b_i = i!·hφ_{i+1}/B_h with hφ_{k+1} = hφ_k/hh − 1/k! (the recursion of
+    UniPC eq. 3.14, arXiv:2302.04867).  Divisions are guarded at h→0 so a
+    degenerate final step (ā_prev == ā_t under set_alpha_to_one=False)
+    stays finite — every use multiplies by B_h or h_phi_1, both → 0, so
+    the step degrades to an exact no-op rather than NaN.
+    """
+    hh = -h
+    hh_safe = jnp.where(jnp.abs(hh) < 1e-8, 1.0, hh)
+    h_phi_1 = jnp.expm1(hh)
+    b_h = h_phi_1  # bh2: B(h) = e^h − 1
+    b_safe = jnp.where(jnp.abs(b_h) < 1e-12, 1.0, b_h)
+    h_phi_2 = h_phi_1 / hh_safe - 1.0
+    h_phi_3 = h_phi_2 / hh_safe - 0.5
+    return h_phi_1, b_h, h_phi_2 / b_safe, 2.0 * h_phi_3 / b_safe
+
+
+def unipc_step(sched: Schedule, state: UniPCState, x0_t, t, t_prev, x_t,
+               last_step=False):
+    """One UniPC step t → t_prev (UniC corrector + UniP predictor).
+
+    UniPC (Zhao et al. 2023, arXiv:2302.04867): a predictor-corrector
+    framework in log-SNR space sharing one model evaluation per step — the
+    corrector refines the CURRENT sample (predicted last step) with the
+    model output just computed at it, then the predictor advances.  This is
+    the B₂(h) = e^h−1 ("bh2") data-prediction variant at solver order 2,
+    the established configuration for guided sampling.  Order bookkeeping
+    (first step order 1, order-1 final predictor via ``last_step``) matches
+    the variable-order warmup of the multistep family.
+
+    x0_t: the model's x0 prediction at timestep t, evaluated at x_t (use
+    ``to_eps_x0``'s x0 — any prediction_type).  Returns (new_state, x_next).
+
+    Closed forms at order ≤ 2 (R is 1×1 / 2×2, solved exactly):
+      UniP₂ weights: ρ = [1/2] (the framework's canonical choice);
+      UniC₁: ρ = [1/2];  UniC₂: solve [[1,1],[r₁,1]]ρ = [b₁,b₂].
+    """
+    a_t = sched.alphas_cumprod[t]
+    a_prev = jnp.where(t_prev >= 0,
+                       sched.alphas_cumprod[jnp.maximum(t_prev, 0)],
+                       sched.final_alpha_cumprod)
+    x0_t = x0_t.astype(jnp.float32)
+    xf = x_t.astype(jnp.float32)
+
+    lam_t = _lambda_of(a_t)
+    alpha_t, sigma_t = jnp.sqrt(a_t), jnp.sqrt(1.0 - a_t)
+
+    # ---- UniC: correct x_t using the model output just computed at it.
+    # Recomputes the t-sample from last_sample (the corrected sample at
+    # lam0) — the corrector is a full replacement step, not a delta.
+    h_c = lam_t - state.lam0
+    _, sigma_s0 = _alpha_sigma_of_lambda(state.lam0)
+    hp1_c, bh_c, b1_c, b2_c = _unipc_bh2_terms(h_c)
+    base_c = (sigma_t / sigma_s0) * state.last_sample - alpha_t * hp1_c * state.m0
+    d1_t = x0_t - state.m0
+    # order 2 (count >= 2): one history difference D1_0 plus the fresh D1_t
+    r1 = (state.lam1 - state.lam0) / jnp.where(jnp.abs(h_c) < 1e-12, 1.0, h_c)
+    r1_safe = jnp.where(jnp.abs(r1) < 1e-12, 1.0, r1)
+    d1_0 = (state.m1 - state.m0) / r1_safe
+    rho1 = (b2_c - b1_c) / jnp.where(jnp.abs(r1 - 1.0) < 1e-12, 1.0, r1 - 1.0)
+    rho2 = b1_c - rho1
+    corr2 = base_c - alpha_t * bh_c * (rho1 * d1_0 + rho2 * d1_t)
+    corr1 = base_c - alpha_t * bh_c * (0.5 * d1_t)
+    x_corr = jnp.where(state.count >= 2, corr2,
+                       jnp.where(state.count == 1, corr1, xf))
+
+    # ---- history shift: the current model point becomes m0
+    m0, m1 = x0_t, state.m0
+    lam0, lam1 = lam_t, state.lam0
+
+    # ---- UniP: advance the corrected sample to t_prev
+    lam_p = _lambda_of(a_prev)
+    alpha_p, sigma_p = jnp.sqrt(a_prev), jnp.sqrt(1.0 - a_prev)
+    h_p = lam_p - lam_t
+    hp1_p, bh_p, _, _ = _unipc_bh2_terms(h_p)
+    base_p = (sigma_p / sigma_t) * x_corr - alpha_p * hp1_p * m0
+    r1p = (lam1 - lam0) / jnp.where(jnp.abs(h_p) < 1e-12, 1.0, h_p)
+    r1p_safe = jnp.where(jnp.abs(r1p) < 1e-12, 1.0, r1p)
+    d1p = (m1 - m0) / r1p_safe
+    use_2nd = jnp.logical_and(state.count >= 1,
+                              jnp.logical_not(jnp.asarray(last_step)))
+    x_next = jnp.where(use_2nd, base_p - alpha_p * bh_p * (0.5 * d1p), base_p)
+
+    new_state = UniPCState(m0=m0, m1=m1, lam0=lam0, lam1=lam1,
+                           last_sample=x_corr, count=state.count + 1)
+    return new_state, x_next.astype(x_t.dtype)
+
+
 def dpm_step(sched: Schedule, cfg: ScheduleConfig, state: DPMState, eps, t,
              t_prev, x_t, first_order=False):
     """One DPM-Solver++(2M) step t → t_prev.  Returns (new_state, x_prev).

@@ -46,7 +46,7 @@ def test_prompt_matters(pipe):
     assert not np.allclose(a, b)
 
 
-@pytest.mark.parametrize("scheduler", ["pndm", "ddpm", "lms"])
+@pytest.mark.parametrize("scheduler", ["pndm", "ddpm", "lms", "unipc"])
 def test_other_schedulers_run(tiny_cfg, tiny_params, scheduler):
     cfg = dataclasses.replace(tiny_cfg, scheduler=scheduler)
     tok = CLIPTokenizer.fallback(cfg.clip.vocab_size)
@@ -73,11 +73,11 @@ def test_cache_interval_fast_mode(pipe):
     assert np.abs(exact - fast1).mean() < 0.2
 
 
-@pytest.mark.parametrize("scheduler", ["pndm", "dpm"])
+@pytest.mark.parametrize("scheduler", ["pndm", "dpm", "unipc"])
 def test_v_prediction_wired_on_eps_schedulers(tiny_cfg, tiny_params, scheduler):
-    """A single PNDM/DPM step equals the DDIM step (known identity) — but only
-    if the pipeline converts the v-prediction model output to eps before the
-    eps-parameterised steps (the round-1 advisor finding)."""
+    """A single PNDM/DPM/UniPC step equals the DDIM step (known identity) —
+    but only if the pipeline converts the v-prediction model output before
+    the eps/x0-parameterised steps (the round-1 advisor finding)."""
     cfg_v = dataclasses.replace(
         tiny_cfg, schedule=dataclasses.replace(
             tiny_cfg.schedule, prediction_type="v_prediction"))
@@ -290,3 +290,40 @@ def test_karras_img2img_runs(tiny_cfg, tiny_params):
                   height=32, width=32, use_karras_sigmas=True, seed=3)
     assert np.isfinite(a).all()
     np.testing.assert_array_equal(a, b)
+
+
+def test_unipc_multistep_differs_from_dpm_but_close(tiny_cfg, tiny_params):
+    """At several steps the UniPC corrector must change the trajectory
+    relative to DPM-2M (whose predictor it shares) while staying close —
+    both are order-2 solvers of the same ODE."""
+    from sdbc_tpu.data.tokenizer import CLIPTokenizer
+
+    tok = CLIPTokenizer.fallback(tiny_cfg.clip.vocab_size)
+    lat = per_sample_fixed_latents(1, (4, 8, 8), seed=31)
+    p_dpm = SDPipeline(tiny_params,
+                       dataclasses.replace(tiny_cfg, scheduler="dpm"),
+                       tok, compute_dtype=jnp.float32)
+    p_uni = SDPipeline(tiny_params,
+                       dataclasses.replace(tiny_cfg, scheduler="unipc"),
+                       tok, compute_dtype=jnp.float32)
+    a = p_dpm(["q"], height=32, width=32, num_inference_steps=6, latents=lat)
+    b = p_uni(["q"], height=32, width=32, num_inference_steps=6, latents=lat)
+    assert not np.array_equal(a, b)          # the corrector did something
+    assert np.abs(a - b).mean() < 0.15        # ...but solves the same ODE
+
+
+def test_unipc_mask_and_t_end_rejected(tiny_cfg, tiny_params):
+    from sdbc_tpu.diffusion.pipeline import sample
+
+    cfg = dataclasses.replace(tiny_cfg, scheduler="unipc")
+    lat = jnp.zeros((1, 8, 8, 4))
+    ids = jnp.zeros((1, tiny_cfg.clip.ctx), jnp.int32)
+    img = jnp.zeros((1, 32, 32, 3))
+    mask = jnp.ones((1, 8, 8, 1))
+    with pytest.raises(ValueError, match="unipc"):
+        sample(tiny_params, ids, ids, lat, jax.random.key(0), 7.5, cfg=cfg,
+               num_inference_steps=2, compute_dtype=jnp.float32,
+               init_image=img, mask=mask)
+    with pytest.raises(ValueError, match="UniPC"):
+        sample(tiny_params, ids, ids, lat, jax.random.key(0), 7.5, cfg=cfg,
+               num_inference_steps=4, compute_dtype=jnp.float32, t_end=2)

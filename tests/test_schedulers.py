@@ -614,3 +614,221 @@ def test_sigma_to_eps_x0_matches_to_eps_x0_on_grid():
                                    rtol=2e-5, atol=2e-5)
         np.testing.assert_allclose(np.asarray(x_a), np.asarray(x_b),
                                    rtol=2e-5, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# UniPC (arXiv:2302.04867, bh2 data-prediction, order 2)
+
+
+def _lam_np(t):
+    ac = np.asarray(SCHED.alphas_cumprod, np.float64)
+    a = ac[t]
+    return np.sqrt(a), np.sqrt(1 - a), 0.5 * (np.log(a) - np.log(1 - a))
+
+
+def test_unipc_first_step_equals_dpm_first_order():
+    """A fresh UniPC step has no history: no corrector, order-1 predictor —
+    exactly the first-order DPM-Solver++ update (== DDIM eta=0)."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(1, 4, 4, 2)).astype(np.float32))
+    eps = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+    t, tp = jnp.asarray(801), jnp.asarray(601)
+    _, x0 = S.to_eps_x0(SCHED, eps, t, x, "epsilon")
+    st = S.unipc_init_state(x.shape)
+    _, x1 = S.unipc_step(SCHED, st, x0, t, tp, x)
+    dst = S.dpm_init_state(x.shape)
+    _, x1_dpm = S.dpm_step(SCHED, CFG, dst, eps, t, tp, x)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x1_dpm), atol=1e-5)
+    x1_ddim = S.ddim_step(SCHED, eps, t, tp, x)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x1_ddim), atol=1e-4)
+
+
+def test_unipc_exact_oracle_tracks_qsample():
+    """With the exact x0 oracle (model returns the true x0 every step) all
+    difference terms vanish and each step must land exactly on the forward
+    q-sample at the next grid point — UniPC is exact on exact data."""
+    rng = np.random.default_rng(7)
+    x0_true = jnp.asarray(rng.normal(size=(1, 4, 4, 2)).astype(np.float32))
+    noise = jnp.asarray(rng.normal(size=x0_true.shape).astype(np.float32))
+    ts = [901, 701, 501, 301, 101]
+    x = S.ddpm_add_noise(SCHED, x0_true, noise, jnp.asarray([ts[0]]))
+    st = S.unipc_init_state(x.shape)
+    for i, t in enumerate(ts):
+        tp = ts[i + 1] if i + 1 < len(ts) else 1
+        st, x = S.unipc_step(SCHED, st, x0_true, jnp.asarray(t),
+                             jnp.asarray(tp), x,
+                             last_step=i == len(ts) - 1)
+        expect = S.ddpm_add_noise(SCHED, x0_true, noise, jnp.asarray([tp]))
+        np.testing.assert_allclose(np.asarray(x), np.asarray(expect),
+                                   atol=2e-4)
+
+
+def test_unipc_two_steps_closed_form():
+    """Step 2 = order-1 corrector (rho=1/2) on the step-1 sample + order-2
+    predictor — checked against an independent numpy transcription of the
+    bh2 data-prediction formulas (UniPC eqs. 3.10-3.14)."""
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(1, 4, 4, 2)).astype(np.float32))
+    x0a = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+    x0b = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+    t0, t1, t2 = 901, 481, 381  # non-uniform lambda spacing
+
+    st = S.unipc_init_state(x.shape)
+    st, x1 = S.unipc_step(SCHED, st, x0a, jnp.asarray(t0), jnp.asarray(t1), x)
+    st, x2 = S.unipc_step(SCHED, st, x0b, jnp.asarray(t1), jnp.asarray(t2), x1)
+
+    a0, s0, l0 = _lam_np(t0)
+    a1, s1, l1 = _lam_np(t1)
+    a2, s2, l2 = _lam_np(t2)
+    xn = np.asarray(x, np.float64)
+    m_a = np.asarray(x0a, np.float64)
+    m_b = np.asarray(x0b, np.float64)
+
+    h1 = l1 - l0
+    x1_ref = (s1 / s0) * xn - a1 * np.expm1(-h1) * m_a
+    np.testing.assert_allclose(np.asarray(x1), x1_ref, rtol=2e-4, atol=1e-5)
+
+    # corrector (order 1): recompute from last_sample (= x) with rho = 1/2
+    bh1_ = np.expm1(-h1)
+    x1_corr = ((s1 / s0) * xn - a1 * bh1_ * m_a
+               - a1 * bh1_ * 0.5 * (m_b - m_a))
+    # predictor (order 2): D1 from the (m_a, l0) history point
+    h2 = l2 - l1
+    bh2_ = np.expm1(-h2)
+    r1p = (l0 - l1) / h2
+    d1p = (m_a - m_b) / r1p
+    x2_ref = ((s2 / s1) * x1_corr - a2 * bh2_ * m_b
+              - a2 * bh2_ * 0.5 * d1p)
+    np.testing.assert_allclose(np.asarray(x2), x2_ref, rtol=2e-4, atol=1e-5)
+
+
+def test_unipc_third_step_corrector_order2_closed_form():
+    """Step 3's corrector solves the 2x2 bh2 system — checked against the
+    independent numpy transcription on a non-uniform grid."""
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.normal(size=(1, 4, 4, 2)).astype(np.float32))
+    m = [jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+         for _ in range(3)]
+    t0, t1, t2, t3 = 901, 641, 421, 281
+
+    st = S.unipc_init_state(x.shape)
+    st, x1 = S.unipc_step(SCHED, st, m[0], jnp.asarray(t0), jnp.asarray(t1), x)
+    st, x2 = S.unipc_step(SCHED, st, m[1], jnp.asarray(t1), jnp.asarray(t2), x1)
+    st, x3 = S.unipc_step(SCHED, st, m[2], jnp.asarray(t2), jnp.asarray(t3), x2)
+
+    a0, s0, l0 = _lam_np(t0)
+    a1, s1, l1 = _lam_np(t1)
+    a2, s2, l2 = _lam_np(t2)
+    a3, s3, l3 = _lam_np(t3)
+    xn = np.asarray(x, np.float64)
+    m0_, m1_, m2_ = (np.asarray(v, np.float64) for v in m)
+
+    # --- steps 1-2 (as in the two-step test)
+    h1 = l1 - l0
+    x1_ref = (s1 / s0) * xn - a1 * np.expm1(-h1) * m0_
+    bh_c1 = np.expm1(-h1)
+    x1_corr = x1_ref - a1 * bh_c1 * 0.5 * (m1_ - m0_)
+    h2 = l2 - l1
+    bh_p2 = np.expm1(-h2)
+    x2_ref = ((s2 / s1) * x1_corr - a2 * bh_p2 * m1_
+              - a2 * bh_p2 * 0.5 * (m0_ - m1_) / ((l0 - l1) / h2))
+
+    # --- step 3 corrector: order 2, h_c = l2 - l1 = h2
+    hh = -h2
+    hp1 = np.expm1(hh)
+    bh = hp1
+    hp2 = hp1 / hh - 1.0
+    hp3 = hp2 / hh - 0.5
+    b1, b2 = hp2 / bh, 2.0 * hp3 / bh
+    r1 = (l0 - l1) / h2          # lam1(=l0) relative to lam0(=l1)
+    d1_0 = (m0_ - m1_) / r1
+    d1_t = m2_ - m1_
+    rho1 = (b2 - b1) / (r1 - 1.0)
+    rho2 = b1 - rho1
+    x2_corr = ((s2 / s1) * x1_corr - a2 * hp1 * m1_
+               - a2 * bh * (rho1 * d1_0 + rho2 * d1_t))
+    # --- step 3 predictor: order 2 from (m2_, l2) with history (m1_, l1)
+    h3 = l3 - l2
+    bh_p3 = np.expm1(-h3)
+    d1p = (m1_ - m2_) / ((l1 - l2) / h3)
+    x3_ref = ((s3 / s2) * x2_corr - a3 * bh_p3 * m2_
+              - a3 * bh_p3 * 0.5 * d1p)
+    np.testing.assert_allclose(np.asarray(x3), x3_ref, rtol=3e-4, atol=2e-5)
+
+
+def test_unipc_last_step_first_order_and_terminal_finite():
+    """last_step=True drops the predictor's D1 term; the terminal grid step
+    (t=0 -> t_prev<0, h=0 under set_alpha_to_one=False) stays finite and
+    is an exact no-op after the corrector."""
+    rng = np.random.default_rng(17)
+    x = jnp.asarray(rng.normal(size=(1, 4, 4, 2)).astype(np.float32))
+    x0a = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+    x0b = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+    st = S.unipc_init_state(x.shape)
+    st, x1 = S.unipc_step(SCHED, st, x0a, jnp.asarray(801), jnp.asarray(401),
+                          x)
+    _, x2_last = S.unipc_step(SCHED, st, x0b, jnp.asarray(401),
+                              jnp.asarray(1), x1, last_step=True)
+    # reference: corrector order 1, then FIRST-order predictor
+    a0, s0, l0 = _lam_np(801)
+    a1, s1, l1 = _lam_np(401)
+    a2, s2, l2 = _lam_np(1)
+    h1 = l1 - l0
+    x1c = (np.asarray(x1, np.float64)
+           - a1 * np.expm1(-h1) * 0.5
+           * (np.asarray(x0b, np.float64) - np.asarray(x0a, np.float64)))
+    h2 = l2 - l1
+    x2_ref = ((s2 / s1) * x1c
+              - a2 * np.expm1(-h2) * np.asarray(x0b, np.float64))
+    np.testing.assert_allclose(np.asarray(x2_last), x2_ref, rtol=2e-4,
+                               atol=1e-5)
+
+    # terminal: t=0 with t_prev<0 maps a_prev -> final_alpha_cumprod = a(0)
+    st2 = S.unipc_init_state(x.shape)
+    st2, xa = S.unipc_step(SCHED, st2, x0a, jnp.asarray(20), jnp.asarray(0),
+                           x)
+    _, xb = S.unipc_step(SCHED, st2, x0b, jnp.asarray(0), jnp.asarray(-20),
+                         xa, last_step=True)
+    assert np.all(np.isfinite(np.asarray(xb)))
+    # h=0: the predictor must return the corrected sample unchanged
+    a1, s1, l1 = _lam_np(20)
+    a2, s2, l2 = _lam_np(0)
+    hc = l2 - l1
+    xa_corr = ((s2 / s1) * np.asarray(x, np.float64)
+               - a2 * np.expm1(-hc) * np.asarray(x0a, np.float64)
+               - a2 * np.expm1(-hc) * 0.5
+               * (np.asarray(x0b, np.float64) - np.asarray(x0a, np.float64)))
+    np.testing.assert_allclose(np.asarray(xb), xa_corr, rtol=2e-4, atol=1e-5)
+
+
+def test_unipc_convergence_beats_ddim():
+    """On a solvable linear model (x0-prediction = c*x) the order-2
+    predictor-corrector at N=8 must be substantially closer to the dense
+    reference trajectory than first-order DDIM at the same N."""
+    c = 0.35
+    rng = np.random.default_rng(23)
+    x_init = jnp.asarray(rng.normal(size=(1, 4, 4, 2)).astype(np.float32))
+
+    def run(n, method):
+        ratio = 1000 // n
+        ts = (np.arange(n) * ratio)[::-1]
+        x = x_init
+        st = S.unipc_init_state(x.shape)
+        for i, t in enumerate(ts):
+            tp = int(t) - ratio
+            x0 = c * x
+            if method == "unipc":
+                st, x = S.unipc_step(SCHED, st, x0, jnp.asarray(int(t)),
+                                     jnp.asarray(tp), x,
+                                     last_step=i == n - 1)
+            else:
+                a_t = SCHED.alphas_cumprod[int(t)]
+                eps = (x - jnp.sqrt(a_t) * x0) / jnp.sqrt(1 - a_t)
+                x = S.ddim_step(SCHED, eps, jnp.asarray(int(t)),
+                                jnp.asarray(tp), x)
+        return np.asarray(x, np.float64)
+
+    ref = run(500, "ddim")
+    err_unipc = np.abs(run(8, "unipc") - ref).mean()
+    err_ddim = np.abs(run(8, "ddim") - ref).mean()
+    assert err_unipc < 0.5 * err_ddim, (err_unipc, err_ddim)
