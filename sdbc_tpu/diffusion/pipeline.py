@@ -36,7 +36,8 @@ class PipelineConfig:
     unet: unet_mod.UNetConfig
     vae: vae_mod.VAEConfig
     schedule: sched_mod.ScheduleConfig
-    # "ddim" | "pndm" | "ddpm" | "dpm" | "euler_a" | "lms" | "unipc"
+    # "ddim" | "pndm" | "ddpm" | "dpm" | "dpm_sde" | "euler_a" | "lms"
+    # | "unipc"
     scheduler: str = "ddim"
     # optional spatially-conditioned control branch (models/controlnet.py);
     # set when serving with a ControlNet — params then carry a "controlnet"
@@ -378,10 +379,12 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
                          "kept region); use ddim/dpm/ddpm for inpainting")
     if mask is not None and init_image is None:
         raise ValueError("mask (inpainting) requires init_image")
-    if use_karras_sigmas and cfg.scheduler not in ("euler_a", "lms", "dpm"):
+    if use_karras_sigmas and cfg.scheduler not in ("euler_a", "lms", "dpm",
+                                                   "dpm_sde"):
         raise ValueError("use_karras_sigmas applies to the sigma-space "
-                         "samplers (euler_a, lms, dpm) only — ddim/pndm/ddpm "
-                         "are defined on the integer training grid")
+                         "samplers (euler_a, lms, dpm, dpm_sde) only — "
+                         "ddim/pndm/ddpm are defined on the integer "
+                         "training grid")
     if not 0 <= t_start <= num_inference_steps:
         raise ValueError(f"t_start={t_start} outside [0, {num_inference_steps}]")
     if t_end is not None:
@@ -848,6 +851,69 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
 
             _, lat = jax.lax.fori_loop(t_start, t_stop, body,
                                        (state0, lat))
+
+    elif cfg.scheduler == "dpm_sde" and use_karras_sigmas:
+        # SDE-DPM-Solver++(2M) on the Karras σ grid.
+        sigmas_np, ts_np = sched_mod.karras_grid(cfg.schedule,
+                                                 num_inference_steps)
+        sigmas, ts_f = jnp.asarray(sigmas_np), jnp.asarray(ts_np)
+        if orig_lat is not None:
+            lat = noise_to_sigma(sigmas[t_start]) \
+                if t_start < num_inference_steps else orig_lat.astype(dt)
+        tproj = _hoist_tproj(ts_f)
+        lower_order_final = num_inference_steps < 15
+        state0 = sched_mod.dpm_init_state(lat.shape)
+
+        def body(i, carry):
+            state, lat, k = carry
+            k, sub = jax.random.split(k)
+            out = model_out_fn(lat, ts_f[i], unet_mod.index_temb(tproj, i))
+            eps, _ = sched_mod.sigma_to_eps_x0(
+                out, sigmas[i], lat, cfg.schedule.prediction_type)
+            first = jnp.logical_and(lower_order_final,
+                                    i == num_inference_steps - 1)
+            z = jax.random.normal(sub, lat.shape, jnp.float32)
+            state, lat = sched_mod.dpm_sde_step_sigma(
+                state, eps, sigmas[i], sigmas[i + 1], lat, z,
+                first_order=first)
+            if blend_sigma is not None:
+                lat = blend_sigma(lat, sigmas[i + 1])
+            return state, lat, k
+
+        _, lat, _ = jax.lax.fori_loop(t_start, t_stop, body,
+                                      (state0, lat, key))
+
+    elif cfg.scheduler == "dpm_sde":
+        # SDE-DPM-Solver++(2M), midpoint solver type (the stochastic
+        # counterpart of dpm): fresh noise every step, the sample's own
+        # term contracts by e^{-h}; forward marginals are preserved
+        # exactly on exact data (bonus scheduler beyond the reference).
+        ts = sched_mod.dpm_timesteps(cfg.schedule, num_inference_steps)
+        ratio = sched_mod.inference_stride(cfg.schedule, num_inference_steps)
+        if orig_lat is not None:
+            lat = noise_to(ts[t_start]) if t_start < num_inference_steps \
+                else orig_lat.astype(dt)
+        tproj = _hoist_tproj(ts)
+        lower_order_final = num_inference_steps < 15
+        state0 = sched_mod.dpm_init_state(lat.shape)
+
+        def body(i, carry):
+            state, lat, k = carry
+            k, sub = jax.random.split(k)
+            t = ts[i]
+            eps = eps_fn(lat, t, unet_mod.index_temb(tproj, i))
+            first = jnp.logical_and(lower_order_final,
+                                    i == num_inference_steps - 1)
+            z = jax.random.normal(sub, lat.shape, jnp.float32)
+            state, lat = sched_mod.dpm_sde_step(sched, cfg.schedule, state,
+                                                eps, t, t - ratio, lat, z,
+                                                first_order=first)
+            if blend is not None:
+                lat = blend(lat, t - ratio)
+            return state, lat, k
+
+        _, lat, _ = jax.lax.fori_loop(t_start, t_stop, body,
+                                      (state0, lat, key))
 
     elif cfg.scheduler == "unipc":
         # UniPC (Zhao et al. 2023, arXiv:2302.04867; bh2 data-prediction,

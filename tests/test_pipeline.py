@@ -189,10 +189,12 @@ def test_rectangular_generation(pipe):
     assert np.isfinite(imgs).all()
 
 
-def test_euler_ancestral_scheduler_runs(tiny_cfg, tiny_params):
-    """euler_a end-to-end: deterministic per seed, genuinely stochastic
-    across seeds even at fixed initial latents (unlike ddim/pndm/dpm)."""
-    cfg = dataclasses.replace(tiny_cfg, scheduler="euler_a")
+@pytest.mark.parametrize("scheduler", ["euler_a", "dpm_sde"])
+def test_stochastic_schedulers_run(tiny_cfg, tiny_params, scheduler):
+    """euler_a / dpm_sde end-to-end: deterministic per seed, genuinely
+    stochastic across seeds even at fixed initial latents (unlike
+    ddim/pndm/dpm)."""
+    cfg = dataclasses.replace(tiny_cfg, scheduler=scheduler)
     tok = CLIPTokenizer.fallback(cfg.clip.vocab_size)
     p = SDPipeline(tiny_params, cfg, tok, compute_dtype=jnp.float32)
     lat = per_sample_fixed_latents(1, (4, 8, 8), seed=3)
@@ -251,7 +253,7 @@ def test_clip_skip(pipe, tiny_cfg, tiny_params):
         clip_mod.apply(te, ids, c, skip_layers=c.layers)
 
 
-@pytest.mark.parametrize("scheduler", ["euler_a", "lms", "dpm"])
+@pytest.mark.parametrize("scheduler", ["euler_a", "lms", "dpm", "dpm_sde"])
 def test_karras_sigmas_pipeline(pipe, tiny_cfg, tiny_params, scheduler):
     """use_karras_sigmas end-to-end on each sigma-space sampler: finite,
     deterministic, and genuinely a different grid than the integer path."""

@@ -832,3 +832,113 @@ def test_unipc_convergence_beats_ddim():
     err_unipc = np.abs(run(8, "unipc") - ref).mean()
     err_ddim = np.abs(run(8, "ddim") - ref).mean()
     assert err_unipc < 0.5 * err_ddim, (err_unipc, err_ddim)
+
+
+# ---------------------------------------------------------------------------
+# SDE-DPM-Solver++(2M), midpoint
+
+
+def test_dpm_sde_preserves_forward_marginals():
+    """With the exact data prediction, one SDE step must land exactly on
+    alpha_p*x0 + sigma_p*(e^{-h} eps + sqrt(1-e^{-2h}) z) — the forward
+    marginal with the old noise contracted and fresh noise topped up."""
+    rng = np.random.default_rng(29)
+    x0 = jnp.asarray(rng.normal(size=(1, 4, 4, 2)).astype(np.float32))
+    eps = jnp.asarray(rng.normal(size=x0.shape).astype(np.float32))
+    z = jnp.asarray(rng.normal(size=x0.shape).astype(np.float32))
+    t, tp = 801, 601
+    x_t = S.ddpm_add_noise(SCHED, x0, eps, jnp.asarray([t]))
+    st = S.dpm_init_state(x_t.shape)
+    _, x_p = S.dpm_sde_step(SCHED, CFG, st, eps, jnp.asarray(t),
+                            jnp.asarray(tp), x_t, z)
+    ac = np.asarray(SCHED.alphas_cumprod, np.float64)
+    a_t, a_p = ac[t], ac[tp]
+    lam = lambda a: 0.5 * (np.log(a) - np.log(1 - a))
+    h = lam(a_p) - lam(a_t)
+    expect = (np.sqrt(a_p) * np.asarray(x0, np.float64)
+              + np.sqrt(1 - a_p) * (np.exp(-h) * np.asarray(eps, np.float64)
+                                    + np.sqrt(-np.expm1(-2 * h))
+                                    * np.asarray(z, np.float64)))
+    np.testing.assert_allclose(np.asarray(x_p), expect, rtol=2e-4, atol=1e-5)
+
+
+def test_dpm_sde_second_order_closed_form():
+    """Two steps on a non-uniform grid vs the midpoint-2M closed form."""
+    rng = np.random.default_rng(31)
+    x = jnp.asarray(rng.normal(size=(1, 4, 4, 2)).astype(np.float32))
+    eps1 = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+    eps2 = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+    z1 = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+    z2 = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+    t0, t1, t2 = 901, 481, 381
+
+    st = S.dpm_init_state(x.shape)
+    st, x1 = S.dpm_sde_step(SCHED, CFG, st, eps1, jnp.asarray(t0),
+                            jnp.asarray(t1), x, z1)
+    st, x2 = S.dpm_sde_step(SCHED, CFG, st, eps2, jnp.asarray(t1),
+                            jnp.asarray(t2), x1, z2)
+
+    ac = np.asarray(SCHED.alphas_cumprod, np.float64)
+
+    def co(t):
+        a = ac[t]
+        return np.sqrt(a), np.sqrt(1 - a), 0.5 * (np.log(a) - np.log(1 - a))
+
+    a0, s0, l0 = co(t0)
+    a1, s1, l1 = co(t1)
+    a2, s2, l2 = co(t2)
+    xn = np.asarray(x, np.float64)
+    x0_1 = (xn - s0 * np.asarray(eps1, np.float64)) / a0
+    h1 = l1 - l0
+    g1 = -np.expm1(-2 * h1)
+    x1_ref = ((s1 / s0) * np.exp(-h1) * xn + a1 * g1 * x0_1
+              + s1 * np.sqrt(g1) * np.asarray(z1, np.float64))
+    np.testing.assert_allclose(np.asarray(x1), x1_ref, rtol=2e-4, atol=1e-5)
+
+    x0_2 = (x1_ref - s1 * np.asarray(eps2, np.float64)) / a1
+    h2 = l2 - l1
+    g2 = -np.expm1(-2 * h2)
+    d1 = (x0_2 - x0_1) / ((l1 - l0) / h2)
+    x2_ref = ((s2 / s1) * np.exp(-h2) * x1_ref
+              + a2 * g2 * (x0_2 + 0.5 * d1)
+              + s2 * np.sqrt(g2) * np.asarray(z2, np.float64))
+    np.testing.assert_allclose(np.asarray(x2), x2_ref, rtol=2e-4, atol=1e-5)
+
+
+def test_dpm_sde_terminal_step_noop_and_sigma_variant():
+    """Integer grid: the degenerate terminal step (h=0) returns the sample
+    unchanged.  Sigma variant: terminal sigma 0 returns the x0 prediction
+    with no noise, and the mid-grid step matches the integer-grid step at
+    the grid's own sigmas."""
+    rng = np.random.default_rng(37)
+    x = jnp.asarray(rng.normal(size=(1, 4, 4, 2)).astype(np.float32))
+    eps = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+    z = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+    st = S.dpm_init_state(x.shape)
+    _, x_term = S.dpm_sde_step(SCHED, CFG, st, eps, jnp.asarray(0),
+                               jnp.asarray(-20), x, z)
+    np.testing.assert_allclose(np.asarray(x_term), np.asarray(x), atol=1e-5)
+
+    # sigma variant matches the integer-grid step at matching sigmas
+    ac = np.asarray(SCHED.alphas_cumprod, np.float64)
+    sg = lambda t: np.sqrt((1 - ac[t]) / ac[t])
+    st1 = S.dpm_init_state(x.shape)
+    _, a_int = S.dpm_sde_step(SCHED, CFG, st1, eps, jnp.asarray(801),
+                              jnp.asarray(601), x, z)
+    st2 = S.dpm_init_state(x.shape)
+    _, a_sig = S.dpm_sde_step_sigma(st2, eps, jnp.asarray(sg(801),
+                                                          jnp.float32),
+                                    jnp.asarray(sg(601), jnp.float32), x, z)
+    np.testing.assert_allclose(np.asarray(a_sig), np.asarray(a_int),
+                               rtol=3e-4, atol=2e-5)
+
+    # terminal sigma 0: x0 prediction, no noise
+    st3 = S.dpm_init_state(x.shape)
+    _, x_last = S.dpm_sde_step_sigma(st3, eps, jnp.asarray(sg(801),
+                                                           jnp.float32),
+                                     jnp.asarray(0.0), x, z)
+    x0_ref = (np.asarray(x, np.float64)
+              - np.sqrt(1 - ac[801]) * np.asarray(eps, np.float64)) \
+        / np.sqrt(ac[801])
+    np.testing.assert_allclose(np.asarray(x_last), x0_ref, rtol=2e-3,
+                               atol=2e-4)
