@@ -157,3 +157,90 @@ def test_serve_ensemble_generate():
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_dynamic_batching_coalesces(tiny_cfg, tiny_params):
+    """Two compatible requests posted inside the batch window run as ONE
+    pipeline call (one batch), each keeping its own seed's latents."""
+    from http.server import ThreadingHTTPServer
+
+    from sdbc_tpu.cli import common
+    from sdbc_tpu.cli.serve import build_parser, make_app
+    from sdbc_tpu.data.tokenizer import CLIPTokenizer
+    from sdbc_tpu.diffusion.pipeline import SDPipeline
+
+    args = build_parser().parse_args(
+        ["--tiny", "--img_size", "32", "--num_inference_steps", "2",
+         "--max_batch", "4", "--batch_window_ms", "1500", "--no-bf16"])
+    common.resolve_img_size(args)
+    pipe = SDPipeline(tiny_params, tiny_cfg,
+                      CLIPTokenizer.fallback(tiny_cfg.clip.vocab_size),
+                      compute_dtype=jnp.float32)
+    handler, state = make_app(pipe, args)
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        results = {}
+
+        def hit(seed):
+            with _post(url, {"prompt": "coalesce me", "seed": seed}) as r:
+                results[seed] = r.read()
+
+        threads = [threading.Thread(target=hit, args=(s,)) for s in (1, 2)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=600)
+        assert set(results) == {1, 2}
+        assert all(v[:8] == b"\x89PNG\r\n\x1a\n" for v in results.values())
+        assert results[1] != results[2]          # per-job seeds respected
+        assert state["batches"] == 1              # ONE coalesced call
+        assert state["batched_images"] == 2
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_incompatible_requests_do_not_coalesce(tiny_cfg, tiny_params):
+    """Different step counts need different compiled graphs — the batcher
+    must keep them in separate batches even inside one window."""
+    from http.server import ThreadingHTTPServer
+
+    from sdbc_tpu.cli import common
+    from sdbc_tpu.cli.serve import build_parser, make_app
+    from sdbc_tpu.data.tokenizer import CLIPTokenizer
+    from sdbc_tpu.diffusion.pipeline import SDPipeline
+
+    args = build_parser().parse_args(
+        ["--tiny", "--img_size", "32", "--num_inference_steps", "2",
+         "--max_batch", "4", "--batch_window_ms", "1500", "--no-bf16"])
+    common.resolve_img_size(args)
+    pipe = SDPipeline(tiny_params, tiny_cfg,
+                      CLIPTokenizer.fallback(tiny_cfg.clip.vocab_size),
+                      compute_dtype=jnp.float32)
+    handler, state = make_app(pipe, args)
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        results = []
+
+        def hit(steps):
+            with _post(url, {"prompt": "split us", "seed": 1,
+                             "num_inference_steps": steps}) as r:
+                results.append(r.read()[:8])
+
+        threads = [threading.Thread(target=hit, args=(s,)) for s in (2, 3)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=600)
+        assert len(results) == 2
+        assert all(r == b"\x89PNG\r\n\x1a\n" for r in results)
+        assert state["batches"] == 2              # no cross-key coalescing
+    finally:
+        srv.shutdown()
+        srv.server_close()
