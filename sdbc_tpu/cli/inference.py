@@ -103,6 +103,10 @@ def build_parser() -> argparse.ArgumentParser:
                      "use the Karras et al. 2022 rho=7 sigma grid instead "
                      "of the leading integer timestep grid (euler_a/lms/dpm "
                      "schedulers; markedly better low-step quality)")
+    p.add_argument("--freeu", type=str, default="",
+                   help="FreeU decoder rebalancing (arXiv:2309.11497): "
+                        "'auto' picks the family preset (sd15/sd21/sdxl), "
+                        "or 4 comma-separated floats b1,b2,s1,s2")
     p.add_argument("--cache_interval", type=int, default=0,
                    help=">1: DeepCache-style fast sampling (approximate; "
                         "deep UNet trunk reused between every k-th step)")
@@ -136,6 +140,35 @@ def build_parser() -> argparse.ArgumentParser:
                         "df_test.csv under --data_root; default-mode "
                         "auto-runs it when available)")
     return p
+
+
+def _resolve_freeu(args, cfg):
+    """--freeu '' → None; 'auto' → the family preset; 'b1,b2,s1,s2' → tuple.
+
+    'auto' picks by the RESOLVED pipeline config (checkpoints can override
+    --model_family): SDXL configs get FREEU_SDXL, v-prediction (SD-2.1
+    style) FREEU_SD21, everything else FREEU_SD15.
+    """
+    from sdbc_tpu.models import unet as unet_mod
+
+    spec = (args.freeu or "").strip()
+    if not spec:
+        return None
+    if spec == "auto":
+        if getattr(cfg, "is_sdxl", False):
+            return unet_mod.FREEU_SDXL
+        if cfg.schedule.prediction_type == "v_prediction":
+            return unet_mod.FREEU_SD21
+        return unet_mod.FREEU_SD15
+    try:
+        vals = tuple(float(v) for v in spec.split(","))
+    except ValueError:
+        raise SystemExit(f"--freeu must be 'auto' or 4 comma-separated "
+                         f"floats, got {spec!r}")
+    if len(vals) != 4:
+        raise SystemExit(f"--freeu takes 4 values b1,b2,s1,s2, got "
+                         f"{len(vals)}")
+    return vals
 
 
 def _build_summarizer(args):
@@ -235,6 +268,7 @@ def main(argv=None):
                     guidance_rescale=args.guidance_rescale,
                     clip_skip=args.clip_skip,
                     use_karras_sigmas=args.karras_sigmas,
+                    freeu=_resolve_freeu(args, cfg),
                     control_image=control_image,
                     controlnet_scale=args.controlnet_scale,
                     prompt_weighting=args.prompt_weighting,

@@ -292,7 +292,8 @@ def _apply_token_weights(emb, w):
     static_argnames=("cfg", "num_inference_steps", "compute_dtype", "decode",
                      "cache_interval", "cache_tail", "attn_impl",
                      "chunked_decode", "t_start", "t_end", "pack_heads",
-                     "guidance_rescale", "clip_skip", "use_karras_sigmas"))
+                     "guidance_rescale", "clip_skip", "use_karras_sigmas",
+                     "freeu"))
 def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
            *, cfg: PipelineConfig, num_inference_steps: int = 50,
            compute_dtype=jnp.bfloat16, decode: bool = True,
@@ -302,7 +303,7 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
            mask=None,
            pack_heads: Optional[bool] = None,
            guidance_rescale: float = 0.0, clip_skip: int = 0,
-           use_karras_sigmas: bool = False,
+           use_karras_sigmas: bool = False, freeu=None,
            control_image=None, controlnet_scale=1.0,
            cond_weights=None, uncond_weights=None,
            cond_ids2=None, uncond_ids2=None, time_ids=None,
@@ -341,6 +342,11 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
       Supported for ddim/dpm/ddpm; PNDM's multistep warmup does not
       truncate cleanly (diffusers' own PLMS img2img re-runs the warmup at
       t_start, changing the method's order) — rejected loudly.
+    freeu: optional STATIC (b1, b2, s1, s2) floats — FreeU
+      (arXiv:2309.11497) decoder feature rebalancing at sampling time
+      (backbone half-channel gain b, skip low-frequency scale s at the two
+      deepest up blocks; models/unet.py FREEU_SD15/SD21/SDXL presets).
+      None (the default) leaves the compiled graph byte-identical.
     use_karras_sigmas: replace the leading integer timestep grid with the
       Karras et al. 2022 ρ=7 sigma ramp between the same σ endpoints
       (markedly better low-step quality); euler_a / lms / dpm only.  The
@@ -640,7 +646,7 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
             ctp = tp["ctrl"]
             tp = {k: v for k, v in tp.items() if k != "ctrl"}
         out = unet_mod.apply(uparams, lat2, tb, context, cfg.unet,
-                             attn_impl=attn_impl, temb_proj=tp,
+                             attn_impl=attn_impl, temb_proj=tp, freeu=freeu,
                              control_residuals=_control_residuals(lat2, t,
                                                                   ctp))
         out_u, out_c = jnp.split(out.astype(jnp.float32), 2, axis=0)
@@ -690,7 +696,7 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
                                       cfg.unet, return_deep=True,
                                       cache_tail=cache_tail,
                                       attn_impl=attn_impl,
-                                      temb_proj=tp)
+                                      temb_proj=tp, freeu=freeu)
 
             def reuse(cache):
                 out = unet_mod.apply(uparams, lat2, tb, context,
@@ -1285,7 +1291,8 @@ class SDPipeline:
                  num_images_per_prompt: int = 1, init_image=None,
                  strength: float = 0.8, mask_image=None,
                  guidance_rescale: float = 0.0, clip_skip: int = 0,
-                 use_karras_sigmas: bool = False, control_image=None,
+                 use_karras_sigmas: bool = False, freeu=None,
+                 control_image=None,
                  controlnet_scale: float = 1.0,
                  prompt_weighting: bool = False, max_prompt_chunks: int = 3,
                  aesthetic_score: float = 6.0,
@@ -1323,6 +1330,9 @@ class SDPipeline:
         and the default compiled graph is byte-identical."""
         if isinstance(prompts, str):
             prompts = [prompts]
+        if freeu is not None and len(tuple(freeu)) != 4:
+            raise ValueError(f"freeu takes exactly 4 floats (b1, b2, s1, "
+                             f"s2), got {tuple(freeu)}")
         if mask_image is not None and init_image is None:
             raise ValueError("mask_image (inpainting) requires init_image")
         if init_image is not None and self.spatial:
@@ -1560,6 +1570,8 @@ class SDPipeline:
                       guidance_rescale=float(guidance_rescale),
                       clip_skip=int(clip_skip),
                       use_karras_sigmas=bool(use_karras_sigmas),
+                      freeu=tuple(float(v) for v in freeu) if freeu
+                      else None,
                       control_image=ctrl_arr,
                       controlnet_scale=controlnet_scale,
                       cond_weights=cond_w, uncond_weights=uncond_w,

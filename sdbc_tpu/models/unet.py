@@ -594,6 +594,55 @@ def index_temb(temb_proj, i):
 
 
 # ---------------------------------------------------------------------------
+# FreeU (Si et al. 2023, arXiv:2309.11497): inference-time quality knob —
+# amplify the backbone's low-channel half and damp the skip connections'
+# low-frequency band at the two deepest decoder stages.  No training, no
+# extra parameters; None (the default) leaves the graph untouched.
+
+
+def fourier_filter(x, threshold: int, scale):
+    """Scale the centered low-frequency box of a (N, H, W, C) feature map.
+
+    FFT over the spatial axes, fftshift, multiply the (2·threshold)²
+    center box by ``scale``, invert — the FreeU skip-feature filter
+    (fp32 internally; TPU XLA lowers FFT natively).
+    """
+    dtype = x.dtype
+    xf = jnp.fft.fftn(x.astype(jnp.float32), axes=(1, 2))
+    xf = jnp.fft.fftshift(xf, axes=(1, 2))
+    h, w = x.shape[1], x.shape[2]
+    crow, ccol = h // 2, w // 2
+    mask = jnp.ones((h, w), jnp.float32)
+    mask = mask.at[max(crow - threshold, 0):crow + threshold,
+                   max(ccol - threshold, 0):ccol + threshold].set(
+        jnp.asarray(scale, jnp.float32))
+    xf = xf * mask[None, :, :, None]
+    xf = jnp.fft.ifftshift(xf, axes=(1, 2))
+    return jnp.fft.ifftn(xf, axes=(1, 2)).real.astype(dtype)
+
+
+def _apply_freeu(h, skip, b_scale: float, s_scale: float):
+    """One FreeU modification before a decoder concat: scale the first
+    half of the backbone channels by ``b`` and low-pass-scale the skip by
+    ``s``.  Scales of exactly 1.0 short-circuit so freeu=(1, 1, 1, 1) is
+    byte-identical to off (an FFT roundtrip would not be)."""
+    if b_scale != 1.0:
+        half = h.shape[-1] // 2
+        h = jnp.concatenate(
+            [h[..., :half] * jnp.asarray(b_scale, h.dtype), h[..., half:]],
+            axis=-1)
+    if s_scale != 1.0:
+        skip = fourier_filter(skip, 1, s_scale)
+    return h, skip
+
+
+# recommended settings from the FreeU paper / reference implementation
+FREEU_SD15 = (1.5, 1.6, 0.9, 0.2)   # (b1, b2, s1, s2)
+FREEU_SD21 = (1.4, 1.6, 0.9, 0.2)
+FREEU_SDXL = (1.3, 1.4, 0.9, 0.2)
+
+
+# ---------------------------------------------------------------------------
 # apply
 
 
@@ -601,7 +650,7 @@ def apply(params, latents, timesteps, encoder_hidden_states, cfg: UNetConfig,
           *, remat: bool = False, remat_mode: str = "block",
           cached_deep=None, return_deep: bool = False,
           cache_tail: int = 0, attn_impl: str = "auto", temb_proj=None,
-          control_residuals=None, added_cond=None):
+          control_residuals=None, added_cond=None, freeu=None):
     """latents (N,h,w,4), timesteps (N,), CLIP states (N,77,768) → eps (N,h,w,4).
 
     remat=True rematerialises every ResBlock/transformer in the backward pass
@@ -634,6 +683,13 @@ def apply(params, latents, timesteps, encoder_hidden_states, cfg: UNetConfig,
     ``emb = t_emb + add_embedding(...)``).  With ``temb_proj`` the addition
     embedding is already baked into the hoisted tables
     (``precompute_temb(..., added_cond=...)``) and must not be repeated.
+
+    ``freeu``: optional (b1, b2, s1, s2) static floats (FreeU,
+    arXiv:2309.11497) — before each skip concat of the two DEEPEST decoder
+    stages (up blocks 0 and 1), the backbone's first half channels scale
+    by b and the skip's low-frequency band by s (``fourier_filter``).
+    Presets: FREEU_SD15/SD21/SDXL.  (1, 1, 1, 1) is byte-identical to
+    None.
     """
     if temb_proj is None and (added_cond is None) != \
             (not cfg.addition_embed_dim):
@@ -717,9 +773,12 @@ def apply(params, latents, timesteps, encoder_hidden_states, cfg: UNetConfig,
             skips.append(add_ctrl(h))
         return h
 
-    def run_block_up(blk, tp, h, skips, nh):
+    def run_block_up(blk, tp, h, skips, nh, fu=None):
         for j, r in enumerate(blk["resnets"]):
-            h = jnp.concatenate([h, skips.pop()], axis=-1)
+            skip = skips.pop()
+            if fu is not None:
+                h, skip = _apply_freeu(h, skip, *fu)
+            h = jnp.concatenate([h, skip], axis=-1)
             h = res_fn(r, h, temb, g, tp["resnets"][j])
             if blk["attns"]:
                 h = attn_fn(blk["attns"][j], h, ctx, nh, g)
@@ -766,7 +825,10 @@ def apply(params, latents, timesteps, encoder_hidden_states, cfg: UNetConfig,
         if control_residuals is not None:
             d = d + control_residuals[1].astype(d.dtype)
         for i, (blk, tp) in enumerate(zip(params["up"][:-1], tp_up[:-1])):
-            d = run_block_up(blk, tp, d, deep_skips, rev_heads[i])
+            fu = None
+            if freeu is not None and i < 2:
+                fu = (freeu[0], freeu[2]) if i == 0 else (freeu[1], freeu[3])
+            d = run_block_up(blk, tp, d, deep_skips, rev_heads[i], fu=fu)
         # deep-owned leading resnets of the last up block
         for j in range(total_tail - ct):
             d = jnp.concatenate([d, deep_skips.pop()], axis=-1)

@@ -149,3 +149,43 @@ def test_vae_chunked_encode_decode_equivalence(tiny_cfg, tiny_params):
     d_ref = vae.decode(p, lat, cfg)
     d_c = jax.lax.map(lambda l: vae.decode(p, l[None], cfg)[0], lat)
     np.testing.assert_allclose(np.asarray(d_c), np.asarray(d_ref), atol=1e-5)
+
+
+def test_fourier_filter_semantics():
+    """DC (constant) maps are pure low-frequency: scaled by s exactly.
+    A Nyquist checkerboard lives at the spectrum edge: untouched.  s=1 is
+    an exact identity up to fp roundoff."""
+    from sdbc_tpu.models.unet import fourier_filter
+
+    const = jnp.full((1, 8, 8, 2), 3.0)
+    out = fourier_filter(const, 1, 0.25)
+    np.testing.assert_allclose(np.asarray(out), 0.75, atol=1e-5)
+
+    yy, xx = np.mgrid[0:8, 0:8]
+    checker = jnp.asarray(((-1.0) ** (yy + xx))[None, :, :, None],
+                          jnp.float32)
+    out2 = fourier_filter(checker, 1, 0.25)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(checker),
+                               atol=1e-5)
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 3)).astype(np.float32))
+    out3 = fourier_filter(x, 1, 1.0)
+    np.testing.assert_allclose(np.asarray(out3), np.asarray(x), atol=1e-5)
+
+
+def test_unet_freeu(tiny_cfg, tiny_params):
+    """freeu=None == freeu=(1,1,1,1) byte-exactly (unit scales
+    short-circuit); real scales change the output and stay finite."""
+    cfg = tiny_cfg.unet
+    p = tiny_params["unet"]
+    lat = jax.random.normal(jax.random.key(3), (1, 8, 8, cfg.in_channels))
+    t = jnp.asarray([500], jnp.int32)
+    ctx = jax.random.normal(jax.random.key(4),
+                            (1, 7, cfg.cross_attention_dim))
+    base = unet.apply(p, lat, t, ctx, cfg)
+    unit = unet.apply(p, lat, t, ctx, cfg, freeu=(1.0, 1.0, 1.0, 1.0))
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(unit))
+    on = unet.apply(p, lat, t, ctx, cfg, freeu=unet.FREEU_SD15)
+    assert np.isfinite(np.asarray(on)).all()
+    assert not np.allclose(np.asarray(base), np.asarray(on))

@@ -329,3 +329,20 @@ def test_unipc_mask_and_t_end_rejected(tiny_cfg, tiny_params):
     with pytest.raises(ValueError, match="UniPC"):
         sample(tiny_params, ids, ids, lat, jax.random.key(0), 7.5, cfg=cfg,
                num_inference_steps=4, compute_dtype=jnp.float32, t_end=2)
+
+
+def test_freeu(pipe):
+    """freeu changes the sampled output and stays finite; a bad tuple is
+    rejected before tracing."""
+    lat = per_sample_fixed_latents(1, (4, 8, 8), seed=41)
+    kw = dict(num_inference_steps=2, latents=lat)
+    base = pipe(["f"], **kw)
+    from sdbc_tpu.models.unet import FREEU_SD15
+
+    on = pipe(["f"], freeu=FREEU_SD15, **kw)
+    assert np.isfinite(on).all()
+    assert not np.allclose(base, on)
+    unit = pipe(["f"], freeu=(1.0, 1.0, 1.0, 1.0), **kw)
+    np.testing.assert_array_equal(base, unit)
+    with pytest.raises(ValueError, match="freeu"):
+        pipe(["f"], freeu=(1.0, 1.0), **kw)
