@@ -64,6 +64,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "requests into its batch (0 = no added latency: "
                         "only jobs that queued during the previous "
                         "generation coalesce)")
+    p.add_argument("--freeu", type=str, default="",
+                   help="FreeU decoder rebalancing for the whole serving "
+                        "profile: 'auto' (family preset) or b1,b2,s1,s2 "
+                        "(static: part of the compiled graph)")
     p.add_argument("--refiner_ckpt", type=str, default="",
                    help="SDXL refiner checkpoint/diffusers dir: serve the "
                         "base->refiner ensemble (EnsemblePipeline)")
@@ -104,6 +108,9 @@ def make_app(pipe, args):
     f = pipe.cfg.vae_scale
     lat_shape = (args.img_size // f, args.img_size // f,
                  pipe.cfg.unet.in_channels)
+    from sdbc_tpu.cli.inference import _resolve_freeu
+    freeu = _resolve_freeu(args, pipe.cfg) if getattr(args, "freeu", "") \
+        else None
 
     def job_latents(job: _Job) -> np.ndarray:
         """Per-job initial latents from the job's own seed — the same
@@ -133,6 +140,7 @@ def make_app(pipe, args):
                         seed=head.seed,
                         cache_interval=args.cache_interval,
                         cache_tail=args.cache_tail,
+                        freeu=freeu,
                         prompt_weighting=head.pw)
             off = 0
             for j in batch:
@@ -284,9 +292,12 @@ def main(argv=None):
         print(f"[serve] warming up ({args.num_inference_steps} steps, "
               f"{args.img_size}px, scheduler {cfg.scheduler})...", flush=True)
         t0 = time.time()
+        from sdbc_tpu.cli.inference import _resolve_freeu
+
         pipe(["warmup"], height=args.img_size, width=args.img_size,
              num_inference_steps=args.num_inference_steps,
-             cache_interval=args.cache_interval, cache_tail=args.cache_tail)
+             cache_interval=args.cache_interval, cache_tail=args.cache_tail,
+             freeu=_resolve_freeu(args, cfg) if args.freeu else None)
         print(f"[serve] warmup done in {time.time() - t0:.1f}s", flush=True)
 
     handler, _ = make_app(pipe, args)

@@ -110,7 +110,7 @@ def test_partial_mask_differs_from_both_extremes(pipe, init_img):
     assert not np.allclose(out, keep)
 
 
-@pytest.mark.parametrize("scheduler", ["dpm", "ddpm"])
+@pytest.mark.parametrize("scheduler", ["dpm", "ddpm", "dpm_sde", "unipc"])
 def test_other_schedulers_img2img(tiny_cfg, tiny_params, init_img, scheduler):
     import dataclasses
 
