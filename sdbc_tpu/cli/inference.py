@@ -103,6 +103,11 @@ def build_parser() -> argparse.ArgumentParser:
                      "use the Karras et al. 2022 rho=7 sigma grid instead "
                      "of the leading integer timestep grid (euler_a/lms/dpm "
                      "schedulers; markedly better low-step quality)")
+    p.add_argument("--safety_checker", type=str, default="",
+                   help="diffusers safety_checker dir: run the CLIP-vision "
+                        "StableDiffusionSafetyChecker on decoded images "
+                        "(flagged images are blacked out; the reference "
+                        "always disables this — default off)")
     p.add_argument("--freeu", type=str, default="",
                    help="FreeU decoder rebalancing (arXiv:2309.11497): "
                         "'auto' picks the family preset (sd15/sd21/sdxl), "
@@ -206,9 +211,19 @@ def main(argv=None):
     elif args.spatial:
         raise SystemExit("--spatial requires --tp (it lays the mesh; "
                          "use --tp 1 for pure row sharding)")
+    checker = None
+    if args.safety_checker:
+        from sdbc_tpu.models.port import safety_checker_from_dir
+        from sdbc_tpu.models.safety import ClipSafetyChecker
+
+        sc_params, sc_cfg = safety_checker_from_dir(args.safety_checker)
+        checker = ClipSafetyChecker(sc_params, sc_cfg)
+        print(f"safety checker: {args.safety_checker} "
+              f"(ViT {sc_cfg.layers}x{sc_cfg.hidden} @ {sc_cfg.image_size})")
     pipe = SDPipeline(params, cfg, tok, compute_dtype=common.compute_dtype(args),
                       mesh=mesh, spatial=args.spatial,
-                      tokenizer2=common.make_tokenizer2(args, cfg))
+                      tokenizer2=common.make_tokenizer2(args, cfg),
+                      safety_checker=checker)
     if args.refiner_ckpt:
         from sdbc_tpu.diffusion.pipeline import EnsemblePipeline
 

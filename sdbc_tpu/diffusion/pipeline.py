@@ -1204,7 +1204,8 @@ class SDPipeline:
 
     def __init__(self, params, cfg: PipelineConfig, tokenizer,
                  compute_dtype=jnp.bfloat16, mesh=None, spatial=False,
-                 attn_impl: Optional[str] = None, tokenizer2=None):
+                 attn_impl: Optional[str] = None, tokenizer2=None,
+                 safety_checker=None):
         """``mesh``: optional jax.sharding.Mesh for multi-chip serving.  The
         batch shards over its ``data`` axis; a ``model`` axis > 1 additionally
         shards the weights Megatron-style (parallel/specs.py) so one sample
@@ -1271,6 +1272,12 @@ class SDPipeline:
         if cfg.is_sdxl and tokenizer2 is None:
             self.tokenizer2 = tokenizer
         self.compute_dtype = compute_dtype
+        # optional checker(images, prompts) -> (images, flags): the
+        # StableDiffusionPipeline safety slot (models/safety.py — None is
+        # the reference's operating mode; ClipSafetyChecker is the full
+        # CLIP-vision implementation).  Applied to DECODED outputs only.
+        self.safety_checker = safety_checker
+        self.last_nsfw_flags = None
 
     def tokenize(self, prompts: Sequence[str]) -> np.ndarray:
         return np.asarray(self.tokenizer.batch_encode(prompts, self.cfg.clip.ctx),
@@ -1580,7 +1587,13 @@ class SDPipeline:
                       aesthetic_score=float(aesthetic_score),
                       negative_aesthetic_score=float(
                           negative_aesthetic_score))
-        return np.asarray(imgs)[:b]
+        out = np.asarray(imgs)[:b]
+        if decode and self.safety_checker is not None:
+            from sdbc_tpu.models.safety import apply_safety_checker
+
+            out, self.last_nsfw_flags = apply_safety_checker(
+                self.safety_checker, out, prompts[:b])
+        return out
 
     def img2img(self, prompts, image, *, strength: float = 0.8, **kw):
         """Image-to-image: re-diffuse ``image`` under ``prompts``.

@@ -103,7 +103,7 @@ def init(key, cfg: CLIPTextConfig):
     return p
 
 
-def _layer_apply(p, x, cfg: CLIPTextConfig):
+def _layer_apply(p, x, cfg, causal: bool = True):
     b, s, h = x.shape
     hd = h // cfg.heads
 
@@ -115,7 +115,7 @@ def _layer_apply(p, x, cfg: CLIPTextConfig):
     q = split_heads(nn.linear(p["attn"]["q"], y))
     k = split_heads(nn.linear(p["attn"]["k"], y))
     v = split_heads(nn.linear(p["attn"]["v"], y))
-    a = attention(q, k, v, causal=True, impl="xla")  # 77 tokens: XLA fused path
+    a = attention(q, k, v, causal=causal, impl="xla")  # short seq: XLA path
     a = a.transpose(0, 2, 1, 3).reshape(b, s, h)
     x = res + nn.linear(p["attn"]["o"], a)
 
@@ -214,3 +214,92 @@ def apply_with_pooled(params, input_ids, cfg: CLIPTextConfig,
     if "text_projection" in params:
         pooled = nn.linear(params["text_projection"], pooled)
     return hidden, pooled
+
+
+# ---------------------------------------------------------------------------
+# CLIP vision tower (ViT) — the image half of the safety checker (E6).
+#
+# transformers.CLIPVisionModel semantics: conv patch embedding (bias-free),
+# prepended class token, learned position embeddings, pre-LayerNorm, the
+# same pre-LN transformer layers as the text tower but WITHOUT the causal
+# mask, and a post-LayerNorm applied to the CLS token only (the pooled
+# output).  SD's checker runs ViT-L/14 @ 224².
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPVisionConfig:
+    hidden: int = 1024
+    layers: int = 24
+    heads: int = 16
+    mlp: int = 4096
+    patch: int = 14
+    image_size: int = 224
+    eps: float = 1e-5
+    act: str = "quick_gelu"
+
+    @property
+    def num_positions(self) -> int:
+        return (self.image_size // self.patch) ** 2 + 1
+
+    @staticmethod
+    def sd_safety() -> "CLIPVisionConfig":
+        """The vision tower of CompVis/stable-diffusion-safety-checker
+        (CLIP ViT-L/14)."""
+        return CLIPVisionConfig()
+
+    @staticmethod
+    def tiny() -> "CLIPVisionConfig":
+        return CLIPVisionConfig(hidden=32, layers=2, heads=4, mlp=64,
+                                patch=8, image_size=32)
+
+
+# CLIPImageProcessor constants (openai/clip-vit-large-patch14)
+CLIP_IMAGE_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_IMAGE_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+def vision_init(key, cfg: CLIPVisionConfig):
+    kc, kp, kpos, kl = jax.random.split(key, 4)
+    layers = [_init_layer(k, cfg) for k in jax.random.split(kl, cfg.layers)]
+    return {
+        "class_embedding": jax.random.normal(kc, (cfg.hidden,)) * 0.02,
+        "patch_embedding": nn.init_conv(kp, 3, cfg.hidden, cfg.patch,
+                                        use_bias=False),
+        "position_embedding": nn.init_embedding(kpos, cfg.num_positions,
+                                                cfg.hidden),
+        "pre_ln": nn.init_layer_norm(cfg.hidden),
+        "layers": jax.tree.map(lambda *xs: jnp.stack(xs), *layers),
+        "post_ln": nn.init_layer_norm(cfg.hidden),
+    }
+
+
+def vision_apply(params, pixels, cfg: CLIPVisionConfig,
+                 compute_dtype=jnp.float32):
+    """pixels: (B, image_size, image_size, 3) ALREADY CLIP-normalized
+    ((x - mean)/std per channel) → (last_hidden (B, N+1, hidden),
+    pooled (B, hidden)).
+
+    The pooled output is post-LayerNorm of the CLS position — exactly
+    transformers' CLIPVisionTransformer pooler; the returned last_hidden
+    is pre-post-LN (also the transformers convention).
+    """
+    if pixels.shape[1:] != (cfg.image_size, cfg.image_size, 3):
+        raise ValueError(f"vision tower expects (B, {cfg.image_size}, "
+                         f"{cfg.image_size}, 3), got {pixels.shape}")
+    x = nn.conv2d(params["patch_embedding"], pixels.astype(compute_dtype),
+                  stride=cfg.patch, padding="VALID")
+    b = x.shape[0]
+    x = x.reshape(b, -1, cfg.hidden)                     # (B, N, hidden)
+    cls = jnp.broadcast_to(
+        params["class_embedding"].astype(compute_dtype)[None, None],
+        (b, 1, cfg.hidden))
+    x = jnp.concatenate([cls, x], axis=1)                # (B, N+1, hidden)
+    x = x + params["position_embedding"]["table"][None].astype(compute_dtype)
+    x = nn.layer_norm(params["pre_ln"], x, eps=cfg.eps)
+
+    def body(x, layer_params):
+        return _layer_apply(layer_params, x, cfg, causal=False), None
+
+    x, _ = jax.lax.scan(body, x, params["layers"])
+    pooled = nn.layer_norm(params["post_ln"], x[:, 0], eps=cfg.eps)
+    return x, pooled

@@ -1098,3 +1098,103 @@ def load_fid_inception(weights_path: str) -> dict:
 
     sd = torch.load(weights_path, map_location="cpu", weights_only=True)
     return port_fid_inception({k: v.numpy() for k, v in sd.items()})
+
+
+# ---------------------------------------------------------------------------
+# safety checker (StableDiffusionSafetyChecker = CLIP vision tower +
+# visual projection + learned concept embeddings)
+
+
+def port_clip_vision(sd: Dict[str, np.ndarray]) -> dict:
+    """transformers CLIPVisionModel state dict → models/clip.vision_init tree.
+
+    Accepts the bare CLIPVisionModel ("vision_model.embeddings...") or the
+    raw CLIPVisionTransformer ("embeddings...") key layouts.
+    """
+    pfx = "vision_model." if "vision_model.post_layernorm.weight" in sd \
+        else ""
+    layers = []
+    i = 0
+    while f"{pfx}encoder.layers.{i}.layer_norm1.weight" in sd:
+        lp = f"{pfx}encoder.layers.{i}"
+        layers.append({
+            "ln1": _norm(sd, f"{lp}.layer_norm1"),
+            "attn": {
+                "q": _linear(sd, f"{lp}.self_attn.q_proj"),
+                "k": _linear(sd, f"{lp}.self_attn.k_proj"),
+                "v": _linear(sd, f"{lp}.self_attn.v_proj"),
+                "o": _linear(sd, f"{lp}.self_attn.out_proj"),
+            },
+            "ln2": _norm(sd, f"{lp}.layer_norm2"),
+            "mlp": {
+                "fc1": _linear(sd, f"{lp}.mlp.fc1"),
+                "fc2": _linear(sd, f"{lp}.mlp.fc2"),
+            },
+        })
+        i += 1
+    if not layers:
+        raise ValueError("no CLIP vision encoder layers found in state dict")
+    import jax
+
+    return {
+        "class_embedding": jnp.asarray(
+            sd[f"{pfx}embeddings.class_embedding"].astype(np.float32)),
+        "patch_embedding": _conv(sd, f"{pfx}embeddings.patch_embedding"),
+        "position_embedding": {"table": jnp.asarray(
+            sd[f"{pfx}embeddings.position_embedding.weight"].astype(
+                np.float32))},
+        "pre_ln": _norm(sd, f"{pfx}pre_layrnorm"),  # transformers' own typo
+        "layers": jax.tree.map(lambda *xs: jnp.stack(xs), *layers),
+        "post_ln": _norm(sd, f"{pfx}post_layernorm"),
+    }
+
+
+def port_safety_checker(sd: Dict[str, np.ndarray]) -> dict:
+    """StableDiffusionSafetyChecker state dict → ClipSafetyChecker params.
+
+    The checker nests CLIPVisionModel as ``vision_model`` (so its keys
+    start "vision_model.vision_model."); the head carries the visual
+    projection and the learned concept tables + thresholds.
+    """
+    vision_sd = {k[len("vision_model."):]: v for k, v in sd.items()
+                 if k.startswith("vision_model.")}
+    return {
+        "vision": port_clip_vision(vision_sd),
+        "visual_projection": _linear(sd, "visual_projection"),
+        "concept_embeds": jnp.asarray(
+            sd["concept_embeds"].astype(np.float32)),
+        "concept_weights": jnp.asarray(
+            sd["concept_embeds_weights"].astype(np.float32)),
+        "special_care_embeds": jnp.asarray(
+            sd["special_care_embeds"].astype(np.float32)),
+        "special_care_weights": jnp.asarray(
+            sd["special_care_embeds_weights"].astype(np.float32)),
+    }
+
+
+def safety_checker_from_dir(path: str):
+    """A diffusers safety_checker dir → (params, CLIPVisionConfig).
+
+    Reads the dir's config.json vision_config for the tower geometry
+    (mirroring the other component-config inference paths) and ports the
+    weights; pair with ``models.safety.ClipSafetyChecker``.
+    """
+    import os
+
+    from sdbc_tpu.models.clip import CLIPVisionConfig
+
+    cfg_path = os.path.join(path, "config.json")
+    vcfg = CLIPVisionConfig.sd_safety()
+    if os.path.exists(cfg_path):
+        raw = _read_json(cfg_path).get("vision_config", {})
+        vcfg = CLIPVisionConfig(
+            hidden=raw.get("hidden_size", vcfg.hidden),
+            layers=raw.get("num_hidden_layers", vcfg.layers),
+            heads=raw.get("num_attention_heads", vcfg.heads),
+            mlp=raw.get("intermediate_size", vcfg.mlp),
+            patch=raw.get("patch_size", vcfg.patch),
+            image_size=raw.get("image_size", vcfg.image_size),
+            eps=raw.get("layer_norm_eps", vcfg.eps),
+            act=raw.get("hidden_act", vcfg.act),
+        )
+    return port_safety_checker(load_state_dict(path)), vcfg
