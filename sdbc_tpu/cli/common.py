@@ -80,6 +80,17 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
                         "diffusers loads infer the family from their own "
                         "configs); composes with --tiny (toy shapes of the "
                         "same family)")
+    bool_flag(p, "zero_snr", False,
+              "rescale the beta schedule to exactly zero terminal SNR "
+              "(arXiv:2305.08891; requires a v-prediction model and the "
+              "ddim/unipc schedulers; pair with --timestep_spacing "
+              "trailing and --guidance_rescale)")
+    p.add_argument("--timestep_spacing", type=str, default=None,
+                   choices=["leading", "trailing"],
+                   help="inference grid construction (default: keep the "
+                        "checkpoint's / 'leading'); 'trailing' starts at "
+                        "t=T-1 — required for --zero_snr to sample the "
+                        "pure-noise endpoint")
     bool_flag(p, "tiny", False, "tiny test config instead of SD-1.5")
     bool_flag(p, "bf16", True, "bfloat16 compute")
 
@@ -168,6 +179,14 @@ def resolve_params_cfg(args):
     import dataclasses
 
     def finish(params, cfg):
+        over = {}
+        if getattr(args, "zero_snr", False):
+            over["rescale_zero_snr"] = True
+        if getattr(args, "timestep_spacing", None):
+            over["timestep_spacing"] = args.timestep_spacing
+        if over:
+            cfg = dataclasses.replace(
+                cfg, schedule=dataclasses.replace(cfg.schedule, **over))
         lp = getattr(args, "lora_path", "")
         if lp:
             from sdbc_tpu.train import lora as lora_mod
@@ -249,6 +268,10 @@ def resolve_params_cfg(args):
     if args.tiny:
         cfg = (PipelineConfig.tiny_xl(sched) if family == "sdxl"
                else PipelineConfig.tiny(sched))
+        if family == "sd21":
+            # keep the family's v-prediction objective at toy shapes
+            cfg = dataclasses.replace(cfg, schedule=dataclasses.replace(
+                cfg.schedule, prediction_type="v_prediction"))
     else:
         cfg = {"sd15": PipelineConfig.sd15,
                "sd21": PipelineConfig.sd21,

@@ -378,6 +378,21 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
                          "implemented for the ddim, dpm and ddpm schedulers "
                          "only — the PNDM/LMS multistep warmup does not "
                          "truncate cleanly at t_start")
+    if cfg.schedule.timestep_spacing == "trailing" \
+            and cfg.scheduler == "pndm":
+        raise ValueError("timestep_spacing='trailing' is not implemented "
+                         "for pndm (its Heun-style warmup re-runs the "
+                         "second grid point, which the trailing grid "
+                         "formula does not define) — use ddim/dpm/unipc/"
+                         "euler_a/lms")
+    if cfg.schedule.rescale_zero_snr \
+            and cfg.scheduler not in ("ddim", "unipc"):
+        raise ValueError(
+            "rescale_zero_snr schedules sample from EXACTLY zero SNR, "
+            "where the eps-parameterised steps divide by alpha=0 and the "
+            "sigma-space samplers' terminal sigma is infinite — use the "
+            "ddim or unipc schedulers (both step in x0 form; "
+            "arXiv:2305.08891 uses DDIM)")
     if mask is not None and cfg.scheduler == "unipc":
         raise ValueError("inpainting (mask) is not implemented for unipc — "
                          "the per-step latent blend invalidates the "
@@ -1066,7 +1081,7 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
 
     elif cfg.scheduler == "ddpm":
         ratio = sched_mod.inference_stride(cfg.schedule, num_inference_steps)
-        ts = (jnp.arange(num_inference_steps) * ratio)[::-1].astype(jnp.int32)
+        ts = sched_mod.ddim_timesteps(cfg.schedule, num_inference_steps)
         if orig_lat is not None:
             lat = noise_to(ts[t_start]) if t_start < num_inference_steps \
                 else orig_lat.astype(dt)

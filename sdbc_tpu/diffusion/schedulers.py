@@ -40,6 +40,15 @@ class ScheduleConfig:
     # "epsilon" (SD-1.x, the reference) or "v_prediction" (SD-2.x-style
     # checkpoints); converted to (eps, x0) at each step via to_eps_x0
     prediction_type: str = "epsilon"
+    # Lin et al. 2023 (arXiv:2305.08891): rescale sqrt(ā) affinely so the
+    # terminal ā_T is EXACTLY 0 (the model really sees pure noise at t=T).
+    # Requires v_prediction (ā_T=0 makes the eps→x0 map singular) and
+    # pairs with timestep_spacing="trailing" + guidance_rescale.
+    rescale_zero_snr: bool = False
+    # "leading" (diffusers-0.7.2 semantics, the reference's grid) or
+    # "trailing" (grids START at t=T−1 — required for zero-SNR schedules
+    # to actually sample the pure-noise endpoint)
+    timestep_spacing: str = "leading"
 
     @staticmethod
     def sd15() -> "ScheduleConfig":
@@ -63,6 +72,22 @@ def make_schedule(cfg: ScheduleConfig) -> Schedule:
         raise ValueError(cfg.beta_schedule)
     betas = betas.astype(jnp.float32)
     alphas_cumprod = jnp.cumprod(1.0 - betas)
+    if cfg.rescale_zero_snr:
+        if cfg.prediction_type == "epsilon":
+            raise ValueError(
+                "rescale_zero_snr makes the terminal alpha_bar exactly 0, "
+                "where the epsilon->x0 map is singular — use "
+                "prediction_type='v_prediction' (arXiv:2305.08891 trains "
+                "with v-prediction for exactly this reason)")
+        # affine rescale of sqrt(alpha_bar): endpoint ā_0 kept, ā_T -> 0
+        s = jnp.sqrt(alphas_cumprod)
+        s0, sT = s[0], s[-1]
+        s = (s - sT) * (s0 / (s0 - sT))
+        alphas_cumprod = s ** 2
+        # keep betas consistent with the rescaled cumprod (ā_t/ā_{t-1})
+        alphas = alphas_cumprod[1:] / alphas_cumprod[:-1]
+        alphas = jnp.concatenate([alphas_cumprod[:1], alphas])
+        betas = (1.0 - alphas).astype(jnp.float32)
     final = jnp.asarray(1.0, jnp.float32) if cfg.set_alpha_to_one else alphas_cumprod[0]
     return Schedule(betas, alphas_cumprod, final)
 
@@ -181,8 +206,21 @@ def inference_stride(cfg: ScheduleConfig, num_inference_steps: int) -> int:
 
 
 def ddim_timesteps(cfg: ScheduleConfig, num_inference_steps: int) -> jnp.ndarray:
-    """Descending timestep sequence, diffusers DDIM leading-space semantics."""
+    """Descending timestep sequence.
+
+    timestep_spacing="leading" (default): [0, r, 2r, ...][::-1] + offset —
+    the diffusers-0.7.2 semantics the reference's grids use.
+    "trailing": [T−1, T−1−r, ...] — starts at the LAST train step, so a
+    zero-SNR schedule actually samples from pure noise (arXiv:2305.08891;
+    steps_offset does not apply, matching diffusers)."""
     ratio = inference_stride(cfg, num_inference_steps)
+    if cfg.timestep_spacing == "trailing":
+        ts = (cfg.num_train_timesteps
+              - jnp.arange(num_inference_steps) * ratio - 1)
+        return ts.astype(jnp.int32)
+    if cfg.timestep_spacing != "leading":
+        raise ValueError(f"unknown timestep_spacing "
+                         f"{cfg.timestep_spacing!r} (leading|trailing)")
     ts = (jnp.arange(num_inference_steps) * ratio).round().astype(jnp.int32)
     ts = ts + cfg.steps_offset
     return ts[::-1]
@@ -380,6 +418,17 @@ def lms_timesteps(cfg: ScheduleConfig, num_inference_steps: int) -> jnp.ndarray:
     return ddim_timesteps(cfg, num_inference_steps)
 
 
+def _host_grid(cfg: ScheduleConfig, num_inference_steps: int):
+    """ddim_timesteps as host numpy (for the static coefficient tables)."""
+    import numpy as np
+
+    ratio = inference_stride(cfg, num_inference_steps)
+    if cfg.timestep_spacing == "trailing":
+        return (cfg.num_train_timesteps
+                - np.arange(num_inference_steps) * ratio - 1)
+    return (np.arange(num_inference_steps) * ratio + cfg.steps_offset)[::-1]
+
+
 def lms_coeff_table(cfg: ScheduleConfig, num_inference_steps: int,
                     order: int = LMS_ORDER) -> jnp.ndarray:
     """(N, order) integrated Lagrange coefficients over the sigma grid.
@@ -389,11 +438,12 @@ def lms_coeff_table(cfg: ScheduleConfig, num_inference_steps: int,
     x_ve += sum_j coeff[i, j] * eps_hist[j] integrating from sigma_i to
     sigma_{i+1} (terminal sigma 0).  Exact polynomial integration of
     diffusers' get_lms_coefficient quad integrand, in float64.
+    (Sigma-space: incompatible with rescale_zero_snr, whose terminal
+    sigma is infinite — the pipeline rejects that combination.)
     """
     import numpy as np
 
-    ratio = inference_stride(cfg, num_inference_steps)
-    ts = (np.arange(num_inference_steps) * ratio + cfg.steps_offset)[::-1]
+    ts = _host_grid(cfg, num_inference_steps)
     if cfg.beta_schedule == "scaled_linear":
         betas = np.linspace(cfg.beta_start ** 0.5, cfg.beta_end ** 0.5,
                             cfg.num_train_timesteps, dtype=np.float64) ** 2
@@ -489,8 +539,7 @@ def karras_grid(cfg: ScheduleConfig, num_inference_steps: int,
     """
     import numpy as np
 
-    ratio = inference_stride(cfg, num_inference_steps)
-    ts = (np.arange(num_inference_steps) * ratio + cfg.steps_offset)[::-1]
+    ts = _host_grid(cfg, num_inference_steps)
     log_sigmas = _train_log_sigmas(cfg)
     sig_grid = np.exp(log_sigmas[ts])
     sigma_max, sigma_min = sig_grid[0], sig_grid[-1]

@@ -346,3 +346,44 @@ def test_freeu(pipe):
     np.testing.assert_array_equal(base, unit)
     with pytest.raises(ValueError, match="freeu"):
         pipe(["f"], freeu=(1.0, 1.0), **kw)
+
+
+def test_zero_snr_pipeline(tiny_cfg, tiny_params):
+    """zero-SNR + trailing spacing end-to-end on ddim and unipc (v-pred);
+    eps-parameterised schedulers are rejected."""
+    from sdbc_tpu.diffusion.pipeline import sample
+
+    sch = dataclasses.replace(tiny_cfg.schedule,
+                              prediction_type="v_prediction",
+                              rescale_zero_snr=True,
+                              timestep_spacing="trailing")
+    lat = per_sample_fixed_latents(1, (4, 8, 8), seed=43)
+    for scheduler in ("ddim", "unipc"):
+        cfg = dataclasses.replace(tiny_cfg, schedule=sch,
+                                  scheduler=scheduler)
+        tok = CLIPTokenizer.fallback(cfg.clip.vocab_size)
+        p = SDPipeline(tiny_params, cfg, tok, compute_dtype=jnp.float32)
+        out = p(["z"], height=32, width=32, num_inference_steps=3,
+                latents=lat)
+        assert np.isfinite(out).all()
+
+    cfg = dataclasses.replace(tiny_cfg, schedule=sch, scheduler="dpm")
+    ids = jnp.zeros((1, tiny_cfg.clip.ctx), jnp.int32)
+    with pytest.raises(ValueError, match="zero"):
+        sample(tiny_params, ids, ids, jnp.zeros((1, 8, 8, 4)),
+               jax.random.key(0), 7.5, cfg=cfg, num_inference_steps=2,
+               compute_dtype=jnp.float32)
+    # trailing spacing alone works on dpm, but not pndm
+    sch2 = dataclasses.replace(tiny_cfg.schedule,
+                               timestep_spacing="trailing")
+    cfg2 = dataclasses.replace(tiny_cfg, schedule=sch2, scheduler="pndm")
+    with pytest.raises(ValueError, match="trailing"):
+        sample(tiny_params, ids, ids, jnp.zeros((1, 8, 8, 4)),
+               jax.random.key(0), 7.5, cfg=cfg2, num_inference_steps=2,
+               compute_dtype=jnp.float32)
+    cfg3 = dataclasses.replace(tiny_cfg, schedule=sch2, scheduler="dpm")
+    tok = CLIPTokenizer.fallback(cfg3.clip.vocab_size)
+    p3 = SDPipeline(tiny_params, cfg3, tok, compute_dtype=jnp.float32)
+    out3 = p3(["t"], height=32, width=32, num_inference_steps=3,
+              latents=lat)
+    assert np.isfinite(out3).all()

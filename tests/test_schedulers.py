@@ -942,3 +942,74 @@ def test_dpm_sde_terminal_step_noop_and_sigma_variant():
         / np.sqrt(ac[801])
     np.testing.assert_allclose(np.asarray(x_last), x0_ref, rtol=2e-3,
                                atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# zero terminal SNR + trailing spacing (arXiv:2305.08891)
+
+
+def test_rescale_zero_snr_endpoints():
+    """Terminal alpha_bar is EXACTLY 0, the t=0 point is unchanged, the
+    cumprod stays monotone, and betas are kept consistent with it."""
+    cfg = S.ScheduleConfig(prediction_type="v_prediction",
+                           rescale_zero_snr=True)
+    sched = S.make_schedule(cfg)
+    ac = np.asarray(sched.alphas_cumprod, np.float64)
+    assert ac[-1] == 0.0
+    base = np.asarray(SCHED.alphas_cumprod, np.float64)
+    np.testing.assert_allclose(ac[0], base[0], rtol=1e-6)
+    assert np.all(np.diff(ac) < 0)
+    # betas consistency: cumprod(1 - betas) == alphas_cumprod
+    re = np.cumprod(1.0 - np.asarray(sched.betas, np.float64))
+    np.testing.assert_allclose(re[:-1], ac[:-1], rtol=1e-3, atol=1e-7)
+    np.testing.assert_allclose(re[-1], 0.0, atol=1e-7)
+
+    # the affine-rescale closed form (eq. from the paper's reference code)
+    s = np.sqrt(base)
+    expect = ((s - s[-1]) * (s[0] / (s[0] - s[-1]))) ** 2
+    np.testing.assert_allclose(ac, expect, rtol=2e-5, atol=1e-7)
+
+
+def test_rescale_zero_snr_requires_v_prediction():
+    import pytest
+
+    with pytest.raises(ValueError, match="v_prediction"):
+        S.make_schedule(S.ScheduleConfig(rescale_zero_snr=True))
+
+
+def test_trailing_timestep_grid():
+    """trailing spacing: [999, 979, ..., 19] for 50 steps; steps_offset
+    does not apply; lms coefficients + karras endpoints follow the grid."""
+    cfg = S.ScheduleConfig(timestep_spacing="trailing", steps_offset=1)
+    ts = np.asarray(S.ddim_timesteps(cfg, 50))
+    assert ts[0] == 999 and ts[-1] == 19
+    np.testing.assert_array_equal(ts, 999 - 20 * np.arange(50))
+    # the host grid helper matches the device grid
+    np.testing.assert_array_equal(S._host_grid(cfg, 50), ts)
+    # lms table over the trailing grid integrates from sigma(999)
+    tab = np.asarray(S.lms_coeff_table(cfg, 8))
+    assert tab.shape == (8, 4) and np.isfinite(tab).all()
+    sig, tcont = S.karras_grid(cfg, 8)
+    ac = np.asarray(SCHED.alphas_cumprod, np.float64)
+    smax = np.sqrt((1 - ac[999]) / ac[999])
+    np.testing.assert_allclose(sig[0], smax, rtol=1e-4)
+
+
+def test_zero_snr_ddim_first_step_returns_minus_v():
+    """At the zero-SNR terminal step (t=999, alpha=0) the v-pred DDIM step
+    reads x0 = -v directly — finite, exactly the paper's design."""
+    cfg = S.ScheduleConfig(prediction_type="v_prediction",
+                           rescale_zero_snr=True,
+                           timestep_spacing="trailing")
+    sched = S.make_schedule(cfg)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(1, 4, 4, 2)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+    out = S.ddim_step(sched, v, jnp.asarray(999), jnp.asarray(979), x,
+                      prediction_type="v_prediction")
+    a_p = float(sched.alphas_cumprod[979])
+    # alpha_t = 0, sigma_t = 1: x0 = -v, eps = x
+    expect = (np.sqrt(a_p) * (-np.asarray(v, np.float64))
+              + np.sqrt(1 - a_p) * np.asarray(x, np.float64))
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-4,
+                               atol=1e-5)
