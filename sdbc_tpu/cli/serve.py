@@ -7,10 +7,17 @@ framework:
 
     POST /generate   {"prompt": "...", ["negative_prompt"], ["seed"],
                       ["num_inference_steps"], ["guidance_scale"],
-                      ["guidance_rescale"], ["num_images"],
-                      ["prompt_weighting"]}
+                      ["guidance_rescale"], ["num_images"], ["size"],
+                      ["prompt_weighting"], ["init_image" (base64 PNG/JPEG)],
+                      ["strength"], ["mask_image" (base64, white=inpaint)]}
         → image/png (single image) or JSON {"images": [base64 png, ...]}
     GET  /healthz    → {"ok": true, "requests": N, "batches": M, ...}
+
+    img2img: POST an ``init_image`` (base64-encoded PNG/JPEG; resized to
+    the request size) with ``strength`` ∈ (0, 1]; add ``mask_image``
+    (white = regenerate) to inpaint.  ``size`` picks a square resolution
+    from --allowed_sizes (each size is its own compiled graph bucket;
+    non-default sizes compile on first use).
 
 Design notes (TPU serving):
   - DYNAMIC BATCHING: requests queue into a single batcher thread that
@@ -59,6 +66,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_batch", type=int, default=4,
                    help="largest num_images per request AND the dynamic "
                         "batcher's coalescing cap")
+    p.add_argument("--allowed_sizes", type=str, default="",
+                   help="comma-separated square sizes accepted via the "
+                        "request 'size' field (default: --img_size only; "
+                        "each size compiles its own graph bucket on "
+                        "first use)")
     p.add_argument("--batch_window_ms", type=int, default=0,
                    help="extra wait after a job arrives to coalesce more "
                         "requests into its batch (0 = no added latency: "
@@ -79,19 +91,28 @@ def build_parser() -> argparse.ArgumentParser:
 
 class _Job:
     __slots__ = ("prompt", "neg", "n", "steps", "gs", "gr", "pw", "seed",
+                 "size", "init", "mask", "strength",
                  "event", "images", "error")
 
-    def __init__(self, prompt, neg, n, steps, gs, gr, pw, seed):
+    def __init__(self, prompt, neg, n, steps, gs, gr, pw, seed, size,
+                 init=None, mask=None, strength=0.8):
         self.prompt, self.neg, self.n = prompt, neg, n
         self.steps, self.gs, self.gr, self.pw = steps, gs, gr, pw
-        self.seed = seed
+        self.seed, self.size = seed, size
+        self.init, self.mask, self.strength = init, mask, strength
         self.event = threading.Event()
         self.images = None
         self.error = None
 
     def key(self):
-        """Jobs sharing this key can run in one compiled graph call."""
-        return (self.steps, self.gs, self.gr, self.pw)
+        """Jobs sharing this key can run in one compiled graph call.
+
+        strength is part of the key only for img2img jobs (it sets the
+        static t_start); text-to-image jobs ignore it.
+        """
+        return (self.steps, self.gs, self.gr, self.pw, self.size,
+                self.init is not None, self.mask is not None,
+                round(self.strength, 4) if self.init is not None else None)
 
 
 def make_app(pipe, args):
@@ -106,8 +127,13 @@ def make_app(pipe, args):
              "batched_images": 0, "started": time.time()}
 
     f = pipe.cfg.vae_scale
-    lat_shape = (args.img_size // f, args.img_size // f,
-                 pipe.cfg.unet.in_channels)
+    sizes = sorted({int(s) for s in
+                    (args.allowed_sizes.split(",") if args.allowed_sizes
+                     else []) if s.strip()} | {args.img_size})
+    for s in sizes:
+        if s % (f * 8) or s <= 0:
+            raise SystemExit(f"--allowed_sizes: {s} is not a positive "
+                             f"multiple of {f * 8}")
     from sdbc_tpu.cli.inference import _resolve_freeu
     freeu = _resolve_freeu(args, pipe.cfg) if getattr(args, "freeu", "") \
         else None
@@ -118,19 +144,31 @@ def make_app(pipe, args):
         reproduces the unbatched call bit-for-bit on the deterministic
         schedulers."""
         lkey, _ = jax.random.split(jax.random.key(job.seed))
-        return np.asarray(jax.random.normal(lkey, (job.n,) + lat_shape),
-                          np.float32)
+        shape = (job.n, job.size // f, job.size // f,
+                 pipe.cfg.unet.in_channels)
+        return np.asarray(jax.random.normal(lkey, shape), np.float32)
 
     def run_batch(batch):
         head = batch[0]
         prompts, negs, lats = [], [], []
+        inits, masks = [], []
         for j in batch:
             prompts += [j.prompt] * j.n
             negs += [j.neg] * j.n
             lats.append(job_latents(j))
+            if j.init is not None:
+                inits += [j.init] * j.n
+            if j.mask is not None:
+                masks += [j.mask] * j.n
         try:
+            kw = {}
+            if inits:  # key() guarantees the whole batch agrees
+                kw["init_image"] = np.stack(inits)
+                kw["strength"] = head.strength
+                if masks:
+                    kw["mask_image"] = np.stack(masks)
             imgs = pipe(prompts,
-                        height=args.img_size, width=args.img_size,
+                        height=head.size, width=head.size,
                         num_inference_steps=head.steps,
                         guidance_scale=head.gs, guidance_rescale=head.gr,
                         negative_prompt=negs,
@@ -141,7 +179,7 @@ def make_app(pipe, args):
                         cache_interval=args.cache_interval,
                         cache_tail=args.cache_tail,
                         freeu=freeu,
-                        prompt_weighting=head.pw)
+                        prompt_weighting=head.pw, **kw)
             off = 0
             for j in batch:
                 j.images = np.asarray(imgs[off:off + j.n])
@@ -193,6 +231,23 @@ def make_app(pipe, args):
     threading.Thread(target=batcher, daemon=True,
                      name="sdbc-serve-batcher").start()
 
+    def decode_b64_image(b64: str, size: int, mode: str) -> np.ndarray:
+        """base64 PNG/JPEG → float32 [0,1] array (size, size[, 3])."""
+        from PIL import Image
+
+        try:
+            raw = base64.b64decode(b64, validate=True)
+            img = Image.open(io.BytesIO(raw))
+            img.load()
+        except Exception as e:
+            raise ValueError(f"could not decode base64 image: {e}")
+        img = img.convert(mode)
+        if img.size != (size, size):
+            img = img.resize((size, size),
+                             Image.BICUBIC if mode == "RGB"
+                             else Image.NEAREST)
+        return np.asarray(img, np.float32) / 255.0
+
     def generate(req: dict):
         prompt = req.get("prompt")
         if not isinstance(prompt, str) or not prompt.strip():
@@ -200,6 +255,21 @@ def make_app(pipe, args):
         n = int(req.get("num_images", 1))
         if not 1 <= n <= args.max_batch:
             raise ValueError(f"num_images must be in [1, {args.max_batch}]")
+        size = int(req.get("size", args.img_size))
+        if size not in sizes:
+            raise ValueError(f"size must be one of {sizes} "
+                             "(--allowed_sizes)")
+        if req.get("mask_image") and not req.get("init_image"):
+            raise ValueError("mask_image (inpainting) requires init_image")
+        init = mask = None
+        if req.get("init_image"):
+            init = decode_b64_image(req["init_image"], size, "RGB")
+            strength = float(req.get("strength", 0.8))
+            if not 0.0 < strength <= 1.0:
+                raise ValueError(f"strength must be in (0, 1], got "
+                                 f"{strength}")
+            if req.get("mask_image"):
+                mask = decode_b64_image(req["mask_image"], size, "L")
         job = _Job(prompt=prompt,
                    neg=str(req.get("negative_prompt") or ""),
                    n=n,
@@ -208,7 +278,9 @@ def make_app(pipe, args):
                    gs=float(req.get("guidance_scale", args.guidance_scale)),
                    gr=float(req.get("guidance_rescale", 0.0)),
                    pw=bool(req.get("prompt_weighting", False)),
-                   seed=int(req.get("seed", 42)))
+                   seed=int(req.get("seed", 42)),
+                   size=size, init=init, mask=mask,
+                   strength=float(req.get("strength", 0.8)))
         jobs.put(job)
         job.event.wait()
         if job.error is not None:

@@ -244,3 +244,64 @@ def test_incompatible_requests_do_not_coalesce(tiny_cfg, tiny_params):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_serve_img2img_and_size_validation(tiny_cfg, tiny_params):
+    """POST with a base64 init_image runs the img2img path; mask inpaints;
+    bad size / orphan mask / bad strength are 400s."""
+    import io as io_mod
+
+    from http.server import ThreadingHTTPServer
+
+    from PIL import Image
+
+    from sdbc_tpu.cli import common
+    from sdbc_tpu.cli.serve import build_parser, make_app
+    from sdbc_tpu.data.tokenizer import CLIPTokenizer
+    from sdbc_tpu.diffusion.pipeline import SDPipeline
+
+    args = build_parser().parse_args(
+        ["--tiny", "--img_size", "32", "--num_inference_steps", "2",
+         "--max_batch", "2", "--no-bf16"])
+    common.resolve_img_size(args)
+    pipe = SDPipeline(tiny_params, tiny_cfg,
+                      CLIPTokenizer.fallback(tiny_cfg.clip.vocab_size),
+                      compute_dtype=jnp.float32)
+    handler, state = make_app(pipe, args)
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        rng = np.random.default_rng(3)
+        buf = io_mod.BytesIO()
+        Image.fromarray(rng.integers(0, 255, (32, 32, 3),
+                                     np.uint8)).save(buf, format="PNG")
+        b64img = base64.b64encode(buf.getvalue()).decode()
+
+        with _post(url, {"prompt": "redraw", "seed": 5,
+                         "init_image": b64img, "strength": 0.5}) as r:
+            assert r.read()[:8] == b"\x89PNG\r\n\x1a\n"
+
+        mbuf = io_mod.BytesIO()
+        Image.fromarray(np.full((32, 32), 255, np.uint8)).save(
+            mbuf, format="PNG")
+        b64mask = base64.b64encode(mbuf.getvalue()).decode()
+        with _post(url, {"prompt": "inpaint", "seed": 5,
+                         "init_image": b64img, "mask_image": b64mask,
+                         "strength": 0.5}) as r:
+            assert r.read()[:8] == b"\x89PNG\r\n\x1a\n"
+
+        for payload, msg in (
+                ({"prompt": "x", "size": 48}, "size"),
+                ({"prompt": "x", "mask_image": b64mask}, "init_image"),
+                ({"prompt": "x", "init_image": b64img, "strength": 2.0},
+                 "strength"),
+                ({"prompt": "x", "init_image": "!!notbase64!!"}, "decode")):
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                _post(url, payload)
+            assert ei.value.code == 400
+            assert msg in json.loads(ei.value.read())["error"]
+    finally:
+        srv.shutdown()
+        srv.server_close()
