@@ -111,16 +111,15 @@ def resolve_img_size(args):
         args.img_size = 32 if getattr(args, "tiny", False) else 512
 
 
-def make_tokenizer(args, vocab_size: int):
-    """``vocab_size``: the BASE vocab (without textual-inversion rows — a
-    TI checkpoint's added_tokens.json re-registers those below)."""
+def _collect_added_tokens(args):
+    """Textual-inversion placeholder registrations for the tokenizer(s).
+
+    Checkpoints carry added_tokens.json (utils/checkpoint.save_pipeline
+    ti=...); --ti_path files carry their own meta.  Without the
+    registration the placeholder string would BPE into ordinary tokens and
+    miss the learned rows."""
     import json as _json
 
-    from sdbc_tpu.data.tokenizer import CLIPTokenizer
-
-    # textual-inversion checkpoints carry their placeholder registration
-    # (utils/checkpoint.save_pipeline ti=...); without it the placeholder
-    # string would BPE into ordinary tokens and miss the learned rows
     added = {}
     ck = getattr(args, "ckpt", "") or ""
     atp = os.path.join(ck, "added_tokens.json") if ck else ""
@@ -135,6 +134,15 @@ def make_tokenizer(args, vocab_size: int):
 
         _, meta = ti_mod.load_ti(tp)
         added.update(ti_mod.added_tokens_entry(meta))
+    return added
+
+
+def make_tokenizer(args, vocab_size: int):
+    """``vocab_size``: the BASE vocab (without textual-inversion rows — a
+    TI checkpoint's added_tokens.json re-registers those below)."""
+    from sdbc_tpu.data.tokenizer import CLIPTokenizer
+
+    added = _collect_added_tokens(args)
     if args.tokenizer_dir:
         tok = CLIPTokenizer.from_pretrained(args.tokenizer_dir)
     else:
@@ -161,7 +169,13 @@ def make_tokenizer2(args, cfg):
                  getattr(args, "ckpt", "") or ""):
         d = os.path.join(base, "tokenizer_2") if base else ""
         if d and os.path.exists(os.path.join(d, "vocab.json")):
-            return CLIPTokenizer.from_pretrained(d)
+            tok2 = CLIPTokenizer.from_pretrained(d)
+            # SDXL textual inversion: the placeholder registers at the
+            # SAME ids in both tokenizers (shared base vocabulary)
+            added = _collect_added_tokens(args)
+            if added and not tok2.added_tokens:
+                tok2.added_tokens.update(added)
+            return tok2
     return None
 
 
@@ -198,8 +212,16 @@ def resolve_params_cfg(args):
             from sdbc_tpu.train import textual_inversion as ti_mod
 
             params, meta = ti_mod.merge_file(params, tp)
+            n = len(meta["ids"])
             cfg = dataclasses.replace(cfg, clip=dataclasses.replace(
-                cfg.clip, vocab_size=cfg.clip.vocab_size + len(meta["ids"])))
+                cfg.clip, vocab_size=cfg.clip.vocab_size + n,
+                eot_id=cfg.clip.eot_id if cfg.clip.eot_id is not None
+                else cfg.clip.vocab_size - 1))
+            if "rows2" in meta and cfg.clip2 is not None:
+                cfg = dataclasses.replace(cfg, clip2=dataclasses.replace(
+                    cfg.clip2, vocab_size=cfg.clip2.vocab_size + n,
+                    eot_id=cfg.clip2.eot_id if cfg.clip2.eot_id is not None
+                    else cfg.clip2.vocab_size - 1))
             print(f"merged textual inversion {tp} ({meta['token']!r})")
         cp = getattr(args, "controlnet_path", "")
         if cp:

@@ -239,11 +239,9 @@ def main(argv=None):
     else:
         params, cfg = common.resolve_params_cfg(args)
     is_xl = cfg.clip2 is not None
-    if is_xl and use_ti:
-        raise SystemExit("--ti_token is not wired for the SDXL family "
-                         "(the placeholder rows would exist in only one of "
-                         "the two encoder tables) — use --lora_rank or "
-                         "full fine-tuning")
+    if use_ti and getattr(cfg, "refiner", False):
+        raise SystemExit("--ti_token is not wired for the refiner flavor "
+                         "— invert on the base model instead")
     if use_cn and "controlnet" not in params:
         # fresh branch: clone the base UNet's encoder half (zero output
         # convs ⇒ step 0 reproduces the base model bit-for-bit)
@@ -269,11 +267,22 @@ def main(argv=None):
     ti_ids, ti_init_ids = None, None
     if use_ti:
         ti_ids = tok.add_placeholder(args.ti_token, args.ti_vectors)
+        if is_xl and tok2 is not tok:
+            # both encoders see the token through their own tokenizer —
+            # the ids must line up with the shared appended-row block
+            ti_ids2 = tok2.add_placeholder(args.ti_token, args.ti_vectors)
+            if ti_ids2 != ti_ids:
+                raise SystemExit(
+                    f"--ti_token registered at ids {ti_ids} in the first "
+                    f"tokenizer but {ti_ids2} in tokenizer_2 (different "
+                    "base vocabularies?) — SDXL inversion needs one "
+                    "shared id block")
         if args.ti_init_token:
             ti_init_ids = tok._token_ids(args.ti_init_token)
         print(f"textual inversion: {args.ti_token!r} -> ids {ti_ids}"
               + (f" (init from {args.ti_init_token!r})"
-                 if args.ti_init_token else ""))
+                 if args.ti_init_token else "")
+              + (" [dual-encoder]" if is_xl else ""))
 
     dcfg = DatasetConfig(
         data_root=args.data_root, img_size=args.img_size,
@@ -388,7 +397,15 @@ def main(argv=None):
                     f"{tmeta['ids']} but the CLI asked for "
                     f"{args.ti_token!r} ids {ti_ids} — match the flags or "
                     "start a new run")
-            state = state._replace(trainable={"ti": {"rows": rows}})
+            if ("rows2" in tmeta) != is_xl:
+                raise SystemExit(
+                    "checkpoint inversion encoder count does not match the "
+                    "model family (dual-encoder ti.npz needs SDXL and vice "
+                    "versa) — start a new run")
+            t = {"rows": rows}
+            if is_xl:
+                t["rows2"] = tmeta["rows2"]
+            state = state._replace(trainable={"ti": t})
         opt_state = ckpt_mod.load_opt_state(resume_path, state.opt_state)
         if opt_state is not None:
             state = state._replace(
@@ -429,13 +446,18 @@ def main(argv=None):
     def save_ckpt(path, metadata):
         if use_ti:
             # untouched base + the learned rows (+ added_tokens.json so any
-            # loader's tokenizer knows the placeholder ids)
+            # loader's tokenizer knows the placeholder ids); SDXL embeds
+            # carry the second encoder's rows as the 4th element
+            ti_tuple = (jax.device_get(state.trainable["ti"]["rows"]),
+                        args.ti_token.strip().lower(), ti_ids)
+            if "rows2" in state.trainable["ti"]:
+                ti_tuple += (jax.device_get(
+                    state.trainable["ti"]["rows2"]),)
             ckpt_mod.save_pipeline(
                 path, base_host, cfg, opt_state=state.opt_state,
                 metadata={**metadata, "ti_token": args.ti_token,
                           "ti_vectors": args.ti_vectors},
-                ti=(jax.device_get(state.trainable["ti"]["rows"]),
-                    args.ti_token.strip().lower(), ti_ids))
+                ti=ti_tuple)
         elif use_lora:
             # base components are untouched by LoRA training: save the
             # original fp32 tree + the adapter (load_pipeline merges them)

@@ -35,6 +35,11 @@ class CLIPTextConfig:
     # state projected hidden→projection_dim with a bias-free linear.  None =
     # plain CLIPTextModel (no projection weights in the param tree).
     projection_dim: int | None = None
+    # Explicit <|endoftext|> id for pooled-output extraction.  None (the
+    # default) = vocab_size − 1, correct for every stock CLIP vocabulary;
+    # set when vocab_size counts APPENDED rows (textual inversion bumps
+    # it at checkpoint load) so pooling keeps targeting the true eos.
+    eot_id: int | None = None
 
     @staticmethod
     def sd15() -> "CLIPTextConfig":
@@ -180,11 +185,12 @@ def apply_with_pooled(params, input_ids, cfg: CLIPTextConfig,
       carries one (CLIPTextModelWithProjection semantics), shape
       (B, projection_dim or hidden).
 
-    ``eot_id`` defaults to ``cfg.vocab_size - 1`` — every CLIP-family
-    vocabulary (OpenAI 49408, the tiny fallback tokenizer) places
-    <|endoftext|> last.  Pass it explicitly for a vocab that doesn't, or
-    the pooled row silently lands on position 0 (BOS) and is constant
-    across prompts.
+    ``eot_id`` defaults to ``cfg.eot_id``, falling back to
+    ``cfg.vocab_size - 1`` — every CLIP-family vocabulary (OpenAI 49408,
+    the tiny fallback tokenizer) places <|endoftext|> last.  Configs whose
+    vocab_size counts textual-inversion rows set cfg.eot_id explicitly.
+    Pass it for a vocab that fits neither, or the pooled row silently
+    lands on position 0 (BOS) and is constant across prompts.
 
     The layer scan is split at the capture point so the full depth runs
     exactly once (no second encoder pass for the pooled branch).
@@ -208,7 +214,7 @@ def apply_with_pooled(params, input_ids, cfg: CLIPTextConfig,
     x = nn.layer_norm(params["final_ln"], x, eps=cfg.eps)
     # transformers pools at the FIRST eos position (argmax of the match mask)
     if eot_id is None:
-        eot_id = cfg.vocab_size - 1
+        eot_id = cfg.eot_id if cfg.eot_id is not None else cfg.vocab_size - 1
     eot_pos = jnp.argmax(input_ids == eot_id, axis=1)
     pooled = x[jnp.arange(x.shape[0]), eot_pos]
     if "text_projection" in params:

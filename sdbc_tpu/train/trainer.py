@@ -147,12 +147,11 @@ class TrainState(NamedTuple):
 def _split_params(params, tcfg: TrainConfig, compute_dtype=jnp.bfloat16,
                   key=None, ti_init_ids=None):
     tkeys = tcfg.trainable_keys()
-    if tcfg.dual_text_encoder and tcfg.ti_token:
+    if tcfg.refiner and tcfg.ti_token:
         raise ValueError(
-            "textual inversion is not wired for the SDXL family: the "
-            "placeholder rows would exist only in the first encoder's "
-            "table while the second tokenizer/encoder never sees the "
-            "token — train both tables or use LoRA/full fine-tuning")
+            "textual inversion is not wired for the refiner flavor (its "
+            "single-bigG conditioning has no base-model counterpart to "
+            "compose the token into) — invert on the base model instead")
     if tcfg.train_controlnet:
         if tcfg.lora_rank > 0 or tcfg.ti_token:
             raise ValueError("train_controlnet is a full-branch mode; it "
@@ -180,12 +179,19 @@ def _split_params(params, tcfg: TrainConfig, compute_dtype=jnp.bfloat16,
 
         if tcfg.lora_rank > 0:
             raise ValueError("ti_token and lora_rank are mutually exclusive")
-        rows = ti_mod.init_rows(
+        t = {"rows": ti_mod.init_rows(
             params["text_encoder"]["token_embedding"]["table"],
-            tcfg.ti_vectors, init_ids=ti_init_ids)
+            tcfg.ti_vectors, init_ids=ti_init_ids)}
+        if tcfg.dual_text_encoder:
+            # SDXL: the placeholder registers at the SAME appended ids in
+            # both tokenizers (identical BPE base vocabularies), so each
+            # encoder learns its own rows for those ids
+            t["rows2"] = ti_mod.init_rows(
+                params["text_encoder_2"]["token_embedding"]["table"],
+                tcfg.ti_vectors, init_ids=ti_init_ids)
         frozen = {k: cast_floating(v, compute_dtype)
                   for k, v in params.items()}
-        return {"ti": {"rows": rows}}, frozen
+        return {"ti": t}, frozen
     if tcfg.lora_rank > 0:
         # LoRA: EVERY component freezes to bf16; the trainable tree is the
         # flat adapter dict (fp32 masters), merged inside the loss
@@ -260,7 +266,8 @@ def _merge(trainable, frozen, tcfg: TrainConfig):
     if "ti" in trainable:
         from sdbc_tpu.train import textual_inversion as ti_mod
 
-        return ti_mod.merge(dict(frozen), trainable["ti"]["rows"])
+        return ti_mod.merge(dict(frozen), trainable["ti"]["rows"],
+                            rows2=trainable["ti"].get("rows2"))
     if "lora" in trainable and tcfg is not None and tcfg.lora_rank > 0:
         from sdbc_tpu.train import lora as lora_mod
 

@@ -87,8 +87,12 @@ def save_pipeline(path: str, params: dict, cfg: PipelineConfig,
     if ti is not None:
         from sdbc_tpu.train import textual_inversion as ti_mod
 
-        rows, token, ids = ti
-        ti_mod.save_ti(os.path.join(path, "ti.npz"), rows, token, ids)
+        # (rows, token, ids) or (rows, token, ids, rows2) — the 4-tuple is
+        # a dual-encoder (SDXL) embedding
+        rows, token, ids = ti[:3]
+        rows2 = ti[3] if len(ti) > 3 else None
+        ti_mod.save_ti(os.path.join(path, "ti.npz"), rows, token, ids,
+                       rows2=rows2)
         with open(os.path.join(path, "added_tokens.json"), "w") as f:
             json.dump({token: list(map(int, ids))}, f, indent=2)
     # all component saves must land BEFORE config.json: it doubles as the
@@ -145,11 +149,21 @@ def load_pipeline(path: str, template_params: Optional[dict] = None,
 
         params, meta = ti_mod.merge_file(params, tpath)
         # the merged table is longer than the saved config's vocab — keep
-        # the returned cfg consistent with the params it describes
+        # the returned cfg consistent with the params it describes, and
+        # pin eot_id to the TRUE eos (vocab_size−1 would now point at an
+        # appended row, silently mispooling SDXL's conditioning)
+        n = len(meta["ids"])
         cfg = dataclasses.replace(
             cfg, clip=dataclasses.replace(
-                cfg.clip,
-                vocab_size=cfg.clip.vocab_size + len(meta["ids"])))
+                cfg.clip, vocab_size=cfg.clip.vocab_size + n,
+                eot_id=cfg.clip.eot_id if cfg.clip.eot_id is not None
+                else cfg.clip.vocab_size - 1))
+        if "rows2" in meta and cfg.clip2 is not None:
+            cfg = dataclasses.replace(
+                cfg, clip2=dataclasses.replace(
+                    cfg.clip2, vocab_size=cfg.clip2.vocab_size + n,
+                    eot_id=cfg.clip2.eot_id if cfg.clip2.eot_id is not None
+                    else cfg.clip2.vocab_size - 1))
     if with_opt_state:
         opath = os.path.join(path, "opt_state")
         opt_state = ckptr.restore(opath) if os.path.exists(opath) else None

@@ -253,12 +253,69 @@ def test_sdxl_train_missing_ids2_rejected(xl_cfg, xl_params):
         step(state, batch, jax.random.key(0))
 
 
-def test_sdxl_ti_rejected(xl_params):
+def test_sdxl_textual_inversion_trains_both_tables(xl_cfg, xl_params):
+    """SDXL TI: BOTH encoders' placeholder rows train (shared appended
+    ids), the frozen bases stay untouched, and the merged tree extends
+    both tables.  A prompt without the placeholder gives (near-)zero
+    gradient to both row blocks."""
+    from sdbc_tpu.train.trainer import (TrainConfig, init_train_state,
+                                        make_train_step, merged_params)
+
+    vocab = xl_cfg.clip.vocab_size
+    tcfg = TrainConfig(train_unet=False, train_text_encoder=False,
+                       dual_text_encoder=True, grad_accum=1,
+                       learning_rate=1e-2, num_examples=100,
+                       ti_token="<xl-style>", ti_vectors=1)
+    state = init_train_state(xl_params, tcfg, compute_dtype=jnp.float32,
+                             ti_init_ids=[5])
+    assert set(state.trainable) == {"ti"}
+    assert state.trainable["ti"]["rows"].shape == (1, xl_cfg.clip.hidden)
+    assert state.trainable["ti"]["rows2"].shape == (1, xl_cfg.clip2.hidden)
+    step = make_train_step(xl_cfg, tcfg, compute_dtype=jnp.float32)
+
+    batch = _xl_batch(xl_cfg)
+    # put the placeholder id into both tokenizers' streams (shared id)
+    batch["input_ids"] = batch["input_ids"].at[..., 3].set(vocab)
+    batch["input_ids_2"] = batch["input_ids_2"].at[..., 3].set(vocab)
+    r0 = np.asarray(state.trainable["ti"]["rows"]).copy()
+    r20 = np.asarray(state.trainable["ti"]["rows2"]).copy()
+    losses = []
+    for _ in range(4):
+        state, m = step(state, batch, jax.random.key(42))
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert np.abs(np.asarray(state.trainable["ti"]["rows"]) - r0).max() > 0
+    assert np.abs(np.asarray(state.trainable["ti"]["rows2"]) - r20).max() > 0
+    # frozen bases untouched; merged tree extends BOTH tables
+    for comp in ("text_encoder", "text_encoder_2"):
+        np.testing.assert_array_equal(
+            np.asarray(state.frozen[comp]["token_embedding"]["table"]),
+            np.asarray(xl_params[comp]["token_embedding"]["table"]))
+    mp = merged_params(state)
+    assert mp["text_encoder"]["token_embedding"]["table"].shape[0] \
+        == vocab + 1
+    assert mp["text_encoder_2"]["token_embedding"]["table"].shape[0] \
+        == xl_cfg.clip2.vocab_size + 1
+
+    # no-placeholder batch: both row blocks stay (decay-bounded) put
+    state2 = init_train_state(xl_params, tcfg, compute_dtype=jnp.float32)
+    q0 = np.asarray(state2.trainable["ti"]["rows"]).copy()
+    q20 = np.asarray(state2.trainable["ti"]["rows2"]).copy()
+    state2, _ = step(state2, _xl_batch(xl_cfg), jax.random.key(0))
+    bound = max(np.abs(q0).max(), np.abs(q20).max()) * 1e-2 * 1e-4 * 2
+    assert np.abs(np.asarray(state2.trainable["ti"]["rows"]) - q0).max() \
+        <= bound + 1e-12
+    assert np.abs(np.asarray(state2.trainable["ti"]["rows2"]) - q20).max() \
+        <= bound + 1e-12
+
+
+def test_refiner_ti_rejected(rf_cfg, rf_params):
     from sdbc_tpu.train.trainer import TrainConfig, init_train_state
 
-    with pytest.raises(ValueError, match="textual inversion"):
-        init_train_state(xl_params,
-                         TrainConfig(dual_text_encoder=True, ti_token="<s>"),
+    with pytest.raises(ValueError, match="refiner"):
+        init_train_state(rf_params,
+                         TrainConfig(dual_text_encoder=True, refiner=True,
+                                     ti_token="<s>"),
                          compute_dtype=jnp.float32)
 
 

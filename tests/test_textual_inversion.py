@@ -273,3 +273,80 @@ def test_cli_ti_path_serves_onto_fresh_base(tmp_path):
               "--save_dir", out + "/gen", "--run_id", "tip"])
     outdir = os.path.join(out, "gen", "tip inference")
     assert any(f.endswith(".png") for f in os.listdir(outdir))
+
+
+# -- dual-encoder (SDXL) -------------------------------------------------------
+
+
+def test_dual_save_load_merge(tiny_cfg, tiny_params, tmp_path):
+    """rows2 roundtrips through ti.npz; merge extends both tables; a
+    dual file on a single-encoder model (and vice versa) is rejected."""
+    import dataclasses
+
+    import jax
+
+    from sdbc_tpu.models import clip as clip_mod
+
+    vocab = tiny_cfg.clip.vocab_size
+    clip2_cfg = dataclasses.replace(tiny_cfg.clip, hidden=64, heads=4,
+                                    mlp=128)
+    xl_params = dict(tiny_params)
+    xl_params["text_encoder_2"] = clip_mod.init(jax.random.key(7), clip2_cfg)
+
+    rows = np.full((2, tiny_cfg.clip.hidden), 0.25, np.float32)
+    rows2 = np.full((2, 64), -0.5, np.float32)
+    p = str(tmp_path / "dual_ti.npz")
+    ti.save_ti(p, rows, "<xl>", [vocab, vocab + 1], rows2=rows2)
+    loaded, meta = ti.load_ti(p)
+    assert meta["dual"] is True
+    np.testing.assert_array_equal(np.asarray(meta["rows2"]), rows2)
+
+    merged, meta2 = ti.merge_file(xl_params, p)
+    t1 = merged["text_encoder"]["token_embedding"]["table"]
+    t2 = merged["text_encoder_2"]["token_embedding"]["table"]
+    assert t1.shape[0] == vocab + 2 and t2.shape[0] == vocab + 2
+    np.testing.assert_allclose(np.asarray(t1[vocab:]), rows, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(t2[vocab:]), rows2, rtol=1e-6)
+
+    # dual file on a single-encoder model
+    with pytest.raises(ValueError, match="text_encoder_2"):
+        ti.merge_file(tiny_params, p)
+    # single file on a dual-encoder model
+    p2 = str(tmp_path / "single_ti.npz")
+    ti.save_ti(p2, rows, "<xl>", [vocab, vocab + 1])
+    with pytest.raises(ValueError, match="dual-encoder"):
+        ti.merge_file(xl_params, p2)
+
+
+def test_dual_ckpt_roundtrip_bumps_both_vocabs(tmp_path):
+    """An SDXL TI checkpoint (4-tuple) reloads with both tables extended,
+    both vocab sizes bumped, and eot_id pinned to the true eos."""
+    import jax
+
+    from sdbc_tpu.diffusion.pipeline import PipelineConfig
+    from sdbc_tpu.models import clip as clip_mod
+    from sdbc_tpu.models import unet as unet_mod
+    from sdbc_tpu.models import vae as vae_mod
+    from sdbc_tpu.utils import checkpoint as ck
+
+    cfg = PipelineConfig.tiny_xl()
+    ks = jax.random.split(jax.random.key(3), 4)
+    params = {"text_encoder": clip_mod.init(ks[0], cfg.clip),
+              "text_encoder_2": clip_mod.init(ks[1], cfg.clip2),
+              "unet": unet_mod.init(ks[2], cfg.unet),
+              "vae": vae_mod.init(ks[3], cfg.vae)}
+    vocab = cfg.clip.vocab_size
+    rows = np.full((1, cfg.clip.hidden), 0.125, np.float32)
+    rows2 = np.full((1, cfg.clip2.hidden), -0.125, np.float32)
+    path = str(tmp_path / "xl_ti_ck")
+    ck.save_pipeline(path, params, cfg, metadata={"step": 1},
+                     ti=(rows, "<xl>", [vocab], rows2))
+    loaded, lcfg = ck.load_pipeline(path)
+    assert lcfg.clip.vocab_size == vocab + 1
+    assert lcfg.clip2.vocab_size == cfg.clip2.vocab_size + 1
+    assert lcfg.clip.eot_id == vocab - 1
+    assert lcfg.clip2.eot_id == cfg.clip2.vocab_size - 1
+    assert loaded["text_encoder"]["token_embedding"]["table"].shape[0] \
+        == vocab + 1
+    assert loaded["text_encoder_2"]["token_embedding"]["table"].shape[0] \
+        == cfg.clip2.vocab_size + 1
