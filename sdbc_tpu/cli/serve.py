@@ -80,6 +80,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="FreeU decoder rebalancing for the whole serving "
                         "profile: 'auto' (family preset) or b1,b2,s1,s2 "
                         "(static: part of the compiled graph)")
+    p.add_argument("--cfg_interval", type=str, default="",
+                   help="guidance-interval profile 'lo,hi' (grid "
+                        "fractions, arXiv:2404.07724): CFG runs only on "
+                        "steps in [lo,hi); outside, ONE cond-only UNet "
+                        "eval (static: part of the compiled graph). "
+                        "'0.0,0.7' is a good default tradeoff")
     p.add_argument("--refiner_ckpt", type=str, default="",
                    help="SDXL refiner checkpoint/diffusers dir: serve the "
                         "base->refiner ensemble (EnsemblePipeline)")
@@ -134,9 +140,10 @@ def make_app(pipe, args):
         if s % (f * 8) or s <= 0:
             raise SystemExit(f"--allowed_sizes: {s} is not a positive "
                              f"multiple of {f * 8}")
-    from sdbc_tpu.cli.inference import _resolve_freeu
+    from sdbc_tpu.cli.inference import _resolve_cfg_interval, _resolve_freeu
     freeu = _resolve_freeu(args, pipe.cfg) if getattr(args, "freeu", "") \
         else None
+    cfg_interval = _resolve_cfg_interval(args)
 
     def job_latents(job: _Job) -> np.ndarray:
         """Per-job initial latents from the job's own seed — the same
@@ -178,7 +185,7 @@ def make_app(pipe, args):
                         seed=head.seed,
                         cache_interval=args.cache_interval,
                         cache_tail=args.cache_tail,
-                        freeu=freeu,
+                        freeu=freeu, cfg_interval=cfg_interval,
                         prompt_weighting=head.pw, **kw)
             off = 0
             for j in batch:
@@ -364,12 +371,14 @@ def main(argv=None):
         print(f"[serve] warming up ({args.num_inference_steps} steps, "
               f"{args.img_size}px, scheduler {cfg.scheduler})...", flush=True)
         t0 = time.time()
-        from sdbc_tpu.cli.inference import _resolve_freeu
+        from sdbc_tpu.cli.inference import (_resolve_cfg_interval,
+                                            _resolve_freeu)
 
         pipe(["warmup"], height=args.img_size, width=args.img_size,
              num_inference_steps=args.num_inference_steps,
              cache_interval=args.cache_interval, cache_tail=args.cache_tail,
-             freeu=_resolve_freeu(args, cfg) if args.freeu else None)
+             freeu=_resolve_freeu(args, cfg) if args.freeu else None,
+             cfg_interval=_resolve_cfg_interval(args))
         print(f"[serve] warmup done in {time.time() - t0:.1f}s", flush=True)
 
     handler, _ = make_app(pipe, args)

@@ -293,7 +293,7 @@ def _apply_token_weights(emb, w):
                      "cache_interval", "cache_tail", "attn_impl",
                      "chunked_decode", "t_start", "t_end", "pack_heads",
                      "guidance_rescale", "clip_skip", "use_karras_sigmas",
-                     "freeu"))
+                     "freeu", "cfg_interval"))
 def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
            *, cfg: PipelineConfig, num_inference_steps: int = 50,
            compute_dtype=jnp.bfloat16, decode: bool = True,
@@ -304,6 +304,7 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
            pack_heads: Optional[bool] = None,
            guidance_rescale: float = 0.0, clip_skip: int = 0,
            use_karras_sigmas: bool = False, freeu=None,
+           cfg_interval=None,
            control_image=None, controlnet_scale=1.0,
            cond_weights=None, uncond_weights=None,
            cond_ids2=None, uncond_ids2=None, time_ids=None,
@@ -347,6 +348,13 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
       (backbone half-channel gain b, skip low-frequency scale s at the two
       deepest up blocks; models/unet.py FREEU_SD15/SD21/SDXL presets).
       None (the default) leaves the compiled graph byte-identical.
+    cfg_interval: optional STATIC (lo, hi) step-fraction pair — classifier-
+      free guidance is applied only on steps lo·N <= i < hi·N (Kynkäänniemi
+      et al. 2024, arXiv:2404.07724: guidance at the highest and lowest
+      noise levels hurts quality and wastes compute).  Outside the interval
+      ONE cond-only UNet eval runs (batch B instead of 2B), so e.g.
+      (0.1, 0.6) cuts UNet cost by ~25% at matched-or-better quality.
+      None (the default) keeps the compiled graph byte-identical.
     use_karras_sigmas: replace the leading integer timestep grid with the
       Karras et al. 2022 ρ=7 sigma ramp between the same σ endpoints
       (markedly better low-step quality); euler_a / lms / dpm only.  The
@@ -406,6 +414,29 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
                          "samplers (euler_a, lms, dpm, dpm_sde) only — "
                          "ddim/pndm/ddpm are defined on the integer "
                          "training grid")
+    cfg_lo = cfg_hi = None
+    if cfg_interval is not None:
+        lo, hi = cfg_interval
+        if not 0.0 <= lo <= hi <= 1.0:
+            raise ValueError(f"cfg_interval must be 0 <= lo <= hi <= 1, "
+                             f"got {cfg_interval}")
+        if cache_interval and cache_interval > 1:
+            raise ValueError("cfg_interval cannot combine with "
+                             "cache_interval — the DeepCache trunk cache is "
+                             "shaped for the 2B CFG batch and would go stale "
+                             "across the interval boundary")
+        if control_image is not None:
+            raise ValueError("cfg_interval cannot combine with "
+                             "control_image — the hoisted ControlNet "
+                             "conditioning embeddings are built for the 2B "
+                             "CFG batch")
+        if cfg.scheduler == "pndm":
+            raise ValueError("cfg_interval is not implemented for pndm — "
+                             "its warmup grid is longer than "
+                             "num_inference_steps, so the step-fraction "
+                             "bounds would not line up")
+        cfg_lo = int(round(lo * num_inference_steps))
+        cfg_hi = int(round(hi * num_inference_steps))
     if not 0 <= t_start <= num_inference_steps:
         raise ValueError(f"t_start={t_start} outside [0, {num_inference_steps}]")
     if t_end is not None:
@@ -653,21 +684,46 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
                 lambda a, b: a + b, total, r)
         return total
 
-    def model_out_fn(lat, t, tp=None):
-        lat2 = jnp.concatenate([lat, lat], axis=0)
-        tb = jnp.full((lat2.shape[0],), t, jnp.int32)
-        ctp = None
-        if tp is not None and "ctrl" in tp:
-            ctp = tp["ctrl"]
-            tp = {k: v for k, v in tp.items() if k != "ctrl"}
-        out = unet_mod.apply(uparams, lat2, tb, context, cfg.unet,
-                             attn_impl=attn_impl, temb_proj=tp, freeu=freeu,
-                             control_residuals=_control_residuals(lat2, t,
-                                                                  ctp))
-        out_u, out_c = jnp.split(out.astype(jnp.float32), 2, axis=0)
-        return cfg_combine(out_u, out_c)
+    def model_out_fn(lat, t, tp=None, i=None):
+        def guided():
+            lat2 = jnp.concatenate([lat, lat], axis=0)
+            tb = jnp.full((lat2.shape[0],), t, jnp.int32)
+            tpg, ctp = tp, None
+            if tpg is not None and "ctrl" in tpg:
+                ctp = tpg["ctrl"]
+                tpg = {k: v for k, v in tpg.items() if k != "ctrl"}
+            out = unet_mod.apply(uparams, lat2, tb, context, cfg.unet,
+                                 attn_impl=attn_impl, temb_proj=tpg,
+                                 freeu=freeu,
+                                 control_residuals=_control_residuals(
+                                     lat2, t, ctp))
+            out_u, out_c = jnp.split(out.astype(jnp.float32), 2, axis=0)
+            return cfg_combine(out_u, out_c)
 
-    def eps_fn(lat, t, tp=None):
+        if cfg_lo is None or i is None:
+            return guided()
+
+        def cond_only():
+            # guidance disabled on this step: ONE UNet eval on the cond
+            # branch alone (= guidance_scale 1 exactly, since
+            # u + 1·(c − u) = c); the SDXL temb tables are (2B, ...) per
+            # step — slice the cond half
+            tb = jnp.full((lat.shape[0],), t, jnp.int32)
+            tpc = tp
+            if added2 is not None and tpc is not None:
+                tpc = jax.tree_util.tree_map(
+                    lambda a: a[a.shape[0] // 2:], tpc)
+            out = unet_mod.apply(uparams, lat, tb, ctx_c, cfg.unet,
+                                 attn_impl=attn_impl, temb_proj=tpc,
+                                 freeu=freeu)
+            return out.astype(jnp.float32)
+
+        # static bounds, traced loop index: XLA compiles both branches,
+        # the TPU executes exactly one per step
+        pred = jnp.logical_and(i >= cfg_lo, i < cfg_hi)
+        return jax.lax.cond(pred, guided, cond_only)
+
+    def eps_fn(lat, t, tp=None, i=None):
         """Guided model output converted to epsilon parameterisation.
 
         The dpm/pndm/ddpm steps are eps-parameterised; v-prediction
@@ -675,7 +731,7 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
         ddim_step instead).  CFG and the v→eps map are both linear in the
         model output, so guiding first then converting is exact.
         """
-        out = model_out_fn(lat, t, tp)
+        out = model_out_fn(lat, t, tp, i)
         if cfg.schedule.prediction_type != "epsilon":
             out, _ = sched_mod.to_eps_x0(sched, out, t, lat,
                                          cfg.schedule.prediction_type)
@@ -756,7 +812,7 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
         else:
             def body(i, lat):
                 t = ts[i]
-                out = model_out_fn(lat, t, unet_mod.index_temb(tproj, i))
+                out = model_out_fn(lat, t, unet_mod.index_temb(tproj, i), i)
                 nlat = sched_mod.ddim_step(
                     sched, out, t, t - ratio, lat,
                     prediction_type=cfg.schedule.prediction_type)
@@ -803,7 +859,7 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
             def body(i, carry):
                 state, lat = carry
                 out = model_out_fn(lat, ts_f[i],
-                                   unet_mod.index_temb(tproj, i))
+                                   unet_mod.index_temb(tproj, i), i)
                 eps, _ = sched_mod.sigma_to_eps_x0(
                     out, sigmas[i], lat, cfg.schedule.prediction_type)
                 first = jnp.logical_and(lower_order_final,
@@ -860,7 +916,7 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
             def body(i, carry):
                 state, lat = carry
                 t = ts[i]
-                eps = eps_fn(lat, t, unet_mod.index_temb(tproj, i))
+                eps = eps_fn(lat, t, unet_mod.index_temb(tproj, i), i)
                 first = jnp.logical_and(lower_order_final,
                                         i == num_inference_steps - 1)
                 state, lat = sched_mod.dpm_step(sched, cfg.schedule, state,
@@ -888,7 +944,7 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
         def body(i, carry):
             state, lat, k = carry
             k, sub = jax.random.split(k)
-            out = model_out_fn(lat, ts_f[i], unet_mod.index_temb(tproj, i))
+            out = model_out_fn(lat, ts_f[i], unet_mod.index_temb(tproj, i), i)
             eps, _ = sched_mod.sigma_to_eps_x0(
                 out, sigmas[i], lat, cfg.schedule.prediction_type)
             first = jnp.logical_and(lower_order_final,
@@ -922,7 +978,7 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
             state, lat, k = carry
             k, sub = jax.random.split(k)
             t = ts[i]
-            eps = eps_fn(lat, t, unet_mod.index_temb(tproj, i))
+            eps = eps_fn(lat, t, unet_mod.index_temb(tproj, i), i)
             first = jnp.logical_and(lower_order_final,
                                     i == num_inference_steps - 1)
             z = jax.random.normal(sub, lat.shape, jnp.float32)
@@ -954,7 +1010,7 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
         def body(i, carry):
             state, lat = carry
             t = ts[i]
-            out = model_out_fn(lat, t, unet_mod.index_temb(tproj, i))
+            out = model_out_fn(lat, t, unet_mod.index_temb(tproj, i), i)
             _, x0 = sched_mod.to_eps_x0(sched, out, t, lat,
                                         cfg.schedule.prediction_type)
             state, lat = sched_mod.unipc_step(
@@ -979,7 +1035,7 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
         def body(i, carry):
             lat, k = carry
             k, sub = jax.random.split(k)
-            out = model_out_fn(lat, ts_f[i], unet_mod.index_temb(tproj, i))
+            out = model_out_fn(lat, ts_f[i], unet_mod.index_temb(tproj, i), i)
             eps, _ = sched_mod.sigma_to_eps_x0(out, sigmas[i], lat,
                                                cfg.schedule.prediction_type)
             noise = jax.random.normal(sub, lat.shape, jnp.float32)
@@ -1009,7 +1065,7 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
             lat, k = carry
             k, sub = jax.random.split(k)
             t = ts[i]
-            eps = eps_fn(lat, t, unet_mod.index_temb(tproj, i))
+            eps = eps_fn(lat, t, unet_mod.index_temb(tproj, i), i)
             noise = jax.random.normal(sub, lat.shape, jnp.float32)
             nlat = sched_mod.euler_step(sched, eps, t, t - ratio, lat,
                                         noise=noise, ancestral=True)
@@ -1032,7 +1088,7 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
 
         def body(i, carry):
             state, lat = carry
-            out = model_out_fn(lat, ts_f[i], unet_mod.index_temb(tproj, i))
+            out = model_out_fn(lat, ts_f[i], unet_mod.index_temb(tproj, i), i)
             eps, _ = sched_mod.sigma_to_eps_x0(out, sigmas[i], lat,
                                                cfg.schedule.prediction_type)
             state, lat = sched_mod.lms_step_sigma(state, eps, sigmas[i],
@@ -1056,7 +1112,7 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
         def body(i, carry):
             state, lat = carry
             t = ts[i]
-            eps = eps_fn(lat, t, unet_mod.index_temb(tproj, i))
+            eps = eps_fn(lat, t, unet_mod.index_temb(tproj, i), i)
             state, lat = sched_mod.lms_step(sched, state, eps, t, t - ratio,
                                             lat, coeffs[i])
             return state, lat
@@ -1071,7 +1127,7 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
         def body(i, carry):
             state, lat = carry
             t = ts[i]
-            eps = eps_fn(lat, t, unet_mod.index_temb(tproj, i))
+            eps = eps_fn(lat, t, unet_mod.index_temb(tproj, i), i)
             state, lat = sched_mod.pndm_step(
                 sched, cfg.schedule, state, eps, t, lat, num_inference_steps)
             return state, lat
@@ -1091,7 +1147,7 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
             lat, k = carry
             k, sub = jax.random.split(k)
             t = ts[i]
-            eps = eps_fn(lat, t, unet_mod.index_temb(tproj, i))
+            eps = eps_fn(lat, t, unet_mod.index_temb(tproj, i), i)
             # posterior over the ACTUAL stride (see ddpm_step): the next
             # grid point, not t-1
             nlat = sched_mod.ddpm_step(sched, eps, t, lat, sub,
@@ -1314,6 +1370,7 @@ class SDPipeline:
                  strength: float = 0.8, mask_image=None,
                  guidance_rescale: float = 0.0, clip_skip: int = 0,
                  use_karras_sigmas: bool = False, freeu=None,
+                 cfg_interval=None,
                  control_image=None,
                  controlnet_scale: float = 1.0,
                  prompt_weighting: bool = False, max_prompt_chunks: int = 3,
@@ -1352,6 +1409,10 @@ class SDPipeline:
         and the default compiled graph is byte-identical."""
         if isinstance(prompts, str):
             prompts = [prompts]
+        if cfg_interval is not None and len(tuple(cfg_interval)) != 2:
+            raise ValueError(f"cfg_interval takes exactly 2 floats "
+                             f"(lo, hi step fractions), got "
+                             f"{tuple(cfg_interval)}")
         if freeu is not None and len(tuple(freeu)) != 4:
             raise ValueError(f"freeu takes exactly 4 floats (b1, b2, s1, "
                              f"s2), got {tuple(freeu)}")
@@ -1594,6 +1655,8 @@ class SDPipeline:
                       use_karras_sigmas=bool(use_karras_sigmas),
                       freeu=tuple(float(v) for v in freeu) if freeu
                       else None,
+                      cfg_interval=tuple(float(v) for v in cfg_interval)
+                      if cfg_interval is not None else None,
                       control_image=ctrl_arr,
                       controlnet_scale=controlnet_scale,
                       cond_weights=cond_w, uncond_weights=uncond_w,

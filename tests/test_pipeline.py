@@ -387,3 +387,65 @@ def test_zero_snr_pipeline(tiny_cfg, tiny_params):
     out3 = p3(["t"], height=32, width=32, num_inference_steps=3,
               latents=lat)
     assert np.isfinite(out3).all()
+
+
+# ---------------------------------------------------------------------------
+# cfg_interval (guidance interval, arXiv:2404.07724)
+
+
+def test_cfg_interval_full_equals_base(pipe):
+    """(0, 1) applies CFG on every step — identical to the default path."""
+    lat = per_sample_fixed_latents(1, (4, 8, 8), seed=21)
+    base = pipe(["g"], num_inference_steps=4, latents=lat)
+    full = pipe(["g"], num_inference_steps=4, latents=lat,
+                cfg_interval=(0.0, 1.0))
+    np.testing.assert_allclose(base, full, atol=1e-6)
+
+
+def test_cfg_interval_empty_equals_gs1(pipe):
+    """(0, 0) never guides: the cond-only eval equals guidance_scale=1
+    exactly (u + 1·(c − u) = c), proving the single-batch branch is the
+    same UNet math."""
+    lat = per_sample_fixed_latents(1, (4, 8, 8), seed=22)
+    gs1 = pipe(["g"], num_inference_steps=4, latents=lat,
+               guidance_scale=1.0)
+    off = pipe(["g"], num_inference_steps=4, latents=lat,
+               cfg_interval=(0.0, 0.0))
+    np.testing.assert_allclose(gs1, off, atol=1e-5)
+
+
+@pytest.mark.parametrize("scheduler", ["dpm", "unipc"])
+def test_cfg_interval_mid_runs(tiny_cfg, tiny_params, scheduler):
+    """A middle interval runs finite and differs from both extremes on the
+    multistep schedulers (mixed guided/unguided eval history)."""
+    cfg = dataclasses.replace(tiny_cfg, scheduler=scheduler)
+    tok = CLIPTokenizer.fallback(cfg.clip.vocab_size)
+    p = SDPipeline(tiny_params, cfg, tok, compute_dtype=jnp.float32)
+    lat = per_sample_fixed_latents(1, (4, 8, 8), seed=23)
+    base = p(["g"], num_inference_steps=4, latents=lat)
+    off = p(["g"], num_inference_steps=4, latents=lat,
+            cfg_interval=(0.0, 0.0))
+    mid = p(["g"], num_inference_steps=4, latents=lat,
+            cfg_interval=(0.25, 0.75))
+    assert np.isfinite(mid).all()
+    assert not np.allclose(mid, base)
+    assert not np.allclose(mid, off)
+
+
+def test_cfg_interval_rejections(pipe, tiny_cfg, tiny_params):
+    lat = per_sample_fixed_latents(1, (4, 8, 8), seed=24)
+    with pytest.raises(ValueError, match="cache_interval"):
+        pipe(["g"], num_inference_steps=4, latents=lat,
+             cfg_interval=(0.0, 0.5), cache_interval=2)
+    with pytest.raises(ValueError, match="lo <= hi"):
+        pipe(["g"], num_inference_steps=4, latents=lat,
+             cfg_interval=(0.7, 0.3))
+    with pytest.raises(ValueError, match="exactly 2"):
+        pipe(["g"], num_inference_steps=4, latents=lat,
+             cfg_interval=(0.1, 0.5, 0.9))
+    cfg = dataclasses.replace(tiny_cfg, scheduler="pndm")
+    tok = CLIPTokenizer.fallback(cfg.clip.vocab_size)
+    p = SDPipeline(tiny_params, cfg, tok, compute_dtype=jnp.float32)
+    with pytest.raises(ValueError, match="pndm"):
+        p(["g"], num_inference_steps=4, latents=lat,
+          cfg_interval=(0.0, 0.5))

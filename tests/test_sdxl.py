@@ -1052,3 +1052,15 @@ def test_refiner_config_checkpoint_roundtrip(rf_cfg):
     back = config_from_json(json.loads(json.dumps(config_to_json(rf_cfg))))
     assert back == rf_cfg
     assert back.refiner
+
+
+def test_sdxl_cfg_interval_cond_only_slice(xl_pipe):
+    """cfg_interval=(0,0) equals guidance_scale=1: exercises the cond-only
+    branch's slicing of the (2B, 1, 1, c) SDXL temb tables (the uncond⧺cond
+    stack's second half must be the cond rows)."""
+    lat = per_sample_fixed_latents(2, (4, 16, 16), seed=31)
+    gs1 = xl_pipe(["a", "b"], height=32, width=32, num_inference_steps=3,
+                  latents=lat, guidance_scale=1.0)
+    off = xl_pipe(["a", "b"], height=32, width=32, num_inference_steps=3,
+                  latents=lat, cfg_interval=(0.0, 0.0))
+    np.testing.assert_allclose(gs1, off, atol=1e-5)
