@@ -83,11 +83,19 @@ def main():
 
     cache_interval = int(os.environ.get("SDBC_BENCH_CACHE_INTERVAL", "0"))
     cache_tail = int(os.environ.get("SDBC_BENCH_CACHE_TAIL", "0"))
+    # guidance interval 'lo,hi' (arXiv:2404.07724): CFG only on that step
+    # sub-interval; cond-only (half-batch) UNet evals outside it
+    cfg_interval = None
+    if os.environ.get("SDBC_BENCH_CFG_INTERVAL", ""):
+        cfg_interval = tuple(
+            float(v)
+            for v in os.environ["SDBC_BENCH_CFG_INTERVAL"].split(","))
 
     def run():
         return sample(params, cond, uncond, latents, key, 7.5, cfg=cfg,
                       num_inference_steps=steps, compute_dtype=dt,
-                      cache_interval=cache_interval, cache_tail=cache_tail)
+                      cache_interval=cache_interval, cache_tail=cache_tail,
+                      cfg_interval=cfg_interval)
 
     def run_sync():
         # force a device→host readback: block_until_ready alone is not a
@@ -117,6 +125,8 @@ def main():
         mode += f", deepcache k={cache_interval}"
         if cache_tail:
             mode += f" tail={cache_tail}"
+    if cfg_interval is not None:
+        mode += f", cfg_interval={cfg_interval}"
     print(json.dumps({
         "metric": f"images/sec/chip @ {hw}x{hw}, {steps}-step "
                   f"{cfg.scheduler.upper()}, CFG, "
@@ -135,6 +145,7 @@ def main():
             "xla_flags": os.environ.get("XLA_FLAGS", ""),
             "batch": batch, "steps": steps, "scheduler": cfg.scheduler,
             "cache_interval": cache_interval, "cache_tail": cache_tail,
+            "cfg_interval": list(cfg_interval) if cfg_interval else None,
             "times_s": [round(t, 4) for t in times],
             "img_per_s_best": round(ips, 4),
             "img_per_s_mean": round(batch * reps / sum(times), 4),

@@ -152,7 +152,7 @@ def make_app(pipe, args):
         schedulers."""
         lkey, _ = jax.random.split(jax.random.key(job.seed))
         shape = (job.n, job.size // f, job.size // f,
-                 pipe.cfg.unet.in_channels)
+                 pipe.cfg.latent_channels)
         return np.asarray(jax.random.normal(lkey, shape), np.float32)
 
     def run_batch(batch):

@@ -62,6 +62,22 @@ class PipelineConfig:
         """Spatial down-factor of the VAE (8 for SD-1.x)."""
         return 2 ** (len(self.vae.block_out_channels) - 1)
 
+    @property
+    def latent_channels(self) -> int:
+        """Channel count of the DIFFUSED latent (the VAE's latent space).
+
+        Equals unet.in_channels for the standard families; the dedicated
+        inpainting UNets take extra conditioning channels on top."""
+        return self.vae.latent_channels
+
+    @property
+    def is_inpaint_unet(self) -> bool:
+        """Dedicated inpainting UNet (the runwayml/sd-inpainting layout):
+        conv_in takes latent ⧺ mask ⧺ masked-image-latent = 2·C+1
+        channels; mask_image routes to the channel-concat protocol instead
+        of the per-step latent blend."""
+        return self.unet.in_channels == 2 * self.vae.latent_channels + 1
+
     def with_controlnet(self) -> "PipelineConfig":
         """This config + the matching ControlNet branch config.
 
@@ -305,6 +321,7 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
            guidance_rescale: float = 0.0, clip_skip: int = 0,
            use_karras_sigmas: bool = False, freeu=None,
            cfg_interval=None,
+           masked_image=None,
            control_image=None, controlnet_scale=1.0,
            cond_weights=None, uncond_weights=None,
            cond_ids2=None, uncond_ids2=None, time_ids=None,
@@ -343,6 +360,15 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
       Supported for ddim/dpm/ddpm; PNDM's multistep warmup does not
       truncate cleanly (diffusers' own PLMS img2img re-runs the warmup at
       t_start, changing the method's order) — rejected loudly.
+    masked_image: (B, H, W, 3) float in [0, 1] — the DEDICATED inpainting
+      UNet protocol (the runwayml/sd-inpainting checkpoint layout,
+      cfg.is_inpaint_unet: conv_in takes 2·C+1 channels).  The binarized
+      mask and the VAE-encoded masked image are concatenated to the latent
+      as extra input channels on EVERY UNet call; sampling is a full
+      denoise from pure noise (``latents``), with no per-step blend and no
+      re-noising — pass ``mask`` but NOT ``init_image``.  SDPipeline
+      routes mask_image here automatically when the config is an
+      inpainting UNet.
     freeu: optional STATIC (b1, b2, s1, s2) floats — FreeU
       (arXiv:2309.11497) decoder feature rebalancing at sampling time
       (backbone half-channel gain b, skip low-frequency scale s at the two
@@ -380,12 +406,37 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
             "ddim", "dpm"):
         raise ValueError("cache_interval (DeepCache fast mode) is implemented "
                          "for the ddim and dpm schedulers only")
-    if (init_image is not None or t_start or mask is not None) \
+    if (init_image is not None or t_start
+            or (mask is not None and masked_image is None)) \
             and cfg.scheduler in ("pndm", "lms"):
         raise ValueError("img2img/inpaint (init_image/t_start/mask) is "
                          "implemented for the ddim, dpm and ddpm schedulers "
                          "only — the PNDM/LMS multistep warmup does not "
                          "truncate cleanly at t_start")
+    if masked_image is not None:
+        # dedicated inpainting UNet (runwayml/sd-inpainting layout): the
+        # mask + masked-image latents ride as EXTRA INPUT CHANNELS every
+        # step — a full denoise from noise, no per-step latent blend
+        if not cfg.is_inpaint_unet:
+            raise ValueError(
+                f"masked_image is the channel-concat inpainting protocol — "
+                f"it needs an inpainting UNet (in_channels == "
+                f"{2 * cfg.latent_channels + 1}, got {cfg.unet.in_channels})")
+        if mask is None:
+            raise ValueError("masked_image requires mask")
+        if init_image is not None or t_start:
+            raise ValueError("masked_image starts from pure noise — "
+                             "init_image/t_start (the re-noising protocol) "
+                             "cannot combine with it")
+        if cache_interval and cache_interval > 1:
+            raise ValueError("masked_image cannot combine with "
+                             "cache_interval — the cached trunk is shaped "
+                             "for the plain latent input")
+    elif cfg.is_inpaint_unet:
+        raise ValueError("this config is a dedicated inpainting UNet "
+                         f"(in_channels={cfg.unet.in_channels}): every call "
+                         "must pass init_image + mask_image (plain "
+                         "text-to-image is undefined for its conv_in)")
     if cfg.schedule.timestep_spacing == "trailing" \
             and cfg.scheduler == "pndm":
         raise ValueError("timestep_spacing='trailing' is not implemented "
@@ -401,12 +452,14 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
             "sigma-space samplers' terminal sigma is infinite — use the "
             "ddim or unipc schedulers (both step in x0 form; "
             "arXiv:2305.08891 uses DDIM)")
-    if mask is not None and cfg.scheduler == "unipc":
+    if mask is not None and masked_image is None \
+            and cfg.scheduler == "unipc":
         raise ValueError("inpainting (mask) is not implemented for unipc — "
                          "the per-step latent blend invalidates the "
                          "corrector's last_sample (it would overwrite the "
-                         "kept region); use ddim/dpm/ddpm for inpainting")
-    if mask is not None and init_image is None:
+                         "kept region); use ddim/dpm/ddpm for inpainting "
+                         "(the channel-concat inpaint UNets are exempt)")
+    if mask is not None and init_image is None and masked_image is None:
         raise ValueError("mask (inpainting) requires init_image")
     if use_karras_sigmas and cfg.scheduler not in ("euler_a", "lms", "dpm",
                                                    "dpm_sde"):
@@ -573,7 +626,22 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
         return (jnp.sqrt(a) * orig_lat
                 + jnp.sqrt(1.0 - a) * noise0).astype(dt)
 
-    if mask is not None:
+    inpaint_extra = None
+    if masked_image is not None:
+        # runwayml-style inpainting UNet conditioning, computed ONCE: the
+        # binarized latent-res mask and the VAE-encoded masked image ride
+        # as 5 extra input channels on every UNet call (uncond and cond
+        # branches alike); the diffusers input order is
+        # cat([latents, mask, masked_image_latents])
+        k_msk, key = jax.random.split(key)
+        mm, mlv = vae_mod.encode_moments(
+            params["vae"], masked_image.astype(dt) * 2.0 - 1.0, cfg.vae)
+        mlat = (vae_mod.sample(mm, mlv, k_msk).astype(jnp.float32)
+                * cfg.vae.scaling_factor)
+        inpaint_extra = jnp.concatenate(
+            [mask.astype(jnp.float32), mlat], axis=-1).astype(dt)
+
+    if mask is not None and masked_image is None:
         keep = (1.0 - mask.astype(jnp.float32))
 
         def blend_sigma(lat_next, s_next):
@@ -688,6 +756,10 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
         def guided():
             lat2 = jnp.concatenate([lat, lat], axis=0)
             tb = jnp.full((lat2.shape[0],), t, jnp.int32)
+            if inpaint_extra is not None:
+                lat2 = jnp.concatenate(
+                    [lat2, jnp.concatenate([inpaint_extra, inpaint_extra],
+                                           axis=0)], axis=-1)
             tpg, ctp = tp, None
             if tpg is not None and "ctrl" in tpg:
                 ctp = tpg["ctrl"]
@@ -713,7 +785,9 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
             if added2 is not None and tpc is not None:
                 tpc = jax.tree_util.tree_map(
                     lambda a: a[a.shape[0] // 2:], tpc)
-            out = unet_mod.apply(uparams, lat, tb, ctx_c, cfg.unet,
+            lat1 = lat if inpaint_extra is None \
+                else jnp.concatenate([lat, inpaint_extra], axis=-1)
+            out = unet_mod.apply(uparams, lat1, tb, ctx_c, cfg.unet,
                                  attn_impl=attn_impl, temb_proj=tpc,
                                  freeu=freeu)
             return out.astype(jnp.float32)
@@ -1505,14 +1579,14 @@ class SDPipeline:
             f = self.cfg.vae_scale
             latents = jax.random.normal(
                 lkey, (len(prompts), height // f, width // f,
-                       self.cfg.unet.in_channels), jnp.float32)
+                       self.cfg.latent_channels), jnp.float32)
         else:
             latents = jnp.asarray(latents)
             if latents.ndim == 3:
                 latents = latents[None]
             # accept torch-layout NCHW fixed latents from the parity protocol
-            if latents.shape[-1] != self.cfg.unet.in_channels \
-                    and latents.shape[1] == self.cfg.unet.in_channels:
+            if latents.shape[-1] != self.cfg.latent_channels \
+                    and latents.shape[1] == self.cfg.latent_channels:
                 latents = jnp.transpose(latents, (0, 2, 3, 1))
             if latents.shape[0] > b:
                 # compare against the REQUESTED count, not the bucket-padded
@@ -1550,6 +1624,7 @@ class SDPipeline:
                 raise ValueError(f"denoising_start must be in [0, 1), got "
                                  f"{denoising_start}")
             t_start = int(round(num_inference_steps * denoising_start))
+        masked_arr = None
         if init_image is not None:
             img_arr = preprocess_image(init_image, height, width)
             if img_arr.shape[0] == 1 and b > 1:
@@ -1561,8 +1636,27 @@ class SDPipeline:
                 pad = np.zeros((len(prompts) - img_arr.shape[0],)
                                + img_arr.shape[1:], np.float32)
                 img_arr = np.concatenate([img_arr, pad], axis=0)
-            t_start = img2img_t_start(num_inference_steps, strength,
-                                      self.cfg.schedule.steps_offset)
+            if mask_image is not None and self.cfg.is_inpaint_unet:
+                # dedicated inpainting UNet: the image conditions the UNet
+                # through its masked VAE encoding (channel concat), not
+                # through re-noising — full denoise from noise, t_start 0.
+                # Diffusers masks in [-1, 1] space (masked pixels → 0),
+                # which is 0.5 in this [0, 1] convention; the pixel mask is
+                # binarized at 0.5 before masking (prepare_mask_and_
+                # masked_image semantics).
+                pm = preprocess_mask(mask_image, height, width)
+                if pm.shape[0] == 1 and b > 1:
+                    pm = np.tile(pm, (b, 1, 1, 1))
+                if pm.shape[0] < img_arr.shape[0]:
+                    pad = np.ones((img_arr.shape[0] - pm.shape[0],)
+                                  + pm.shape[1:], np.float32)
+                    pm = np.concatenate([pm, pad], axis=0)
+                pm = (pm >= 0.5).astype(np.float32)
+                masked_arr = img_arr * (1.0 - pm) + 0.5 * pm
+                img_arr = None  # no re-noising protocol
+            else:
+                t_start = img2img_t_start(num_inference_steps, strength,
+                                          self.cfg.schedule.steps_offset)
             if mask_image is not None:
                 f = self.cfg.vae_scale
                 mask_arr = preprocess_mask(mask_image, height // f, width // f)
@@ -1576,6 +1670,15 @@ class SDPipeline:
                     pad = np.ones((len(prompts) - mask_arr.shape[0],)
                                   + mask_arr.shape[1:], np.float32)
                     mask_arr = np.concatenate([mask_arr, pad], axis=0)
+                if masked_arr is not None:
+                    # binary in the latent grid too (nearest/max-pool keeps
+                    # {0,1} masks binary; fractional user masks round here)
+                    mask_arr = (mask_arr >= 0.5).astype(np.float32)
+        elif self.cfg.is_inpaint_unet:
+            raise ValueError("this checkpoint is a dedicated inpainting "
+                             "UNet (conv_in takes mask + masked-image "
+                             "channels): pass init_image + mask_image — "
+                             "plain text-to-image is undefined for it")
         ctrl_arr = None
         if control_image is not None:
             def prep_ctrl(img):
@@ -1637,6 +1740,8 @@ class SDPipeline:
                     img_arr = put(img_arr)
                 if mask_arr is not None:
                     mask_arr = put(mask_arr)
+                if masked_arr is not None:
+                    masked_arr = put(masked_arr)
                 if ctrl_arr is not None:
                     ctrl_arr = ([put(c) for c in ctrl_arr]
                                 if isinstance(ctrl_arr, list)
@@ -1649,7 +1754,7 @@ class SDPipeline:
                       attn_impl=self._attn_impl,
                       chunked_decode=self.mesh is None,
                       init_image=img_arr, t_start=t_start, t_end=t_end,
-                      mask=mask_arr,
+                      mask=mask_arr, masked_image=masked_arr,
                       guidance_rescale=float(guidance_rescale),
                       clip_skip=int(clip_skip),
                       use_karras_sigmas=bool(use_karras_sigmas),

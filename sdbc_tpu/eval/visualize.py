@@ -81,7 +81,7 @@ def visualize_prompts(pipeline, *, summarize: bool = False,
         n_rows = len(prompts_base)
 
     f = pipeline.cfg.vae_scale
-    lat_shape = (pipeline.cfg.unet.in_channels, img_size // f, img_size // f)
+    lat_shape = (pipeline.cfg.latent_channels, img_size // f, img_size // f)
     latents = per_sample_fixed_latents(len(prompts), lat_shape, seed=seed)
 
     images = []
