@@ -99,6 +99,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--wandb_key", type=str, default="")
     p.add_argument("--bart_ckpt", type=str, default="",
                    help="transformers BART dir for --summarize (DistilBART)")
+    p.add_argument("--hires_scale", type=float, default=0.0,
+                   help="enter_prompt mode: hires-fix — compose at "
+                        "img_size/scale, upscale, finish with a strength-"
+                        "bounded img2img pass at full size (0 = off; the "
+                        "community two-stage txt2img for targets beyond "
+                        "the training resolution)")
+    p.add_argument("--hires_strength", type=float, default=0.7,
+                   help="second-stage img2img strength for --hires_scale")
+    p.add_argument("--hires_steps", type=int, default=0,
+                   help="second-stage grid size for --hires_scale "
+                        "(0 = same as --num_inference_steps)")
+    p.add_argument("--hires_mode", type=str, default="latent",
+                   choices=["latent", "image"],
+                   help="hires upscale space: 'latent' resizes the raw "
+                        "first-pass latents on device (default), 'image' "
+                        "decodes, upscales pixels and re-encodes")
     common.bool_flag(p, "karras_sigmas", False,
                      "use the Karras et al. 2022 rho=7 sigma grid instead "
                      "of the leading integer timestep grid (euler_a/lms/dpm "
@@ -294,24 +310,40 @@ def main(argv=None):
             # --controlnet_path branch, residuals sum)
             control_image = ([Image.open(one) for one in paths]
                              if len(paths) > 1 else Image.open(paths[0]))
-        imgs = pipe([args.prompt], height=args.img_size, width=args.img_size,
-                    num_inference_steps=args.num_inference_steps,
-                    guidance_scale=args.guidance_scale, seed=args.seed,
-                    cache_interval=args.cache_interval,
-                    cache_tail=args.cache_tail,
-                    negative_prompt=args.negative_prompt or None,
-                    num_images_per_prompt=args.samples_per_prompt,
-                    init_image=init_image, strength=args.strength,
-                    mask_image=mask_image,
-                    guidance_rescale=args.guidance_rescale,
-                    clip_skip=args.clip_skip,
-                    use_karras_sigmas=args.karras_sigmas,
-                    freeu=_resolve_freeu(args, cfg),
-                    cfg_interval=_resolve_cfg_interval(args),
-                    control_image=control_image,
-                    controlnet_scale=args.controlnet_scale,
-                    prompt_weighting=args.prompt_weighting,
-                    max_prompt_chunks=args.max_prompt_chunks)
+        call_kw = dict(height=args.img_size, width=args.img_size,
+                       num_inference_steps=args.num_inference_steps,
+                       guidance_scale=args.guidance_scale, seed=args.seed,
+                       cache_interval=args.cache_interval,
+                       cache_tail=args.cache_tail,
+                       negative_prompt=args.negative_prompt or None,
+                       num_images_per_prompt=args.samples_per_prompt,
+                       guidance_rescale=args.guidance_rescale,
+                       clip_skip=args.clip_skip,
+                       use_karras_sigmas=args.karras_sigmas,
+                       freeu=_resolve_freeu(args, cfg),
+                       cfg_interval=_resolve_cfg_interval(args),
+                       control_image=control_image,
+                       controlnet_scale=args.controlnet_scale,
+                       prompt_weighting=args.prompt_weighting,
+                       max_prompt_chunks=args.max_prompt_chunks)
+        if args.hires_scale:
+            if init_image is not None:
+                raise SystemExit("--hires_scale drives both stages itself "
+                                 "and cannot combine with --init_image "
+                                 "(use --strength img2img instead)")
+            if not hasattr(pipe, "hires"):  # EnsemblePipeline
+                raise SystemExit("--hires_scale is not wired up for "
+                                 "--refiner_ckpt ensemble serving (the "
+                                 "refiner already runs a tail pass)")
+            imgs = pipe.hires([args.prompt],
+                              hires_scale=args.hires_scale,
+                              hires_strength=args.hires_strength,
+                              hires_steps=args.hires_steps or None,
+                              hires_mode=args.hires_mode, **call_kw)
+        else:
+            imgs = pipe([args.prompt], init_image=init_image,
+                        strength=args.strength, mask_image=mask_image,
+                        **call_kw)
         pils = pipe.numpy_to_pil(imgs)
         # prompt text becomes a filename: strip path separators ('/' would
         # point into a nonexistent subdir and lose the generated image)

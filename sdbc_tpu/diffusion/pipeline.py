@@ -315,7 +315,8 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
            compute_dtype=jnp.bfloat16, decode: bool = True,
            cache_interval: int = 0, cache_tail: int = 0,
            attn_impl: str = "inference", chunked_decode=None,
-           init_image=None, t_start: int = 0, t_end: Optional[int] = None,
+           init_image=None, init_latents=None,
+           t_start: int = 0, t_end: Optional[int] = None,
            mask=None,
            pack_heads: Optional[bool] = None,
            guidance_rescale: float = 0.0, clip_skip: int = 0,
@@ -348,6 +349,12 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
         is interpreted as the NOISE added to the VAE-encoded init image at
         timestep ts[t_start] (the diffusers img2img protocol) instead of
         the starting latent itself.
+      init_latents: (B, h/8, w/8, C) float MODEL-SPACE latents (already
+        scaled by vae.scaling_factor, e.g. a ``decode=False`` result) —
+        latent-space img2img: identical re-noising protocol to
+        ``init_image`` but without the VAE encode, so a resized first-pass
+        latent feeds a hires-fix second stage directly.  Mutually
+        exclusive with ``init_image``.
       t_start: static loop start index into the timestep grid; use
         ``img2img_t_start`` for the strength → t_start map.
       mask: (B, h/8, w/8, 1) float in [0, 1]; 1 = regenerate (white in the
@@ -406,13 +413,21 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
             "ddim", "dpm"):
         raise ValueError("cache_interval (DeepCache fast mode) is implemented "
                          "for the ddim and dpm schedulers only")
-    if (init_image is not None or t_start
+    if (init_image is not None or init_latents is not None or t_start
             or (mask is not None and masked_image is None)) \
             and cfg.scheduler in ("pndm", "lms"):
         raise ValueError("img2img/inpaint (init_image/t_start/mask) is "
                          "implemented for the ddim, dpm and ddpm schedulers "
                          "only — the PNDM/LMS multistep warmup does not "
                          "truncate cleanly at t_start")
+    if init_latents is not None and init_image is not None:
+        raise ValueError("init_latents (latent-space img2img, e.g. the "
+                         "hires-fix second stage) and init_image (pixel-"
+                         "space img2img) are mutually exclusive")
+    if init_latents is not None and masked_image is not None:
+        raise ValueError("init_latents cannot combine with masked_image "
+                         "(the dedicated inpainting UNet is a full denoise "
+                         "from pure noise)")
     if masked_image is not None:
         # dedicated inpainting UNet (runwayml/sd-inpainting layout): the
         # mask + masked-image latents ride as EXTRA INPUT CHANNELS every
@@ -459,7 +474,8 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
                          "corrector's last_sample (it would overwrite the "
                          "kept region); use ddim/dpm/ddpm for inpainting "
                          "(the channel-concat inpaint UNets are exempt)")
-    if mask is not None and init_image is None and masked_image is None:
+    if mask is not None and init_image is None and init_latents is None \
+            and masked_image is None:
         raise ValueError("mask (inpainting) requires init_image")
     if use_karras_sigmas and cfg.scheduler not in ("euler_a", "lms", "dpm",
                                                    "dpm_sde"):
@@ -611,6 +627,13 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
             params["vae"], init_image.astype(dt) * 2.0 - 1.0, cfg.vae)
         orig_lat = (vae_mod.sample(mean, logvar, k_enc).astype(jnp.float32)
                     * cfg.vae.scaling_factor)
+        noise0 = latents.astype(jnp.float32)
+    elif init_latents is not None:
+        # latent-space img2img (the hires-fix second stage): the caller
+        # already holds model-space latents (e.g. a decode=False first pass
+        # resized with jax.image.resize) — same re-noising protocol as
+        # init_image, minus the VAE posterior sample
+        orig_lat = init_latents.astype(jnp.float32)
         noise0 = latents.astype(jnp.float32)
 
     def noise_to(ts_first):
@@ -1441,6 +1464,7 @@ class SDPipeline:
                  decode: bool = True, cache_interval: int = 0,
                  cache_tail: int = 0, negative_prompt=None,
                  num_images_per_prompt: int = 1, init_image=None,
+                 init_latents=None,
                  strength: float = 0.8, mask_image=None,
                  guidance_rescale: float = 0.0, clip_skip: int = 0,
                  use_karras_sigmas: bool = False, freeu=None,
@@ -1492,11 +1516,16 @@ class SDPipeline:
                              f"s2), got {tuple(freeu)}")
         if mask_image is not None and init_image is None:
             raise ValueError("mask_image (inpainting) requires init_image")
-        if init_image is not None and self.spatial:
+        if (init_image is not None or init_latents is not None) \
+                and self.spatial:
             raise NotImplementedError(
                 "img2img/inpaint under spatial serving is not wired up "
                 "(the init-image encode would need row sharding too); "
                 "drop spatial=True or use batch sharding")
+        if init_latents is not None and init_image is not None:
+            raise ValueError("init_latents (latent-space img2img) and "
+                             "init_image (pixel-space img2img) are "
+                             "mutually exclusive")
         if control_image is not None and self.spatial:
             raise NotImplementedError(
                 "ControlNet under spatial serving is not wired up (the "
@@ -1616,10 +1645,11 @@ class SDPipeline:
             # at round(n·s) from the ``latents=`` handed over by the base
             # stage — no re-noising (init_image is the img2img protocol
             # and is mutually exclusive)
-            if init_image is not None:
+            if init_image is not None or init_latents is not None:
                 raise ValueError("denoising_start resumes from raw handed-"
                                  "over latents; it cannot combine with "
-                                 "init_image (use strength for img2img)")
+                                 "init_image/init_latents (use strength "
+                                 "for img2img)")
             if not 0.0 <= denoising_start < 1.0:
                 raise ValueError(f"denoising_start must be in [0, 1), got "
                                  f"{denoising_start}")
@@ -1679,6 +1709,29 @@ class SDPipeline:
                              "UNet (conv_in takes mask + masked-image "
                              "channels): pass init_image + mask_image — "
                              "plain text-to-image is undefined for it")
+        lat_init = None
+        if init_latents is not None:
+            f = self.cfg.vae_scale
+            lat_init = jnp.asarray(init_latents, jnp.float32)
+            want = (height // f, width // f, self.cfg.latent_channels)
+            if tuple(lat_init.shape[1:]) != want:
+                raise ValueError(
+                    f"init_latents shape {tuple(lat_init.shape[1:])} does "
+                    f"not match the requested {height}x{width} latent grid "
+                    f"{want} — resize first (jax.image.resize) or pass the "
+                    "matching height/width")
+            if lat_init.shape[0] == 1 and b > 1:
+                lat_init = jnp.tile(lat_init, (b, 1, 1, 1))
+            if lat_init.shape[0] != b:
+                raise ValueError(f"{lat_init.shape[0]} init latents for "
+                                 f"{b} requested images (pass 1, or one "
+                                 "per image)")
+            if lat_init.shape[0] < len(prompts):  # pad to the bucket
+                pad = jnp.zeros((len(prompts) - lat_init.shape[0],)
+                                + lat_init.shape[1:], jnp.float32)
+                lat_init = jnp.concatenate([lat_init, pad], axis=0)
+            t_start = img2img_t_start(num_inference_steps, strength,
+                                      self.cfg.schedule.steps_offset)
         ctrl_arr = None
         if control_image is not None:
             def prep_ctrl(img):
@@ -1738,6 +1791,8 @@ class SDPipeline:
                     cond_w2, uncond_w2 = put(cond_w2), put(uncond_w2)
                 if img_arr is not None:
                     img_arr = put(img_arr)
+                if lat_init is not None:
+                    lat_init = put(lat_init)
                 if mask_arr is not None:
                     mask_arr = put(mask_arr)
                 if masked_arr is not None:
@@ -1753,7 +1808,8 @@ class SDPipeline:
                       cache_interval=cache_interval, cache_tail=cache_tail,
                       attn_impl=self._attn_impl,
                       chunked_decode=self.mesh is None,
-                      init_image=img_arr, t_start=t_start, t_end=t_end,
+                      init_image=img_arr, init_latents=lat_init,
+                      t_start=t_start, t_end=t_end,
                       mask=mask_arr, masked_image=masked_arr,
                       guidance_rescale=float(guidance_rescale),
                       clip_skip=int(clip_skip),
@@ -1777,6 +1833,87 @@ class SDPipeline:
             out, self.last_nsfw_flags = apply_safety_checker(
                 self.safety_checker, out, prompts[:b])
         return out
+
+    def hires(self, prompts, *, height: int = 1024, width: int = 1024,
+              hires_scale: float = 2.0, hires_strength: float = 0.7,
+              hires_steps: Optional[int] = None, hires_mode: str = "latent",
+              num_inference_steps: int = 50, seed: int = 42,
+              latents=None, decode: bool = True, **kw):
+        """Two-stage hires-fix: compose at base resolution, upscale, then
+        re-diffuse detail at the target resolution.
+
+        SD-1.x composes reliably only near its 512² training resolution —
+        a direct 1024² sample produces duplicated subjects.  The community
+        hires-fix (AUTOMATIC1111's txt2img second pass; the reference's
+        engine has no equivalent) runs text-to-image at
+        height/width ÷ ``hires_scale`` (snapped to the UNet's spatial
+        granularity), upscales, and finishes with an img2img pass at
+        ``hires_strength``.
+
+        hires_mode:
+          "latent" — bicubic-resize the RAW first-pass latents
+            (jax.image.resize) and re-noise them (no VAE roundtrip; the
+            default, and the cheapest on TPU: the whole flow stays on
+            device, HBM-resident).
+          "image"  — decode, bicubic-upscale in pixel space, re-encode
+            through the VAE (slower; crisper at scale > 2 where latent
+            interpolation blurs).
+        ``hires_steps`` — second-stage grid size (defaults to
+        ``num_inference_steps``); with strength s only ceil(s·steps) UNet
+        steps actually run.  Remaining kwargs go to BOTH stages.
+        """
+        if hires_mode not in ("latent", "image"):
+            raise ValueError(f"hires_mode must be 'latent' or 'image', "
+                             f"got {hires_mode!r}")
+        for bad in ("strength", "init_image", "init_latents", "mask_image",
+                    "denoising_start", "denoising_end"):
+            if bad in kw:
+                raise ValueError(f"hires() drives both stages itself — "
+                                 f"{bad} cannot be passed through (use "
+                                 "hires_strength for the second stage)")
+        if hires_scale <= 1.0:
+            raise ValueError(f"hires_scale must be > 1 (got {hires_scale}) "
+                             "— use a plain call for same-size sampling")
+        if self.cfg.scheduler in ("pndm", "lms"):
+            raise ValueError("hires needs a t_start-capable scheduler "
+                             "(ddim/dpm/ddpm/euler_a/...) — the PNDM/LMS "
+                             "warmup does not truncate at the second "
+                             "stage's strength start")
+        f = self.cfg.vae_scale
+        # conservative pixel granularity: 8·vae_scale covers the UNet's
+        # down path for every shipped family (SD-1.x/2.x/XL: f=8 → 64 px)
+        m = f * 8
+        snap = lambda v: max(m, int(round(v / hires_scale / m)) * m)
+        bh, bw = snap(height), snap(width)
+        if height % m or width % m:
+            raise ValueError(f"hires target {height}x{width} must be a "
+                             f"multiple of {m}")
+        out1 = self.__call__(prompts, height=bh, width=bw,
+                             num_inference_steps=num_inference_steps,
+                             seed=seed, latents=latents,
+                             decode=(hires_mode == "image"), **kw)
+        steps2 = hires_steps if hires_steps is not None \
+            else num_inference_steps
+        # distinct second-stage noise stream: fold the stage index into the
+        # seed (explicit-key discipline; seed+1 could collide with a user's
+        # own adjacent-seed batch sweep)
+        seed2 = int(np.uint32(seed) ^ np.uint32(0x9E3779B9))
+        if hires_mode == "latent":
+            b, c = out1.shape[0], out1.shape[-1]
+            up = jax.image.resize(
+                jnp.asarray(out1, jnp.float32),
+                (b, height // f, width // f, c), method="bicubic")
+            return self.__call__(prompts, height=height, width=width,
+                                 init_latents=up, strength=hires_strength,
+                                 num_inference_steps=steps2, seed=seed2,
+                                 decode=decode, **kw)
+        imgs = np.asarray(jax.image.resize(
+            jnp.asarray(out1, jnp.float32),
+            (out1.shape[0], height, width, 3), method="bicubic"))
+        return self.img2img(prompts, np.clip(imgs, 0.0, 1.0),
+                            strength=hires_strength, height=height,
+                            width=width, num_inference_steps=steps2,
+                            seed=seed2, decode=decode, **kw)
 
     def img2img(self, prompts, image, *, strength: float = 0.8, **kw):
         """Image-to-image: re-diffuse ``image`` under ``prompts``.

@@ -445,3 +445,22 @@ def test_train_controlnet_flag_conflicts(env):
         ft.main(base + ["--cache_latents"])
     with pytest.raises(SystemExit, match="drop\n?.*--train_unet"):
         ft.main(base + ["--train_unet"])
+
+
+def test_enter_prompt_hires(env, trained_ckpt):
+    """--hires_scale composes both stages through the CLI (latent mode)."""
+    import sdbc_tpu.cli.inference as inf
+
+    inf.main(["--mode", "enter_prompt", "--prompt", "a big cover",
+              "--tiny", "--ckpt", trained_ckpt, "--img_size", "32",
+              "--num_inference_steps", "2", "--no-bf16",
+              "--hires_scale", "2.0", "--hires_strength", "0.6",
+              "--hires_steps", "2",
+              "--save_dir", env["out"] + "/gen", "--run_id", "hirestest"])
+    outdir = os.path.join(env["out"], "gen", "hirestest inference")
+    pngs = [f for f in os.listdir(outdir) if f.endswith(".png")]
+    assert pngs
+    from PIL import Image
+
+    with Image.open(os.path.join(outdir, pngs[0])) as im:
+        assert im.size == (32, 32)
