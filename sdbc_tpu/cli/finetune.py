@@ -84,6 +84,29 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ti_init_token", type=str, default="",
                    help="initializer word whose mean embedding seeds the "
                         "new rows (default: embedding-table mean)")
+    p.add_argument("--prior_class_prompt", type=str, default="",
+                   help="enable DreamBooth prior preservation (arXiv:"
+                        "2208.12242): every micro-batch also trains class "
+                        "images under THIS prompt (e.g. 'a book cover'), "
+                        "weighted by --prior_weight — keeps a small-set "
+                        "fine-tune from collapsing the class manifold")
+    p.add_argument("--prior_images_dir", type=str, default="",
+                   help="directory of class images for the prior term "
+                        "(default <output_dir>/prior_class); top it up "
+                        "with --prior_generate")
+    p.add_argument("--prior_weight", type=float, default=1.0,
+                   help="prior-preservation loss weight (loss = instance "
+                        "MSE + weight * class MSE)")
+    p.add_argument("--prior_generate", type=int, default=0,
+                   help="before training, generate class images with the "
+                        "resolved BASE model until --prior_images_dir "
+                        "holds this many (existing images count; the "
+                        "DreamBooth self-generation step)")
+    p.add_argument("--prior_batch_size", type=int, default=0,
+                   help="class images per device per micro-batch "
+                        "(0 = same as --batch_size)")
+    p.add_argument("--prior_gen_steps", type=int, default=50,
+                   help="sampler steps for --prior_generate")
     p.add_argument("--min_snr_gamma", type=float, default=0.0,
                    help="min-SNR loss weighting (arXiv:2303.09556): weight "
                         "each example by min(SNR_t, gamma)/SNR_t — "
@@ -175,6 +198,15 @@ def main(argv=None):
             print("--train_controlnet: freezing the text encoder "
                   "(the base model stays untouched)")
             args.train_text_encoder = False
+    use_prior = bool(args.prior_class_prompt)
+    if use_prior and args.cache_latents:
+        raise SystemExit("--prior_class_prompt is incompatible with "
+                         "--cache_latents (the class set has no latent "
+                         "cache) — drop one")
+    if args.prior_generate and not use_prior:
+        raise SystemExit("--prior_generate needs --prior_class_prompt "
+                         "(the prompt the class images are generated and "
+                         "trained under)")
     if use_ti and use_lora:
         raise SystemExit("--ti_token and --lora_rank are mutually "
                          "exclusive: pick one parameter-efficient mode")
@@ -304,6 +336,33 @@ def main(argv=None):
                   f"(prompt: {probe!r}); such examples contribute no "
                   "inversion gradient")
 
+    prior_set = None
+    if use_prior:
+        from sdbc_tpu.train import prior as prior_mod
+
+        prior_dir = args.prior_images_dir or os.path.join(
+            args.output_dir, "prior_class")
+        if args.prior_generate:
+            if jax.process_count() > 1:
+                raise SystemExit("--prior_generate is single-host only — "
+                                 "pre-generate the class set once and "
+                                 "point every host at --prior_images_dir")
+            pipe = SDPipeline(params, cfg, tok, tokenizer2=tok2,
+                              compute_dtype=dt)
+            made = prior_mod.generate_class_images(
+                pipe, args.prior_class_prompt, args.prior_generate,
+                prior_dir, img_size=args.img_size,
+                batch_size=max(args.batch_size, 4),
+                num_inference_steps=args.prior_gen_steps, seed=args.seed)
+            if made:
+                print(f"prior set: {made} class images generated into "
+                      f"{prior_dir}")
+        prior_set = prior_mod.PriorSet(
+            prior_dir, args.prior_class_prompt, tok, args.img_size,
+            max_length=cfg.clip.ctx, tokenizer2=tok2 if is_xl else None)
+        print(f"prior preservation: {len(prior_set)} class images under "
+              f"{args.prior_class_prompt!r}, weight {args.prior_weight}")
+
     mesh = make_mesh(MeshConfig(model=args.tp))
     dp = mesh.shape["data"]
     tp_exclude = ()
@@ -335,6 +394,7 @@ def main(argv=None):
         ema_decay=args.ema_decay, min_snr_gamma=args.min_snr_gamma,
         noise_offset=args.noise_offset,
         train_controlnet=use_cn, control_hint=args.control_hint,
+        prior_weight=args.prior_weight if use_prior else 0.0,
         dual_text_encoder=is_xl, refiner=getattr(cfg, "refiner", False))
 
     state = init_train_state(
@@ -531,6 +591,14 @@ def main(argv=None):
                                  mesh=mesh,  # per-host input sharding
                                  latent_cache=latents_mm,
                                  epoch=epoch)  # host-independent prompt draws
+        if prior_set is not None:
+            from sdbc_tpu.train.prior import augment_loader
+
+            pb = (args.prior_batch_size or args.batch_size) * dp
+            loader = augment_loader(
+                loader, prior_set.batches(pb, args.grad_acc_steps,
+                                          seed=args.seed + epoch,
+                                          mesh=mesh))
         running, running_n = 0.0, 0
         t0 = time.perf_counter()
         for batch in loader:

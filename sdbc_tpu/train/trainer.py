@@ -87,6 +87,16 @@ class TrainConfig:
     # model move overall brightness — covers are often very dark/light.
     min_snr_gamma: float = 0.0
     noise_offset: float = 0.0
+    # Prior preservation (DreamBooth, arXiv:2208.12242 — beyond the
+    # reference, which only does plain fine-tuning): > 0 expects each
+    # micro-batch to carry prior_pixel_values/prior_input_ids (class
+    # images under the class prompt, train/prior.py); the combined batch
+    # runs ONE UNet call and the loss is
+    # mean(instance MSE) + prior_weight · mean(prior MSE) — the weighting
+    # that keeps the class manifold from collapsing onto the few instance
+    # images.  Incompatible with cached latents (the prior set has no
+    # cache).
+    prior_weight: float = 0.0
     # EMA of the trainable tree (beyond the reference; standard diffusion
     # practice — diffusers' train scripts keep an EMAModel of the UNet).
     # 0 = off.  >0 maintains a shadow copy updated after every optimizer
@@ -310,6 +320,28 @@ def diffusion_loss(trainable, frozen, batch, key, cfg: PipelineConfig,
     # components over the frozen ones
     params = _merge(trainable, frozen, tcfg)
     dt = compute_dtype
+    prior_n = 0
+    if tcfg.prior_weight > 0:
+        # prior preservation: fold the class batch onto the instance batch
+        # so the whole micro-step stays ONE VAE encode + ONE UNet call
+        # (bigger MXU tiles instead of a second half-sized dispatch); the
+        # per-example losses are re-split below
+        prior = {k[len("prior_"):]: v for k, v in batch.items()
+                 if k.startswith("prior_")}
+        if "input_ids" not in prior or ("pixel_values" in batch
+                                        and "pixel_values" not in prior):
+            raise ValueError(
+                "prior_weight > 0 needs prior_pixel_values + "
+                "prior_input_ids in every micro-batch (train/prior.py "
+                "augment_loader); cached latents are not supported for "
+                "the prior set")
+        if "latent_mean" in batch:
+            raise ValueError("prior_weight > 0 is incompatible with "
+                             "--cache_latents (the class set has no "
+                             "latent cache) — drop one of the two")
+        prior_n = prior["input_ids"].shape[0]
+        batch = {k: jnp.concatenate([v, prior[k]], axis=0)
+                 for k, v in batch.items() if not k.startswith("prior_")}
     ids = batch["input_ids"]                           # (B, ctx) int32
 
     kvae, knoise, kt = jax.random.split(key, 3)
@@ -418,6 +450,11 @@ def diffusion_loss(trainable, frozen, batch, key, cfg: PipelineConfig,
         denom = (snr + 1.0 if cfg.schedule.prediction_type == "v_prediction"
                  else jnp.maximum(snr, 1e-8))
         per_ex = per_ex * jnp.minimum(snr, tcfg.min_snr_gamma) / denom
+    if prior_n:
+        # DreamBooth objective: instance mean + weighted class-prior mean
+        # (diffusers train_dreambooth with_prior_preservation semantics)
+        return (jnp.mean(per_ex[:-prior_n])
+                + tcfg.prior_weight * jnp.mean(per_ex[-prior_n:]))
     return jnp.mean(per_ex)
 
 
@@ -453,6 +490,10 @@ def make_train_step(cfg: PipelineConfig, tcfg: TrainConfig, mesh=None,
             f"TrainConfig.dual_text_encoder={tcfg.dual_text_encoder} but "
             f"cfg.clip2 is {'set' if cfg.is_sdxl else 'None'} — set "
             "dual_text_encoder iff the PipelineConfig is SDXL")
+    if tcfg.prior_weight > 0 and cached_latents:
+        raise ValueError("prior_weight (prior preservation) is incompatible "
+                         "with cached latents — the class set has no latent "
+                         "cache; drop --cache_latents")
     sched = sched_mod.make_schedule(cfg.schedule)
     opt = make_optimizer(tcfg, dp_size)
     # TP training: model-axis-sharded q/k/v must take the partitionable XLA
@@ -521,6 +562,8 @@ def make_train_step(cfg: PipelineConfig, tcfg: TrainConfig, mesh=None,
                  else ("pixel_values",)) + ("input_ids",)
     if tcfg.dual_text_encoder:  # SDXL: second tokenizer's ids ride along
         data_keys += ("input_ids_2",)
+    if tcfg.prior_weight > 0:  # class batch shards alongside the instance
+        data_keys += tuple("prior_" + k for k in data_keys)
     batch_sh = {k: sh for k in data_keys}
     return jax.jit(
         step_fn,

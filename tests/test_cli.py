@@ -464,3 +464,24 @@ def test_enter_prompt_hires(env, trained_ckpt):
 
     with Image.open(os.path.join(outdir, pngs[0])) as im:
         assert im.size == (32, 32)
+
+
+def test_finetune_prior_preservation(env):
+    """DreamBooth prior preservation composes end-to-end through the CLI:
+    class set self-generated, every step trains instance + prior batches."""
+    import sdbc_tpu.cli.finetune as ft
+
+    ft.main(["--tiny", "--data_root", env["root"], "--img_size", "32",
+             "--epochs", "1", "--batch_size", "1", "--grad_acc_steps", "1",
+             "--num_examples", "8", "--train_text_encoder",
+             "--learning_rate", "1e-4", "--no-bf16",
+             "--prior_class_prompt", "a book cover",
+             "--prior_generate", "2", "--prior_gen_steps", "2",
+             "--prior_weight", "0.5",
+             "--output_dir", env["out"], "--run_id", "priortest",
+             "--ckpts_per_epoch", "1"])
+    run_dir = os.path.join(env["out"], "runs", "priortest")
+    assert any(d.startswith("ckpt-") for d in os.listdir(run_dir))
+    class_dir = os.path.join(env["out"], "prior_class")
+    pngs = [f for f in os.listdir(class_dir) if f.endswith(".png")]
+    assert len(pngs) == 2

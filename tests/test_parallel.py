@@ -427,3 +427,38 @@ def test_validate_tp_sd15_envelope():
     assert validate_tp(cfg, 8) == ("text_encoder",)
     with pytest.raises(ValueError, match="UNet"):
         validate_tp(cfg, 16)
+
+
+def test_dp_prior_step_matches_single_device(tiny_cfg, tiny_params):
+    """Prior preservation shards: the prior_* batch rides the data axis and
+    DP-8 matches single-device post-update params (trainer.prior_weight)."""
+    tcfg = TrainConfig(train_unet=False, train_text_encoder=True,
+                       grad_accum=1, learning_rate=1e-4, num_examples=100,
+                       lr_scale_by_dp=False, prior_weight=1.0)
+    batch = {
+        "pixel_values": jax.random.normal(jax.random.key(0),
+                                          (1, 8, 32, 32, 3)),
+        "input_ids": jnp.ones((1, 8, tiny_cfg.clip.ctx), jnp.int32),
+        "prior_pixel_values": jax.random.normal(jax.random.key(1),
+                                                (1, 8, 32, 32, 3)),
+        "prior_input_ids": jnp.full((1, 8, tiny_cfg.clip.ctx), 2, jnp.int32),
+    }
+    key = jax.random.key(5)
+
+    s_single = init_train_state(tiny_params, tcfg, compute_dtype=jnp.float32)
+    step_single = make_train_step(tiny_cfg, tcfg, compute_dtype=jnp.float32)
+    s1_single, m_single = step_single(s_single, batch, key)
+
+    mesh = make_mesh(MeshConfig(data=8))
+    s_dp = init_train_state(tiny_params, tcfg, compute_dtype=jnp.float32)
+    s_dp = replicate_tree(s_dp, mesh)
+    step_dp = make_train_step(tiny_cfg, tcfg, mesh=mesh, dp_size=8,
+                              compute_dtype=jnp.float32)
+    s1_dp, m_dp = step_dp(s_dp, batch, key)
+
+    np.testing.assert_allclose(float(m_single["loss"]), float(m_dp["loss"]),
+                               rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(s1_single.trainable),
+                    jax.tree.leaves(s1_dp.trainable)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-5)
