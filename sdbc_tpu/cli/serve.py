@@ -9,7 +9,8 @@ framework:
                       ["num_inference_steps"], ["guidance_scale"],
                       ["guidance_rescale"], ["num_images"], ["size"],
                       ["prompt_weighting"], ["init_image" (base64 PNG/JPEG)],
-                      ["strength"], ["mask_image" (base64, white=inpaint)]}
+                      ["strength"], ["mask_image" (base64, white=inpaint)],
+                      ["hires_scale"], ["hires_strength"], ["hires_steps"]}
         → image/png (single image) or JSON {"images": [base64 png, ...]}
     GET  /healthz    → {"ok": true, "requests": N, "batches": M, ...}
 
@@ -97,15 +98,16 @@ def build_parser() -> argparse.ArgumentParser:
 
 class _Job:
     __slots__ = ("prompt", "neg", "n", "steps", "gs", "gr", "pw", "seed",
-                 "size", "init", "mask", "strength",
+                 "size", "init", "mask", "strength", "hires",
                  "event", "images", "error")
 
     def __init__(self, prompt, neg, n, steps, gs, gr, pw, seed, size,
-                 init=None, mask=None, strength=0.8):
+                 init=None, mask=None, strength=0.8, hires=None):
         self.prompt, self.neg, self.n = prompt, neg, n
         self.steps, self.gs, self.gr, self.pw = steps, gs, gr, pw
         self.seed, self.size = seed, size
         self.init, self.mask, self.strength = init, mask, strength
+        self.hires = hires  # (scale, strength, steps) or None
         self.event = threading.Event()
         self.images = None
         self.error = None
@@ -114,11 +116,14 @@ class _Job:
         """Jobs sharing this key can run in one compiled graph call.
 
         strength is part of the key only for img2img jobs (it sets the
-        static t_start); text-to-image jobs ignore it.
+        static t_start); text-to-image jobs ignore it.  The hires tuple is
+        fully static (scale sets the base grid, strength the stage-2
+        t_start, steps its grid).
         """
         return (self.steps, self.gs, self.gr, self.pw, self.size,
                 self.init is not None, self.mask is not None,
-                round(self.strength, 4) if self.init is not None else None)
+                round(self.strength, 4) if self.init is not None else None,
+                self.hires)
 
 
 def make_app(pipe, args):
@@ -168,6 +173,30 @@ def make_app(pipe, args):
             if j.mask is not None:
                 masks += [j.mask] * j.n
         try:
+            if head.hires is not None:
+                # two-stage hires-fix (key() guarantees the whole batch
+                # shares the tuple).  Stage noise derives from the head
+                # seed — lone jobs reproduce the unbatched hires call;
+                # coalesced jobs get distinct per-row draws from that
+                # stream (same caveat as the stochastic samplers)
+                hs, hstr, hsteps = head.hires
+                imgs = pipe.hires(prompts,
+                                  height=head.size, width=head.size,
+                                  hires_scale=hs, hires_strength=hstr,
+                                  hires_steps=hsteps or None,
+                                  num_inference_steps=head.steps,
+                                  guidance_scale=head.gs,
+                                  guidance_rescale=head.gr,
+                                  negative_prompt=negs, seed=head.seed,
+                                  cache_interval=args.cache_interval,
+                                  cache_tail=args.cache_tail,
+                                  freeu=freeu, cfg_interval=cfg_interval,
+                                  prompt_weighting=head.pw)
+                off = 0
+                for j in batch:
+                    j.images = np.asarray(imgs[off:off + j.n])
+                    off += j.n
+                return
             kw = {}
             if inits:  # key() guarantees the whole batch agrees
                 kw["init_image"] = np.stack(inits)
@@ -277,6 +306,24 @@ def make_app(pipe, args):
                                  f"{strength}")
             if req.get("mask_image"):
                 mask = decode_b64_image(req["mask_image"], size, "L")
+        hires = None
+        if req.get("hires_scale"):
+            if not hasattr(pipe, "hires"):  # EnsemblePipeline
+                raise ValueError("hires_scale is not available under "
+                                 "--refiner_ckpt ensemble serving")
+            if init is not None:
+                raise ValueError("hires_scale cannot combine with "
+                                 "init_image (it drives both stages "
+                                 "itself)")
+            hs = float(req["hires_scale"])
+            if hs <= 1.0:
+                raise ValueError(f"hires_scale must be > 1, got {hs}")
+            hstr = float(req.get("hires_strength", 0.7))
+            if not 0.0 < hstr <= 1.0:
+                raise ValueError(f"hires_strength must be in (0, 1], got "
+                                 f"{hstr}")
+            hires = (round(hs, 4), round(hstr, 4),
+                     int(req.get("hires_steps", 0)))
         job = _Job(prompt=prompt,
                    neg=str(req.get("negative_prompt") or ""),
                    n=n,
@@ -287,7 +334,7 @@ def make_app(pipe, args):
                    pw=bool(req.get("prompt_weighting", False)),
                    seed=int(req.get("seed", 42)),
                    size=size, init=init, mask=mask,
-                   strength=float(req.get("strength", 0.8)))
+                   strength=float(req.get("strength", 0.8)), hires=hires)
         jobs.put(job)
         job.event.wait()
         if job.error is not None:

@@ -305,3 +305,22 @@ def test_serve_img2img_and_size_validation(tiny_cfg, tiny_params):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_serve_hires(server):
+    """hires_scale runs the two-stage upscale in the daemon; bad values
+    and init_image combination are 400s."""
+    with _post(server["url"], {"prompt": "big", "seed": 5,
+                               "num_inference_steps": 2,
+                               "hires_scale": 2.0,
+                               "hires_strength": 0.6,
+                               "hires_steps": 2}) as r:
+        assert r.read()[:8] == b"\x89PNG\r\n\x1a\n"
+    for payload, msg in (
+            ({"prompt": "x", "hires_scale": 1.0}, "hires_scale"),
+            ({"prompt": "x", "hires_scale": 2.0, "hires_strength": 2.0},
+             "hires_strength")):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(server["url"], payload)
+        assert ei.value.code == 400
+        assert msg in json.loads(ei.value.read())["error"]
