@@ -1117,6 +1117,39 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
 
         _, lat = jax.lax.fori_loop(t_start, t_stop, body, (state0, lat))
 
+    elif cfg.scheduler == "lcm":
+        # LCM (Luo et al. 2023, arXiv:2310.04378): consistency-distilled
+        # few-step sampling — each step maps the current sample straight to
+        # the boundary-conditioned x0 estimate and re-noises it to the next
+        # distillation grid point (fresh noise; the final step returns it
+        # clean).  Meant for LCM/LCM-LoRA checkpoints at 2-8 steps with low
+        # guidance; the math runs on any weights.  The grid is the
+        # diffusers LCMScheduler default (50 teacher steps).
+        ts = sched_mod.lcm_timesteps(cfg.schedule, num_inference_steps)
+        ts_next = jnp.concatenate(
+            [ts[1:], -jnp.ones((1,), ts.dtype)])
+        if orig_lat is not None:
+            lat = noise_to(ts[t_start]) if t_start < num_inference_steps \
+                else orig_lat.astype(dt)
+        tproj = _hoist_tproj(ts)
+
+        def body(i, carry):
+            lat, k = carry
+            k, sub = jax.random.split(k)
+            t = ts[i]
+            out = model_out_fn(lat, t, unet_mod.index_temb(tproj, i), i)
+            _, x0 = sched_mod.to_eps_x0(sched, out, t, lat,
+                                        cfg.schedule.prediction_type)
+            noise = jax.random.normal(sub, lat.shape, jnp.float32)
+            nlat = sched_mod.lcm_step(
+                sched, x0, t, ts_next[i], lat, noise,
+                last_step=i == num_inference_steps - 1)
+            if blend is not None:
+                nlat = blend(nlat, ts_next[i])
+            return nlat, k
+
+        lat, _ = jax.lax.fori_loop(t_start, t_stop, body, (lat, key))
+
     elif cfg.scheduler == "euler_a" and use_karras_sigmas:
         # Euler ancestral on the Karras σ grid (arXiv:2206.00364 eq. 5):
         # the UNet sees the CONTINUOUS interpolated timestep of each σ via

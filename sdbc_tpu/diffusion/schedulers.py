@@ -970,3 +970,69 @@ def dpm_step(sched: Schedule, cfg: ScheduleConfig, state: DPMState, eps, t,
 
     return DPMState(prev_x0=x0, prev_lambda=lam_t, count=state.count + 1), \
         x_prev.astype(x_t.dtype)
+
+
+# ---------------------------------------------------------------------------
+# LCM — Latent Consistency Models (Luo et al. 2023, arXiv:2310.04378)
+
+
+def lcm_timesteps(cfg: ScheduleConfig, num_inference_steps: int,
+                  original_inference_steps: int = 50) -> jnp.ndarray:
+    """The LCM inference grid (descending int32 timesteps).
+
+    Consistency distillation trains on a COARSE sub-grid of the 1000-step
+    schedule (``original_inference_steps`` teacher steps, diffusers
+    LCMScheduler default 50); inference picks ``num_inference_steps``
+    evenly from it, highest-noise first — so a 4-step run lands exactly on
+    distilled timesteps (999, 759, 519, 279 for the SD grid).
+    """
+    import numpy as np
+
+    if not 0 < num_inference_steps <= original_inference_steps:
+        raise ValueError(
+            f"LCM num_inference_steps must be in [1, "
+            f"{original_inference_steps}] (the distillation grid size), "
+            f"got {num_inference_steps}")
+    if cfg.num_train_timesteps % original_inference_steps:
+        raise ValueError(
+            f"original_inference_steps ({original_inference_steps}) must "
+            f"divide num_train_timesteps ({cfg.num_train_timesteps})")
+    k = cfg.num_train_timesteps // original_inference_steps
+    origin = np.arange(1, original_inference_steps + 1) * k - 1
+    skip = original_inference_steps // num_inference_steps
+    ts = origin[::-1][::skip][:num_inference_steps]
+    return jnp.asarray(np.ascontiguousarray(ts), jnp.int32)
+
+
+def lcm_boundary_scalings(t, timestep_scaling: float = 10.0,
+                          sigma_data: float = 0.5):
+    """(c_skip, c_out) boundary-condition scalings at integer timestep t.
+
+    The consistency function must satisfy f(x, 0) = x; the EDM-style
+    parameterisation c_skip·x + c_out·x0 enforces it smoothly
+    (c_skip(0)=1, c_out(0)=0).  ``timestep_scaling`` 10 and σ_data 0.5 are
+    the LCM defaults baked into published distilled checkpoints.
+    """
+    s = jnp.asarray(t, jnp.float32) * timestep_scaling
+    c_skip = sigma_data ** 2 / (s ** 2 + sigma_data ** 2)
+    c_out = s / jnp.sqrt(s ** 2 + sigma_data ** 2)
+    return c_skip, c_out
+
+
+def lcm_step(sched: Schedule, x0_t, t, t_next, x_t, noise, last_step=False):
+    """One LCM step t → t_next.
+
+    The distilled model's x0 prediction (via ``to_eps_x0`` — any
+    prediction_type) is blended with the boundary condition into the
+    consistency output f(x_t, t) = c_skip·x_t + c_out·x0; intermediate
+    steps RE-NOISE it to the next grid point with FRESH noise (the
+    multistep consistency chain), the final step returns it clean.
+    """
+    xf = x_t.astype(jnp.float32)
+    c_skip, c_out = lcm_boundary_scalings(t)
+    denoised = c_skip * xf + c_out * x0_t.astype(jnp.float32)
+    a_next = sched.alphas_cumprod[jnp.maximum(t_next, 0)]
+    noised = (jnp.sqrt(a_next) * denoised
+              + jnp.sqrt(1.0 - a_next) * noise.astype(jnp.float32))
+    out = jnp.where(jnp.asarray(last_step), denoised, noised)
+    return out.astype(x_t.dtype)

@@ -449,3 +449,28 @@ def test_cfg_interval_rejections(pipe, tiny_cfg, tiny_params):
     with pytest.raises(ValueError, match="pndm"):
         p(["g"], num_inference_steps=4, latents=lat,
           cfg_interval=(0.0, 0.5))
+
+
+def test_lcm_scheduler_pipeline(tiny_params):
+    """--scheduler lcm: 4-step consistency sampling runs end-to-end,
+    deterministic per seed, distinct from the DDIM path."""
+    import jax.numpy as jnp
+
+    from sdbc_tpu.data.tokenizer import CLIPTokenizer
+    from sdbc_tpu.diffusion.pipeline import PipelineConfig, SDPipeline
+
+    cfg = PipelineConfig.tiny("lcm")
+    tok = CLIPTokenizer.fallback(cfg.clip.vocab_size)
+    pipe = SDPipeline(tiny_params, cfg, tok, compute_dtype=jnp.float32)
+    a = pipe(["a cover"], height=32, width=32, num_inference_steps=4,
+             guidance_scale=1.5, seed=3)
+    b = pipe(["a cover"], height=32, width=32, num_inference_steps=4,
+             guidance_scale=1.5, seed=3)
+    assert a.shape == (1, 32, 32, 3)
+    assert 0.0 <= a.min() and a.max() <= 1.0
+    np.testing.assert_array_equal(a, b)
+    d = SDPipeline(tiny_params, PipelineConfig.tiny("ddim"), tok,
+                   compute_dtype=jnp.float32)(
+        ["a cover"], height=32, width=32, num_inference_steps=4,
+        guidance_scale=1.5, seed=3)
+    assert not np.allclose(a, d)

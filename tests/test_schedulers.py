@@ -1013,3 +1013,76 @@ def test_zero_snr_ddim_first_step_returns_minus_v():
               + np.sqrt(1 - a_p) * np.asarray(x, np.float64))
     np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-4,
                                atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# LCM (arXiv:2310.04378)
+
+
+def test_lcm_timestep_grid():
+    """The diffusers LCMScheduler grid: 50-step teacher sub-grid (k=20),
+    num_inference_steps picked highest-noise-first."""
+    np.testing.assert_array_equal(np.asarray(S.lcm_timesteps(CFG, 4)),
+                                  [999, 759, 519, 279])
+    ts8 = np.asarray(S.lcm_timesteps(CFG, 8))
+    np.testing.assert_array_equal(
+        ts8, [999, 879, 759, 639, 519, 399, 279, 159])
+    assert np.asarray(S.lcm_timesteps(CFG, 1)) == [999]
+    import pytest
+
+    with pytest.raises(ValueError, match="distillation grid"):
+        S.lcm_timesteps(CFG, 51)
+    with pytest.raises(ValueError, match="divide"):
+        S.lcm_timesteps(CFG, 4, original_inference_steps=7)
+
+
+def test_lcm_boundary_condition():
+    """f(x, 0) = x: c_skip(0)=1, c_out(0)=0; c_out grows monotonically."""
+    c_skip, c_out = S.lcm_boundary_scalings(jnp.asarray(0))
+    assert float(c_skip) == 1.0 and float(c_out) == 0.0
+    # monotone ramp-in (fp32 saturates c_out at 1 for large scaled t, so
+    # test the non-degenerate low range strictly and the rest weakly)
+    t = jnp.arange(0, 1000, 50)
+    cs, co = S.lcm_boundary_scalings(t)
+    assert np.all(np.diff(np.asarray(co)) >= 0)
+    assert np.all(np.diff(np.asarray(cs)) <= 0)
+    cs_lo, co_lo = S.lcm_boundary_scalings(jnp.arange(0, 5))
+    assert np.all(np.diff(np.asarray(co_lo)) > 0)
+    assert np.all(np.diff(np.asarray(cs_lo)) < 0)
+    # last step at t=0 is the identity
+    x = jnp.full((1, 2, 2, 1), 3.0)
+    out = S.lcm_step(SCHED, jnp.zeros_like(x), jnp.asarray(0),
+                     jnp.asarray(-1), x, jnp.zeros_like(x), last_step=True)
+    np.testing.assert_allclose(np.asarray(out), 3.0)
+
+
+def test_lcm_one_step_recovers_x0_with_exact_eps():
+    """At t=999 c_skip ≈ 2.5e-9, so a single last step with the exact-eps
+    oracle's x0 returns x0 (the one-step consistency generation)."""
+    rng = np.random.RandomState(0)
+    x0 = jnp.asarray(rng.randn(2, 4, 4, 3), jnp.float32)
+    n = jnp.asarray(rng.randn(2, 4, 4, 3), jnp.float32)
+    t = jnp.asarray([999, 999])
+    x_t = S.ddpm_add_noise(SCHED, x0, n, t)
+    _, x0_pred = S.to_eps_x0(SCHED, n, 999, x_t, "epsilon")
+    out = S.lcm_step(SCHED, x0_pred, jnp.asarray(999), jnp.asarray(-1),
+                     x_t, jnp.zeros_like(x_t), last_step=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x0),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_lcm_renoise_marginal():
+    """Intermediate steps re-noise the consistency output to EXACTLY the
+    next grid point's forward marginal (fresh-noise multistep chain)."""
+    rng = np.random.RandomState(1)
+    x_t = jnp.asarray(rng.randn(1, 4, 4, 2), jnp.float32)
+    x0p = jnp.asarray(rng.randn(1, 4, 4, 2), jnp.float32)
+    noise = jnp.asarray(rng.randn(1, 4, 4, 2), jnp.float32)
+    t, t_next = 759, 519
+    out = S.lcm_step(SCHED, x0p, jnp.asarray(t), jnp.asarray(t_next),
+                     x_t, noise, last_step=False)
+    cs, co = S.lcm_boundary_scalings(jnp.asarray(t))
+    denoised = float(cs) * np.asarray(x_t) + float(co) * np.asarray(x0p)
+    a = float(SCHED.alphas_cumprod[t_next])
+    ref = np.sqrt(a) * denoised + np.sqrt(1 - a) * np.asarray(noise)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-6)
