@@ -118,12 +118,17 @@ class _Job:
         strength is part of the key only for img2img jobs (it sets the
         static t_start); text-to-image jobs ignore it.  The hires tuple is
         fully static (scale sets the base grid, strength the stage-2
-        t_start, steps its grid).
+        t_start, steps its grid).  Hires jobs also key on their seed: both
+        stages draw noise from the head job's stream, so coalescing
+        different-seed hires jobs would make results depend on batch
+        composition — same-seed jobs coalesce (identical output), others
+        run in their own batch and stay bit-reproducible.
         """
         return (self.steps, self.gs, self.gr, self.pw, self.size,
                 self.init is not None, self.mask is not None,
                 round(self.strength, 4) if self.init is not None else None,
-                self.hires)
+                self.hires,
+                self.seed if self.hires is not None else None)
 
 
 def make_app(pipe, args):
@@ -175,10 +180,8 @@ def make_app(pipe, args):
         try:
             if head.hires is not None:
                 # two-stage hires-fix (key() guarantees the whole batch
-                # shares the tuple).  Stage noise derives from the head
-                # seed — lone jobs reproduce the unbatched hires call;
-                # coalesced jobs get distinct per-row draws from that
-                # stream (same caveat as the stochastic samplers)
+                # shares the tuple AND the seed, so every job reproduces
+                # the unbatched hires call for its own seed)
                 hs, hstr, hsteps = head.hires
                 imgs = pipe.hires(prompts,
                                   height=head.size, width=head.size,

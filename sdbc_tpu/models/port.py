@@ -154,6 +154,11 @@ def _port_transformer(sd, pfx):
 
 def port_unet(sd: Dict[str, np.ndarray]) -> dict:
     """diffusers UNet2DConditionModel state dict → models/unet.py tree."""
+    if "time_embedding.cond_proj.weight" in sd:
+        raise ValueError(
+            "UNet weights carry time_embedding.cond_proj (fully-distilled "
+            "LCM/guidance-embedded checkpoint); unsupported — use LCM-LoRA "
+            "weights merged onto a standard UNet instead")
     p = {
         "conv_in": _conv(sd, "conv_in"),
         "time_mlp": {
@@ -461,6 +466,14 @@ def unet_config_from_diffusers(cfg: dict):
     depth = cfg.get("transformer_layers_per_block", 1)
     if isinstance(depth, (list, tuple)):
         depth = tuple(depth) if len(set(depth)) > 1 else depth[0]
+    if cfg.get("time_cond_proj_dim"):
+        # fully-distilled LCM checkpoints condition on a w-embedding via
+        # time_cond_proj; this UNet has no such input.  Only LCM-LoRA
+        # merged onto a standard UNet works with scheduler="lcm".
+        raise ValueError(
+            "UNet has time_cond_proj_dim (fully-distilled LCM/guidance-"
+            "embedded checkpoint); unsupported — use LCM-LoRA weights "
+            "merged onto a standard UNet instead")
     add_type = cfg.get("addition_embed_type")
     add_dim = None
     if add_type == "text_time":  # SDXL micro-conditioning

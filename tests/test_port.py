@@ -211,3 +211,19 @@ def test_export_diffusers_dir_roundtrip(tiny_cfg, tiny_params, tmp_path):
     assert cfg2.vae == tiny_cfg.vae
     assert cfg2.clip == tiny_cfg.clip
     assert cfg2.schedule.prediction_type == tiny_cfg.schedule.prediction_type
+
+
+def test_distilled_lcm_checkpoints_rejected():
+    """Fully-distilled LCM checkpoints (time_cond_proj w-embedding input)
+    must error clearly in both the config and the state-dict path; only
+    LCM-LoRA merged onto a standard UNet is supported."""
+    import numpy as np
+    import pytest
+
+    from sdbc_tpu.models.port import port_unet, unet_config_from_diffusers
+
+    with pytest.raises(ValueError, match="time_cond_proj"):
+        unet_config_from_diffusers({"time_cond_proj_dim": 256})
+    with pytest.raises(ValueError, match="cond_proj"):
+        port_unet({"time_embedding.cond_proj.weight":
+                   np.zeros((4, 4), np.float32)})

@@ -162,3 +162,42 @@ def test_generate_class_images_tops_up(class_dir, tiny_cfg, tiny_params):
                                  img_size=32, batch_size=2,
                                  num_inference_steps=2,
                                  log=lambda *_: None) == 0
+
+
+def test_prior_set_missing_dir_raises(tmp_path, tiny_cfg):
+    """--prior_images_dir at a nonexistent path gets the curated guidance,
+    not a raw FileNotFoundError."""
+    from sdbc_tpu.data.tokenizer import CLIPTokenizer
+    from sdbc_tpu.train.prior import PriorSet
+
+    tok = CLIPTokenizer.fallback(tiny_cfg.clip.vocab_size)
+    with pytest.raises(ValueError, match="no class images"):
+        PriorSet(str(tmp_path / "nope"), "a book cover", tok, img_size=32)
+
+
+def test_generate_class_images_never_overwrites(tmp_path, tiny_cfg,
+                                                tiny_params):
+    """Pre-existing class-NNNNN names (possibly non-contiguous) are skipped
+    when assigning output paths, so user images survive and the directory
+    really reaches the quota."""
+    from PIL import Image
+
+    from sdbc_tpu.data.tokenizer import CLIPTokenizer
+    from sdbc_tpu.diffusion.pipeline import SDPipeline
+    from sdbc_tpu.train.prior import generate_class_images
+
+    d = tmp_path / "class"
+    d.mkdir()
+    marker = np.full((32, 32, 3), 7, np.uint8)
+    Image.fromarray(marker).save(d / "class-00001.png")  # offset name
+    tok = CLIPTokenizer.fallback(tiny_cfg.clip.vocab_size)
+    pipe = SDPipeline(tiny_params, tiny_cfg, tok, compute_dtype=jnp.float32)
+    made = generate_class_images(pipe, "a book cover", 3, str(d),
+                                 img_size=32, batch_size=2,
+                                 num_inference_steps=2, seed=0,
+                                 log=lambda *_: None)
+    assert made == 2
+    files = sorted(os.listdir(d))
+    assert len(files) == 3  # quota actually met on disk
+    got = np.asarray(Image.open(d / "class-00001.png"))
+    np.testing.assert_array_equal(got, marker)  # untouched

@@ -324,3 +324,17 @@ def test_serve_hires(server):
             _post(server["url"], payload)
         assert ei.value.code == 400
         assert msg in json.loads(ei.value.read())["error"]
+
+
+def test_hires_jobs_key_on_seed():
+    """Different-seed hires jobs must not coalesce (both stages draw noise
+    from the head job's stream); same-seed ones and non-hires jobs keep
+    their coalescing behavior."""
+    from sdbc_tpu.cli.serve import _Job
+
+    mk = lambda seed, hires: _Job("p", "", 1, 10, 7.5, 0.0, False, seed,
+                                  64, hires=hires)
+    h = (2.0, 0.7, 0)
+    assert mk(1, h).key() != mk(2, h).key()
+    assert mk(1, h).key() == mk(1, h).key()
+    assert mk(1, None).key() == mk(2, None).key()
