@@ -54,6 +54,40 @@ from sdbc_tpu.diffusion.pipeline import PipelineConfig  # noqa: E402
 from sdbc_tpu.models import clip, unet, vae  # noqa: E402
 
 
+# --- smoke / full split -----------------------------------------------------
+# `pytest -m smoke` = a <10-minute per-component-family subset (one test per
+# test module + every golden), the CI-style gate for iteration; the full
+# suite (`pytest tests/`) stays the release bar, and `-m "not smoke"` runs
+# the remainder.  By default the first collected test of each module is the
+# family representative; override per module here when that test is slow or
+# unrepresentative.
+SMOKE_OVERRIDES = {
+    # first tests of these modules run sampling loops / many compiles;
+    # pick a cheap but representative family member instead
+    "test_cli.py": "test_grad_ckpt_tristate_parser",
+    "test_serve.py": "test_hires_jobs_key_on_seed",
+    "test_numpy_mirror.py": "test_timestep_embedding_layout",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    smoke = pytest.mark.smoke
+    seen = set()
+    for item in items:
+        mod = os.path.basename(str(item.fspath))
+        if mod == "test_goldens.py":
+            item.add_marker(smoke)
+            continue
+        want = SMOKE_OVERRIDES.get(mod)
+        if want is not None:
+            if want in item.name:
+                item.add_marker(smoke)
+            continue
+        if mod not in seen:
+            seen.add(mod)
+            item.add_marker(smoke)
+
+
 @pytest.fixture(scope="session")
 def tiny_cfg() -> PipelineConfig:
     return PipelineConfig.tiny()
