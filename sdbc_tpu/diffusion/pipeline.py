@@ -303,6 +303,42 @@ def _apply_token_weights(emb, w):
             ).astype(emb.dtype)
 
 
+def _scheduler_loop(lo, hi, lat, model_at, update, *, state0=(), key=None,
+                    cache0=None):
+    """The ONE fori_loop driver behind every scheduler x {cached, uncached}
+    sampling loop (replaces 16+ hand-written near-identical bodies).
+
+    carry = (state, lat, key, cache); slots a scheduler does not use hold
+    empty tuples, which contribute no leaves — the flattened loop carry
+    (and hence the traced jaxpr) is byte-identical to the old per-scheduler
+    bodies (gated by experiments/trace_hash_all.py).
+
+    model_at(i, lat, cache) -> (t, out, cache): the grid point, the guided
+      model output there, and the (DeepCache) trunk cache — the uncached
+      paths thread the empty-tuple cache through untouched.
+    update(i, t, out, lat, state, sub) -> (state, lat): everything the
+      scheduler does after the model call (eps/x0 conversion, the step
+      itself, the inpaint blend).  ``sub`` is a fresh PRNG subkey (None for
+      deterministic schedulers), split BEFORE the model call to match the
+      original stochastic bodies' trace order.
+    """
+    stochastic = key is not None
+    carry0 = (state0, lat, key if stochastic else (),
+              cache0 if cache0 is not None else ())
+
+    def body(i, carry):
+        state, lat, k, cache = carry
+        sub = None
+        if stochastic:
+            k, sub = jax.random.split(k)
+        t, out, cache = model_at(i, lat, cache)
+        state, lat = update(i, t, out, lat, state, sub)
+        return state, lat, k, cache
+
+    _, lat, _, _ = jax.lax.fori_loop(lo, hi, body, carry0)
+    return lat
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "num_inference_steps", "compute_dtype", "decode",
@@ -820,20 +856,6 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
         pred = jnp.logical_and(i >= cfg_lo, i < cfg_hi)
         return jax.lax.cond(pred, guided, cond_only)
 
-    def eps_fn(lat, t, tp=None, i=None):
-        """Guided model output converted to epsilon parameterisation.
-
-        The dpm/pndm/ddpm steps are eps-parameterised; v-prediction
-        checkpoints are converted here (the ddim path converts inside
-        ddim_step instead).  CFG and the v→eps map are both linear in the
-        model output, so guiding first then converting is exact.
-        """
-        out = model_out_fn(lat, t, tp, i)
-        if cfg.schedule.prediction_type != "epsilon":
-            out, _ = sched_mod.to_eps_x0(sched, out, t, lat,
-                                         cfg.schedule.prediction_type)
-        return out
-
     def make_cached_unet(tproj):
         """DeepCache machinery shared by the ddim and dpm fast paths.
 
@@ -881,6 +903,42 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
 
         return cache0, model_out_cached
 
+    def _model_at(ts_grid, tproj, cached=False):
+        """(model_at, cache0) pair for _scheduler_loop over a grid.
+
+        ``cached=True`` wires the DeepCache trunk (make_cached_unet) in;
+        the uncached closure threads the loop's empty cache slot through
+        untouched.  ``t`` is gathered once here and handed to the update
+        so the traced gather count matches the old hand-written bodies.
+        """
+        if cached:
+            cache0, model_out_cached = make_cached_unet(tproj)
+
+            def model_at(i, lat, cache):
+                t = ts_grid[i]
+                out, cache = model_out_cached(lat, t, i, cache)
+                return t, out, cache
+
+            return model_at, cache0
+
+        def model_at(i, lat, cache):
+            t = ts_grid[i]
+            return (t,
+                    model_out_fn(lat, t, unet_mod.index_temb(tproj, i), i),
+                    cache)
+
+        return model_at, None
+
+    def _to_eps(out, t, lat):
+        """eps-parameterised model output (the old eps_fn epilogue): the
+        dpm/pndm/ddpm/euler steps consume eps; v-prediction checkpoints
+        convert here (CFG and the v→eps map are both linear in the model
+        output, so guiding first then converting is exact)."""
+        if cfg.schedule.prediction_type != "epsilon":
+            out, _ = sched_mod.to_eps_x0(sched, out, t, lat,
+                                         cfg.schedule.prediction_type)
+        return out
+
     if cfg.scheduler == "ddim":
         ts = sched_mod.ddim_timesteps(cfg.schedule, num_inference_steps)
         ratio = sched_mod.inference_stride(cfg.schedule, num_inference_steps)
@@ -890,34 +948,20 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
         # hoist the per-ResBlock time projections out of the loop (~3.5 ms/
         # step of latency-bound (8,1280)-sized matmuls at SD-1.5 shapes)
         tproj = _hoist_tproj(ts)
+        model_at, cache0 = _model_at(ts, tproj,
+                                     bool(cache_interval
+                                          and cache_interval > 1))
 
-        if cache_interval and cache_interval > 1:
-            cache0, model_out_cached = make_cached_unet(tproj)
+        def update(i, t, out, lat, state, sub):
+            nlat = sched_mod.ddim_step(
+                sched, out, t, t - ratio, lat,
+                prediction_type=cfg.schedule.prediction_type)
+            if blend is not None:
+                nlat = blend(nlat, t - ratio)
+            return state, nlat
 
-            def body(i, carry):
-                lat, cache = carry
-                t = ts[i]
-                out, cache = model_out_cached(lat, t, i, cache)
-                nlat = sched_mod.ddim_step(sched, out, t, t - ratio, lat,
-                                           prediction_type=cfg.schedule.prediction_type)
-                if blend is not None:
-                    nlat = blend(nlat, t - ratio)
-                return nlat, cache
-
-            lat, _ = jax.lax.fori_loop(t_start, t_stop, body,
-                                       (lat, cache0))
-        else:
-            def body(i, lat):
-                t = ts[i]
-                out = model_out_fn(lat, t, unet_mod.index_temb(tproj, i), i)
-                nlat = sched_mod.ddim_step(
-                    sched, out, t, t - ratio, lat,
-                    prediction_type=cfg.schedule.prediction_type)
-                if blend is not None:
-                    nlat = blend(nlat, t - ratio)
-                return nlat
-
-            lat = jax.lax.fori_loop(t_start, t_stop, body, lat)
+        lat = _scheduler_loop(t_start, t_stop, lat, model_at, update,
+                              cache0=cache0)
 
     elif cfg.scheduler == "dpm" and use_karras_sigmas:
         # DPM-Solver++(2M) on the Karras σ grid (λ = −log σ carries the
@@ -932,44 +976,24 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
         tproj = _hoist_tproj(ts_f)
         lower_order_final = num_inference_steps < 15
         state0 = sched_mod.dpm_init_state(lat.shape)
+        model_at, cache0 = _model_at(ts_f, tproj,
+                                     bool(cache_interval
+                                          and cache_interval > 1))
 
-        if cache_interval and cache_interval > 1:
-            cache0, model_out_cached = make_cached_unet(tproj)
+        def update(i, t, out, lat, state, sub):
+            eps, _ = sched_mod.sigma_to_eps_x0(
+                out, sigmas[i], lat, cfg.schedule.prediction_type)
+            first = jnp.logical_and(lower_order_final,
+                                    i == num_inference_steps - 1)
+            state, lat = sched_mod.dpm_step_sigma(
+                state, eps, sigmas[i], sigmas[i + 1], lat,
+                first_order=first)
+            if blend_sigma is not None:
+                lat = blend_sigma(lat, sigmas[i + 1])
+            return state, lat
 
-            def body(i, carry):
-                state, lat, cache = carry
-                out, cache = model_out_cached(lat, ts_f[i], i, cache)
-                eps, _ = sched_mod.sigma_to_eps_x0(
-                    out, sigmas[i], lat, cfg.schedule.prediction_type)
-                first = jnp.logical_and(lower_order_final,
-                                        i == num_inference_steps - 1)
-                state, lat = sched_mod.dpm_step_sigma(
-                    state, eps, sigmas[i], sigmas[i + 1], lat,
-                    first_order=first)
-                if blend_sigma is not None:
-                    lat = blend_sigma(lat, sigmas[i + 1])
-                return state, lat, cache
-
-            _, lat, _ = jax.lax.fori_loop(t_start, t_stop,
-                                          body, (state0, lat, cache0))
-        else:
-            def body(i, carry):
-                state, lat = carry
-                out = model_out_fn(lat, ts_f[i],
-                                   unet_mod.index_temb(tproj, i), i)
-                eps, _ = sched_mod.sigma_to_eps_x0(
-                    out, sigmas[i], lat, cfg.schedule.prediction_type)
-                first = jnp.logical_and(lower_order_final,
-                                        i == num_inference_steps - 1)
-                state, lat = sched_mod.dpm_step_sigma(
-                    state, eps, sigmas[i], sigmas[i + 1], lat,
-                    first_order=first)
-                if blend_sigma is not None:
-                    lat = blend_sigma(lat, sigmas[i + 1])
-                return state, lat
-
-            _, lat = jax.lax.fori_loop(t_start, t_stop, body,
-                                       (state0, lat))
+        lat = _scheduler_loop(t_start, t_stop, lat, model_at, update,
+                              state0=state0, cache0=cache0)
 
     elif cfg.scheduler == "dpm":
         # DPM-Solver++(2M): DDIM-level quality at ~20-25 steps (bonus
@@ -985,46 +1009,25 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
         lower_order_final = num_inference_steps < 15
 
         state0 = sched_mod.dpm_init_state(lat.shape)
+        # DeepCache over DPM-Solver++: the two fast paths compose — the
+        # solver consumes whatever eps the (cached) UNet produces
+        model_at, cache0 = _model_at(ts, tproj,
+                                     bool(cache_interval
+                                          and cache_interval > 1))
 
-        if cache_interval and cache_interval > 1:
-            # DeepCache over DPM-Solver++: the two fast paths compose — the
-            # solver consumes whatever eps the (cached) UNet produces
-            cache0, model_out_cached = make_cached_unet(tproj)
+        def update(i, t, out, lat, state, sub):
+            eps = _to_eps(out, t, lat)
+            first = jnp.logical_and(lower_order_final,
+                                    i == num_inference_steps - 1)
+            state, lat = sched_mod.dpm_step(sched, cfg.schedule, state,
+                                            eps, t, t - ratio, lat,
+                                            first_order=first)
+            if blend is not None:
+                lat = blend(lat, t - ratio)
+            return state, lat
 
-            def body(i, carry):
-                state, lat, cache = carry
-                t = ts[i]
-                out, cache = model_out_cached(lat, t, i, cache)
-                if cfg.schedule.prediction_type != "epsilon":
-                    out, _ = sched_mod.to_eps_x0(sched, out, t, lat,
-                                                 cfg.schedule.prediction_type)
-                first = jnp.logical_and(lower_order_final,
-                                        i == num_inference_steps - 1)
-                state, lat = sched_mod.dpm_step(sched, cfg.schedule, state,
-                                                out, t, t - ratio, lat,
-                                                first_order=first)
-                if blend is not None:
-                    lat = blend(lat, t - ratio)
-                return state, lat, cache
-
-            _, lat, _ = jax.lax.fori_loop(t_start, t_stop, body,
-                                          (state0, lat, cache0))
-        else:
-            def body(i, carry):
-                state, lat = carry
-                t = ts[i]
-                eps = eps_fn(lat, t, unet_mod.index_temb(tproj, i), i)
-                first = jnp.logical_and(lower_order_final,
-                                        i == num_inference_steps - 1)
-                state, lat = sched_mod.dpm_step(sched, cfg.schedule, state,
-                                                eps, t, t - ratio, lat,
-                                                first_order=first)
-                if blend is not None:
-                    lat = blend(lat, t - ratio)
-                return state, lat
-
-            _, lat = jax.lax.fori_loop(t_start, t_stop, body,
-                                       (state0, lat))
+        lat = _scheduler_loop(t_start, t_stop, lat, model_at, update,
+                              state0=state0, cache0=cache0)
 
     elif cfg.scheduler == "dpm_sde" and use_karras_sigmas:
         # SDE-DPM-Solver++(2M) on the Karras σ grid.
@@ -1037,11 +1040,9 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
         tproj = _hoist_tproj(ts_f)
         lower_order_final = num_inference_steps < 15
         state0 = sched_mod.dpm_init_state(lat.shape)
+        model_at, _ = _model_at(ts_f, tproj)
 
-        def body(i, carry):
-            state, lat, k = carry
-            k, sub = jax.random.split(k)
-            out = model_out_fn(lat, ts_f[i], unet_mod.index_temb(tproj, i), i)
+        def update(i, t, out, lat, state, sub):
             eps, _ = sched_mod.sigma_to_eps_x0(
                 out, sigmas[i], lat, cfg.schedule.prediction_type)
             first = jnp.logical_and(lower_order_final,
@@ -1052,10 +1053,10 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
                 first_order=first)
             if blend_sigma is not None:
                 lat = blend_sigma(lat, sigmas[i + 1])
-            return state, lat, k
+            return state, lat
 
-        _, lat, _ = jax.lax.fori_loop(t_start, t_stop, body,
-                                      (state0, lat, key))
+        lat = _scheduler_loop(t_start, t_stop, lat, model_at, update,
+                              state0=state0, key=key)
 
     elif cfg.scheduler == "dpm_sde":
         # SDE-DPM-Solver++(2M), midpoint solver type (the stochastic
@@ -1070,12 +1071,10 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
         tproj = _hoist_tproj(ts)
         lower_order_final = num_inference_steps < 15
         state0 = sched_mod.dpm_init_state(lat.shape)
+        model_at, _ = _model_at(ts, tproj)
 
-        def body(i, carry):
-            state, lat, k = carry
-            k, sub = jax.random.split(k)
-            t = ts[i]
-            eps = eps_fn(lat, t, unet_mod.index_temb(tproj, i), i)
+        def update(i, t, out, lat, state, sub):
+            eps = _to_eps(out, t, lat)
             first = jnp.logical_and(lower_order_final,
                                     i == num_inference_steps - 1)
             z = jax.random.normal(sub, lat.shape, jnp.float32)
@@ -1084,10 +1083,10 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
                                                 first_order=first)
             if blend is not None:
                 lat = blend(lat, t - ratio)
-            return state, lat, k
+            return state, lat
 
-        _, lat, _ = jax.lax.fori_loop(t_start, t_stop, body,
-                                      (state0, lat, key))
+        lat = _scheduler_loop(t_start, t_stop, lat, model_at, update,
+                              state0=state0, key=key)
 
     elif cfg.scheduler == "unipc":
         # UniPC (Zhao et al. 2023, arXiv:2302.04867; bh2 data-prediction,
@@ -1103,11 +1102,9 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
                 else orig_lat.astype(dt)
         tproj = _hoist_tproj(ts)
         state0 = sched_mod.unipc_init_state(lat.shape)
+        model_at, _ = _model_at(ts, tproj)
 
-        def body(i, carry):
-            state, lat = carry
-            t = ts[i]
-            out = model_out_fn(lat, t, unet_mod.index_temb(tproj, i), i)
+        def update(i, t, out, lat, state, sub):
             _, x0 = sched_mod.to_eps_x0(sched, out, t, lat,
                                         cfg.schedule.prediction_type)
             state, lat = sched_mod.unipc_step(
@@ -1115,16 +1112,21 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
                 last_step=i == t_stop - 1)
             return state, lat
 
-        _, lat = jax.lax.fori_loop(t_start, t_stop, body, (state0, lat))
+        lat = _scheduler_loop(t_start, t_stop, lat, model_at, update,
+                              state0=state0)
 
     elif cfg.scheduler == "lcm":
         # LCM (Luo et al. 2023, arXiv:2310.04378): consistency-distilled
         # few-step sampling — each step maps the current sample straight to
         # the boundary-conditioned x0 estimate and re-noises it to the next
         # distillation grid point (fresh noise; the final step returns it
-        # clean).  Meant for LCM/LCM-LoRA checkpoints at 2-8 steps with low
-        # guidance; the math runs on any weights.  The grid is the
-        # diffusers LCMScheduler default (50 teacher steps).
+        # clean).  Meant for LCM-LoRA weights merged onto a STANDARD UNet
+        # at 2-8 steps with low guidance; the math runs on any weights.
+        # Fully-distilled LCM checkpoints (time_cond_proj_dim w-embedding
+        # conditioning) are NOT supported — the loader rejects them
+        # (models/port.py) — and guidance here is classifier-free, not the
+        # distilled w-embedding.  Grid: diffusers LCMScheduler default
+        # (50 teacher steps).
         ts = sched_mod.lcm_timesteps(cfg.schedule, num_inference_steps)
         ts_next = jnp.concatenate(
             [ts[1:], -jnp.ones((1,), ts.dtype)])
@@ -1132,12 +1134,9 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
             lat = noise_to(ts[t_start]) if t_start < num_inference_steps \
                 else orig_lat.astype(dt)
         tproj = _hoist_tproj(ts)
+        model_at, _ = _model_at(ts, tproj)
 
-        def body(i, carry):
-            lat, k = carry
-            k, sub = jax.random.split(k)
-            t = ts[i]
-            out = model_out_fn(lat, t, unet_mod.index_temb(tproj, i), i)
+        def update(i, t, out, lat, state, sub):
             _, x0 = sched_mod.to_eps_x0(sched, out, t, lat,
                                         cfg.schedule.prediction_type)
             noise = jax.random.normal(sub, lat.shape, jnp.float32)
@@ -1146,9 +1145,10 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
                 last_step=i == num_inference_steps - 1)
             if blend is not None:
                 nlat = blend(nlat, ts_next[i])
-            return nlat, k
+            return state, nlat
 
-        lat, _ = jax.lax.fori_loop(t_start, t_stop, body, (lat, key))
+        lat = _scheduler_loop(t_start, t_stop, lat, model_at, update,
+                              key=key)
 
     elif cfg.scheduler == "euler_a" and use_karras_sigmas:
         # Euler ancestral on the Karras σ grid (arXiv:2206.00364 eq. 5):
@@ -1161,11 +1161,9 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
             lat = noise_to_sigma(sigmas[t_start]) \
                 if t_start < num_inference_steps else orig_lat.astype(dt)
         tproj = _hoist_tproj(ts_f)
+        model_at, _ = _model_at(ts_f, tproj)
 
-        def body(i, carry):
-            lat, k = carry
-            k, sub = jax.random.split(k)
-            out = model_out_fn(lat, ts_f[i], unet_mod.index_temb(tproj, i), i)
+        def update(i, t, out, lat, state, sub):
             eps, _ = sched_mod.sigma_to_eps_x0(out, sigmas[i], lat,
                                                cfg.schedule.prediction_type)
             noise = jax.random.normal(sub, lat.shape, jnp.float32)
@@ -1174,10 +1172,10 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
                                               ancestral=True)
             if blend_sigma is not None:
                 nlat = blend_sigma(nlat, sigmas[i + 1])
-            return nlat, k
+            return state, nlat
 
-        lat, _ = jax.lax.fori_loop(t_start, t_stop, body,
-                                   (lat, key))
+        lat = _scheduler_loop(t_start, t_stop, lat, model_at, update,
+                              key=key)
 
     elif cfg.scheduler == "euler_a":
         # Euler ancestral (k-diffusion) — stochastic sampling with a noise
@@ -1190,21 +1188,19 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
             lat = noise_to(ts[t_start]) if t_start < num_inference_steps \
                 else orig_lat.astype(dt)
         tproj = _hoist_tproj(ts)
+        model_at, _ = _model_at(ts, tproj)
 
-        def body(i, carry):
-            lat, k = carry
-            k, sub = jax.random.split(k)
-            t = ts[i]
-            eps = eps_fn(lat, t, unet_mod.index_temb(tproj, i), i)
+        def update(i, t, out, lat, state, sub):
+            eps = _to_eps(out, t, lat)
             noise = jax.random.normal(sub, lat.shape, jnp.float32)
             nlat = sched_mod.euler_step(sched, eps, t, t - ratio, lat,
                                         noise=noise, ancestral=True)
             if blend is not None:
                 nlat = blend(nlat, t - ratio)
-            return nlat, k
+            return state, nlat
 
-        lat, _ = jax.lax.fori_loop(t_start, t_stop, body,
-                                   (lat, key))
+        lat = _scheduler_loop(t_start, t_stop, lat, model_at, update,
+                              key=key)
 
     elif cfg.scheduler == "lms" and use_karras_sigmas:
         # k-LMS on the Karras σ grid: the exact Lagrange coefficient
@@ -1215,10 +1211,9 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
         sigmas, ts_f = jnp.asarray(sigmas_np), jnp.asarray(ts_np)
         coeffs = sched_mod.lms_coeff_table_sigmas(sigmas_np)
         tproj = _hoist_tproj(ts_f)
+        model_at, _ = _model_at(ts_f, tproj)
 
-        def body(i, carry):
-            state, lat = carry
-            out = model_out_fn(lat, ts_f[i], unet_mod.index_temb(tproj, i), i)
+        def update(i, t, out, lat, state, sub):
             eps, _ = sched_mod.sigma_to_eps_x0(out, sigmas[i], lat,
                                                cfg.schedule.prediction_type)
             state, lat = sched_mod.lms_step_sigma(state, eps, sigmas[i],
@@ -1227,8 +1222,8 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
             return state, lat
 
         state0 = sched_mod.lms_init_state(lat.shape)
-        _, lat = jax.lax.fori_loop(0, num_inference_steps, body,
-                                   (state0, lat))
+        lat = _scheduler_loop(0, num_inference_steps, lat, model_at, update,
+                              state0=state0)
 
     elif cfg.scheduler == "lms":
         # k-LMS (diffusers-0.7.2 LMSDiscreteScheduler): deterministic
@@ -1238,32 +1233,32 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
         ratio = sched_mod.inference_stride(cfg.schedule, num_inference_steps)
         coeffs = sched_mod.lms_coeff_table(cfg.schedule, num_inference_steps)
         tproj = _hoist_tproj(ts)
+        model_at, _ = _model_at(ts, tproj)
 
-        def body(i, carry):
-            state, lat = carry
-            t = ts[i]
-            eps = eps_fn(lat, t, unet_mod.index_temb(tproj, i), i)
+        def update(i, t, out, lat, state, sub):
+            eps = _to_eps(out, t, lat)
             state, lat = sched_mod.lms_step(sched, state, eps, t, t - ratio,
                                             lat, coeffs[i])
             return state, lat
 
         state0 = sched_mod.lms_init_state(lat.shape)
-        _, lat = jax.lax.fori_loop(0, num_inference_steps, body, (state0, lat))
+        lat = _scheduler_loop(0, num_inference_steps, lat, model_at, update,
+                              state0=state0)
 
     elif cfg.scheduler == "pndm":
         ts = sched_mod.pndm_timesteps(cfg.schedule, num_inference_steps)
         tproj = _hoist_tproj(ts)
+        model_at, _ = _model_at(ts, tproj)
 
-        def body(i, carry):
-            state, lat = carry
-            t = ts[i]
-            eps = eps_fn(lat, t, unet_mod.index_temb(tproj, i), i)
+        def update(i, t, out, lat, state, sub):
+            eps = _to_eps(out, t, lat)
             state, lat = sched_mod.pndm_step(
                 sched, cfg.schedule, state, eps, t, lat, num_inference_steps)
             return state, lat
 
         state0 = sched_mod.pndm_init_state(lat.shape, lat.dtype)
-        _, lat = jax.lax.fori_loop(0, ts.shape[0], body, (state0, lat))
+        lat = _scheduler_loop(0, ts.shape[0], lat, model_at, update,
+                              state0=state0)
 
     elif cfg.scheduler == "ddpm":
         ratio = sched_mod.inference_stride(cfg.schedule, num_inference_steps)
@@ -1272,22 +1267,20 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
             lat = noise_to(ts[t_start]) if t_start < num_inference_steps \
                 else orig_lat.astype(dt)
         tproj = _hoist_tproj(ts)
+        model_at, _ = _model_at(ts, tproj)
 
-        def body(i, carry):
-            lat, k = carry
-            k, sub = jax.random.split(k)
-            t = ts[i]
-            eps = eps_fn(lat, t, unet_mod.index_temb(tproj, i), i)
+        def update(i, t, out, lat, state, sub):
+            eps = _to_eps(out, t, lat)
             # posterior over the ACTUAL stride (see ddpm_step): the next
             # grid point, not t-1
             nlat = sched_mod.ddpm_step(sched, eps, t, lat, sub,
                                        clip_sample=False, t_prev=t - ratio)
             if blend is not None:
                 nlat = blend(nlat, t - ratio)
-            return nlat, k
+            return state, nlat
 
-        lat, _ = jax.lax.fori_loop(t_start, t_stop, body,
-                                   (lat, key))
+        lat = _scheduler_loop(t_start, t_stop, lat, model_at, update,
+                              key=key)
     else:
         raise ValueError(f"unknown scheduler {cfg.scheduler}")
 
@@ -1549,21 +1542,10 @@ class SDPipeline:
                              f"s2), got {tuple(freeu)}")
         if mask_image is not None and init_image is None:
             raise ValueError("mask_image (inpainting) requires init_image")
-        if (init_image is not None or init_latents is not None) \
-                and self.spatial:
-            raise NotImplementedError(
-                "img2img/inpaint under spatial serving is not wired up "
-                "(the init-image encode would need row sharding too); "
-                "drop spatial=True or use batch sharding")
         if init_latents is not None and init_image is not None:
             raise ValueError("init_latents (latent-space img2img) and "
                              "init_image (pixel-space img2img) are "
                              "mutually exclusive")
-        if control_image is not None and self.spatial:
-            raise NotImplementedError(
-                "ControlNet under spatial serving is not wired up (the "
-                "control embedding would need row sharding too); drop "
-                "spatial=True or use batch sharding")
         b = len(prompts)
         if negative_prompt is None:
             negative_prompt = [""] * b
@@ -1812,6 +1794,26 @@ class SDPipeline:
                 if cond_w2 is not None:
                     cond_w2 = jax.device_put(cond_w2, rep)
                     uncond_w2 = jax.device_put(uncond_w2, rep)
+                # img2img/inpaint/ControlNet inputs are spatial too: shard
+                # their IMAGE ROWS over `data` like the latents (dim 1 in
+                # both the full-res (B,H,W,C) and latent (B,h,w,C)
+                # layouts); GSPMD propagates the row sharding through the
+                # VAE init encode and the ControlNet conditioning embedder
+                # exactly as it does through the UNet/decode
+                put_sp = lambda x: jax.device_put(
+                    x, spatial_sharding(self.mesh))
+                if img_arr is not None:
+                    img_arr = put_sp(img_arr)
+                if lat_init is not None:
+                    lat_init = put_sp(lat_init)
+                if mask_arr is not None:
+                    mask_arr = put_sp(mask_arr)
+                if masked_arr is not None:
+                    masked_arr = put_sp(masked_arr)
+                if ctrl_arr is not None:
+                    ctrl_arr = ([put_sp(c) for c in ctrl_arr]
+                                if isinstance(ctrl_arr, list)
+                                else put_sp(ctrl_arr))
             else:
                 put = lambda x: jax.device_put(
                     x, data_sharding(self.mesh, jnp.ndim(x)))
