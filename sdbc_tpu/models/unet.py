@@ -215,6 +215,20 @@ def _mha(p, x, ctx, heads, impl="auto"):
         proj_dim = p["q"]["w"].shape[1]          # heads·hd_pad (= dim unpacked)
         hd_pad = proj_dim // heads
 
+        if (impl == "inference" and hd_pad == hd
+                and os.environ.get("SDBC_ATTN_BSHD", "0") == "1"):
+            # round-4 lever (opt-in, A/B in experiments/r4_bshd.py): keep
+            # q/k/v in the projection layout (b, s, h, d) — the reshape is
+            # a free bitcast — and let the bshd kernel walk heads via its
+            # grid, eliminating the head split/merge HBM relayouts
+            from sdbc_tpu.ops.attention import attention_bshd_inference
+
+            q4 = nn.linear(p["q"], x).reshape(b, -1, heads, hd)
+            k4 = nn.linear(p["k"], ctx).reshape(b, -1, heads, hd)
+            v4 = nn.linear(p["v"], ctx).reshape(b, -1, heads, hd)
+            a = attention_bshd_inference(q4, k4, v4).reshape(b, s, dim)
+            return nn.linear(p["o"], a)
+
         def split(t):
             return t.reshape(b, -1, heads, hd_pad).transpose(0, 2, 1, 3)
 

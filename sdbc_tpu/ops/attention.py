@@ -90,6 +90,22 @@ def attention(q, k, v, *, causal: bool = False, scale: Optional[float] = None,
     return xla_attention(q, k, v, causal=causal, scale=scale)
 
 
+def attention_bshd_inference(q4, k4, v4, *, scale: Optional[float] = None):
+    """Inference attention over (B, S, H, D) projection-layout tensors.
+
+    Round-4 head split/merge lever: on TPU with long kv the bshd flash
+    kernel walks heads via the grid (strided DMAs instead of HBM
+    relayouts); short-kv cross attention and CPU fall back to the regular
+    head-major dispatch via explicit transposes (same math).
+    """
+    if _on_tpu() and k4.shape[1] >= 256:
+        from sdbc_tpu.ops.flash_attention import flash_attention_fixed_bshd
+        return flash_attention_fixed_bshd(q4, k4, v4, scale=scale)
+    tr = lambda t: t.transpose(0, 2, 1, 3)
+    return tr(attention(tr(q4), tr(k4), tr(v4), scale=scale,
+                        impl="inference"))
+
+
 def _flash_eligible(q, k) -> bool:
     if not _on_tpu():
         return False

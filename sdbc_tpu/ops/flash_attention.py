@@ -311,6 +311,95 @@ def _flash_fixed_fwd_raw(q, k, v, scale: float, block_q: int,
     return out.reshape(b, h, sq, d)
 
 
+def _fixed_kernel_bshd(q_ref, k_ref, v_ref, o_ref, *, block_kv: int,
+                       num_kv: int, qscale: float):
+    """_fixed_kernel_raw math over (b, s, h, d)-layout refs.
+
+    Blocks are (1, bq, 1, d) / (1, sk, 1, d): the head axis is walked by
+    the GRID, so the head "split" is a strided HBM→VMEM DMA inside the
+    pallas pipeline instead of an XLA relayout materialized in HBM (the
+    round-3 roofline's 145 ms head split/merge bucket, 91% HBM-bound).
+    """
+    q32 = q_ref[0, :, 0, :].astype(jnp.float32) * qscale
+    q = q32.astype(q_ref.dtype)                  # (bq, d) log2-prescaled
+    bq, d = q.shape
+
+    acc = jnp.zeros((bq, d), jnp.float32)
+    l = jnp.zeros((bq, 1), jnp.float32)
+    for j in range(num_kv):  # static unroll: iterations are independent
+        k = k_ref[0, pl.ds(j * block_kv, block_kv), 0, :]
+        v = v_ref[0, pl.ds(j * block_kv, block_kv), 0, :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (bq, bkv) log2 units
+        p = jnp.exp2(jnp.minimum(s, _CAP))
+        l = l + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    o_ref[0, :, 0, :] = (acc / jnp.maximum(l, 1e-37)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_kv"))
+def _flash_fixed_fwd_bshd(q, k, v, scale: float, block_q: int,
+                          block_kv: int):
+    """Fixed-cap forward over the PROJECTION layout: (B,Sq,H,D) → same.
+
+    The callers' reshape (b, s, h·d) ↔ (b, s, h, d) is a free bitcast, so
+    this kernel consumes the q/k/v projections and feeds the o-projection
+    with ZERO head split/merge copies in HBM (round-4 lever; A/B in
+    experiments/r4_bshd.py).
+    """
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    log2e = 1.4426950408889634
+    grid = (b, h, sq // block_q)
+    interpret = jax.default_backend() != "tpu"   # CPU tests run the kernel
+    d_pad = _round_up(d, 128)                    # physical lane footprint
+    out = pl.pallas_call(
+        functools.partial(_fixed_kernel_bshd, block_kv=block_kv,
+                          num_kv=sk // block_kv, qscale=scale * log2e),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, 1, d), lambda bi, hi, qi: (bi, qi, hi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk, 1, d), lambda bi, hi, qi: (bi, 0, hi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk, 1, d), lambda bi, hi, qi: (bi, 0, hi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, 1, d),
+                               lambda bi, hi, qi: (bi, qi, hi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, sq, h, d), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * sq * sk * d_pad,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=b * h * sq * sk,
+        ),
+    )(q, k, v)
+    return out
+
+
+def flash_attention_fixed_bshd(q, k, v, *, scale: Optional[float] = None):
+    """Inference flash attention over (B,S,H,D) projection-layout inputs.
+
+    Falls back to transposing into the head-major path when the block
+    divisibility the bshd kernel needs doesn't hold (odd sizes); same
+    fixed-cap exactness bound as flash_attention_fixed.
+    """
+    scale = float(scale if scale is not None else q.shape[-1] ** -0.5)
+    sq, sk = q.shape[1], k.shape[1]
+    bq = _divisor_block(sq, 1024 if sq >= 2048 else 512)
+    bkv = _divisor_block(sk, 1024)
+    if bq and bkv:
+        return _flash_fixed_fwd_bshd(q, k, v, scale, bq, bkv)
+    tr = lambda t: t.transpose(0, 2, 1, 3)
+    return tr(flash_attention_fixed(tr(q), tr(k), tr(v), scale=scale))
+
+
 # ---------------------------------------------------------------------------
 # int8 QKᵀ experiment (SageAttention-style) — MEASURED SLOWER, not dispatched
 #

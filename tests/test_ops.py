@@ -277,3 +277,30 @@ def test_causal_mask_right_aligned_for_rectangular():
                                rtol=2e-5)
     np.testing.assert_allclose(np.asarray(out[0, 0, 1]), ref_row(1, 4),
                                rtol=2e-5)
+
+
+def test_flash_fixed_bshd_matches_xla():
+    """BSHD projection-layout kernel (round-4 head split/merge lever):
+    exact vs the XLA reference, and the fallback path for non-dividing
+    shapes."""
+    from sdbc_tpu.ops.attention import xla_attention
+    from sdbc_tpu.ops.flash_attention import flash_attention_fixed_bshd
+
+    b, h, s, d = 2, 4, 256, 40
+    kq, kk, kv = jax.random.split(jax.random.key(0), 3)
+    q4 = jax.random.normal(kq, (b, s, h, d), jnp.float32)
+    k4 = jax.random.normal(kk, (b, s, h, d), jnp.float32)
+    v4 = jax.random.normal(kv, (b, s, h, d), jnp.float32)
+
+    out = flash_attention_fixed_bshd(q4, k4, v4)
+    tr = lambda t: t.transpose(0, 2, 1, 3)
+    ref = tr(xla_attention(tr(q4), tr(k4), tr(v4)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+    # non-dividing sq (not a multiple of 128): transpose fallback
+    q5, k5, v5 = q4[:, :200], k4[:, :200], v4[:, :200]
+    out5 = flash_attention_fixed_bshd(q5, k5, v5)
+    ref5 = tr(xla_attention(tr(q5), tr(k5), tr(v5)))
+    np.testing.assert_allclose(np.asarray(out5), np.asarray(ref5),
+                               atol=2e-5, rtol=2e-5)
