@@ -141,6 +141,9 @@ def make_app(pipe, args):
     pending: "collections.deque[_Job]" = collections.deque()
     state = {"requests": 0, "errors": 0, "busy": False, "batches": 0,
              "batched_images": 0, "started": time.time()}
+    # rolling request latencies (seconds, queue wait + generation) for the
+    # /healthz p50/p95 — bounded so a long-lived daemon stays O(1) memory
+    latencies: "collections.deque[float]" = collections.deque(maxlen=512)
 
     f = pipe.cfg.vae_scale
     sizes = sorted({int(s) for s in
@@ -338,8 +341,10 @@ def make_app(pipe, args):
                    seed=int(req.get("seed", 42)),
                    size=size, init=init, mask=mask,
                    strength=float(req.get("strength", 0.8)), hires=hires)
+        t_enq = time.monotonic()
         jobs.put(job)
         job.event.wait()
+        latencies.append(time.monotonic() - t_enq)
         if job.error is not None:
             raise job.error
         pngs = []
@@ -365,8 +370,14 @@ def make_app(pipe, args):
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._json(200, {"ok": True, **{k: v for k, v in
-                                                state.items()}})
+                lat = sorted(latencies)
+                pct = (lambda p: round(lat[min(len(lat) - 1,
+                                               int(p * len(lat)))], 3)) \
+                    if lat else (lambda p: None)
+                self._json(200, {"ok": True,
+                                 "latency_p50_s": pct(0.50),
+                                 "latency_p95_s": pct(0.95),
+                                 **{k: v for k, v in state.items()}})
             else:
                 self._json(404, {"error": f"unknown path {self.path}"})
 

@@ -338,3 +338,26 @@ def test_hires_jobs_key_on_seed():
     assert mk(1, h).key() != mk(2, h).key()
     assert mk(1, h).key() == mk(1, h).key()
     assert mk(1, None).key() == mk(2, None).key()
+
+
+def test_healthz_latency_percentiles(server):
+    """healthz reports rolling p50/p95 request latency once traffic has
+    flowed (None before any request completes)."""
+    import json as json_mod
+    import urllib.request
+
+    base = server["url"]
+    with urllib.request.urlopen(f"{base}/healthz") as r:
+        h = json_mod.loads(r.read())
+    if h["requests"] == 0:
+        assert h["latency_p50_s"] is None
+    req = urllib.request.Request(
+        f"{base}/generate",
+        data=json_mod.dumps({"prompt": "a cover",
+                             "num_inference_steps": 2}).encode(),
+        headers={"Content-Type": "application/json"})
+    urllib.request.urlopen(req).read()
+    with urllib.request.urlopen(f"{base}/healthz") as r:
+        h = json_mod.loads(r.read())
+    assert h["latency_p50_s"] is not None and h["latency_p50_s"] >= 0
+    assert h["latency_p95_s"] >= h["latency_p50_s"] - 1e-9
