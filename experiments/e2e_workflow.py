@@ -49,11 +49,13 @@ def main():
         n_fid, epochs, grad_acc, scheduler = 4, 1, 2, "ddim"
         extra_train = ["--tiny", "--no-bf16"]
         extra_common = ["--tiny", "--no-bf16"]
+        extra_stats = ["--tiny"]  # precalc CLI has no bf16 flag
     else:
         img_size, steps_infer, n_train, n_test = 512, 25, 96, 32
         n_fid, epochs, grad_acc, scheduler = 32, 2, 4, "dpm"
         extra_train = []
         extra_common = []
+        extra_stats = []
 
     stages = []
 
@@ -121,7 +123,7 @@ def main():
 
         pf.main(["--data_root", root, "--img_size", str(img_size),
                  "--num_imgs", str(n_test), "--batch_size", "8",
-                 "--out", stats] + extra_common)
+                 "--out", stats] + extra_stats)
 
     stage("precalc_fid_stats", run_stats)
 
