@@ -70,11 +70,11 @@ def main():
         t_raw = timeit(lambda c, kk_, vv: _flash_fixed_fwd_raw(
             c, kk_, vv, sc, bq, bkv), qm, km, vm, it)
         t_bshd = timeit(lambda c, kk_, vv: _flash_fixed_fwd_bshd(
-            c, kk_, vv, sc, bq, bkv), q4, k4, v4, it)
+            c, kk_, vv, h, sc, bq, bkv), q4, k4, v4, it)
         o_raw = np.asarray(_flash_fixed_fwd_raw(qm, km, vm, sc, bq, bkv),
                            np.float32)
         o_bshd = np.asarray(tr(jnp.asarray(_flash_fixed_fwd_bshd(
-            q4, k4, v4, sc, bq, bkv))), np.float32)
+            q4, k4, v4, h, sc, bq, bkv))), np.float32)
         err = np.max(np.abs(o_raw - o_bshd))
         print(f"({b},{h},{s},{d}): raw {t_raw:.3f} ms  bshd {t_bshd:.3f} ms "
               f"({t_raw / t_bshd:.2f}x)  max|diff|={err:.2e}", flush=True)

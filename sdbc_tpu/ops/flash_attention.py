@@ -311,38 +311,41 @@ def _flash_fixed_fwd_raw(q, k, v, scale: float, block_q: int,
     return out.reshape(b, h, sq, d)
 
 
-def _fixed_kernel_bshd(q_ref, k_ref, v_ref, o_ref, *, block_kv: int,
-                       num_kv: int, qscale: float):
-    """_fixed_kernel_raw math over (b, s, h, d)-layout refs.
+def _fixed_kernel_bshd(q_ref, k_ref, v_ref, o_ref, *, heads: int, d: int,
+                       block_kv: int, num_kv: int, qscale: float):
+    """_fixed_kernel_raw math over (b, s, h·d) projection-layout refs.
 
-    Blocks are (1, bq, 1, d) / (1, sk, 1, d): the head axis is walked by
-    the GRID, so the head "split" is a strided HBM→VMEM DMA inside the
-    pallas pipeline instead of an XLA relayout materialized in HBM (the
-    round-3 roofline's 145 ms head split/merge bucket, 91% HBM-bound).
+    One invocation handles ALL heads of a q block (Mosaic requires the
+    last two block dims be 8/128-divisible or full, so a per-head grid
+    axis is not expressible); each head is a static lane slice of the
+    full-width block.  The head "split" thus happens in VMEM, not as an
+    XLA relayout materialized in HBM (the round-3 roofline's 145 ms head
+    split/merge bucket, 91% HBM-bound).
     """
-    q32 = q_ref[0, :, 0, :].astype(jnp.float32) * qscale
-    q = q32.astype(q_ref.dtype)                  # (bq, d) log2-prescaled
-    bq, d = q.shape
+    qall = (q_ref[0].astype(jnp.float32) * qscale).astype(q_ref.dtype)
+    bq = qall.shape[0]
+    for h in range(heads):  # static unroll over heads
+        q = jax.lax.slice(qall, (0, h * d), (bq, (h + 1) * d))
+        acc = jnp.zeros((bq, d), jnp.float32)
+        l = jnp.zeros((bq, 1), jnp.float32)
+        for j in range(num_kv):  # static unroll: iterations independent
+            k = k_ref[0, pl.ds(j * block_kv, block_kv), pl.ds(h * d, d)]
+            v = v_ref[0, pl.ds(j * block_kv, block_kv), pl.ds(h * d, d)]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (bq, bkv) log2 units
+            p = jnp.exp2(jnp.minimum(s, _CAP))
+            l = l + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc + jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        o_ref[0, :, pl.ds(h * d, d)] = \
+            (acc / jnp.maximum(l, 1e-37)).astype(o_ref.dtype)
 
-    acc = jnp.zeros((bq, d), jnp.float32)
-    l = jnp.zeros((bq, 1), jnp.float32)
-    for j in range(num_kv):  # static unroll: iterations are independent
-        k = k_ref[0, pl.ds(j * block_kv, block_kv), 0, :]
-        v = v_ref[0, pl.ds(j * block_kv, block_kv), 0, :]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (bq, bkv) log2 units
-        p = jnp.exp2(jnp.minimum(s, _CAP))
-        l = l + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
 
-    o_ref[0, :, 0, :] = (acc / jnp.maximum(l, 1e-37)).astype(o_ref.dtype)
-
-
-@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_kv"))
-def _flash_fixed_fwd_bshd(q, k, v, scale: float, block_q: int,
+@functools.partial(jax.jit, static_argnames=("heads", "scale", "block_q",
+                                             "block_kv"))
+def _flash_fixed_fwd_bshd(q, k, v, heads: int, scale: float, block_q: int,
                           block_kv: int):
     """Fixed-cap forward over the PROJECTION layout: (B,Sq,H,D) → same.
 
@@ -352,35 +355,45 @@ def _flash_fixed_fwd_bshd(q, k, v, scale: float, block_q: int,
     experiments/r4_bshd.py).
     """
     b, sq, h, d = q.shape
+    assert h == heads
     sk = k.shape[1]
     log2e = 1.4426950408889634
-    grid = (b, h, sq // block_q)
+    qr = q.reshape(b, sq, h * d)                 # bitcast, no copy
+    kr = k.reshape(b, sk, h * d)
+    vr = v.reshape(b, sk, h * d)
+    grid = (b, sq // block_q)
     interpret = jax.default_backend() != "tpu"   # CPU tests run the kernel
     d_pad = _round_up(d, 128)                    # physical lane footprint
     out = pl.pallas_call(
-        functools.partial(_fixed_kernel_bshd, block_kv=block_kv,
-                          num_kv=sk // block_kv, qscale=scale * log2e),
+        functools.partial(_fixed_kernel_bshd, heads=heads, d=d,
+                          block_kv=block_kv, num_kv=sk // block_kv,
+                          qscale=scale * log2e),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, 1, d), lambda bi, hi, qi: (bi, qi, hi, 0),
+            pl.BlockSpec((1, block_q, h * d), lambda bi, qi: (bi, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk, 1, d), lambda bi, hi, qi: (bi, 0, hi, 0),
+            pl.BlockSpec((1, sk, h * d), lambda bi, qi: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk, 1, d), lambda bi, hi, qi: (bi, 0, hi, 0),
+            pl.BlockSpec((1, sk, h * d), lambda bi, qi: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, 1, d),
-                               lambda bi, hi, qi: (bi, qi, hi, 0),
+        out_specs=pl.BlockSpec((1, block_q, h * d),
+                               lambda bi, qi: (bi, qi, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, sq, h, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, sq, h * d), q.dtype),
         interpret=interpret,
+        # the unrolled heads x kv loop keeps several (bq, bkv) fp32 score
+        # tiles + the full-width double-buffered k/v blocks live at once —
+        # past the conservative 16 MB default scoped-vmem limit (v5e has
+        # 128 MB VMEM; measured need ~28 MB at the 64^2 shape)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2 ** 20),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * sq * sk * d_pad,
             bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
             transcendentals=b * h * sq * sk,
         ),
-    )(q, k, v)
-    return out
+    )(qr, kr, vr)
+    return out.reshape(b, sq, h, d)
 
 
 def flash_attention_fixed_bshd(q, k, v, *, scale: Optional[float] = None):
@@ -395,7 +408,7 @@ def flash_attention_fixed_bshd(q, k, v, *, scale: Optional[float] = None):
     bq = _divisor_block(sq, 1024 if sq >= 2048 else 512)
     bkv = _divisor_block(sk, 1024)
     if bq and bkv:
-        return _flash_fixed_fwd_bshd(q, k, v, scale, bq, bkv)
+        return _flash_fixed_fwd_bshd(q, k, v, q.shape[2], scale, bq, bkv)
     tr = lambda t: t.transpose(0, 2, 1, 3)
     return tr(flash_attention_fixed(tr(q), tr(k), tr(v), scale=scale))
 
