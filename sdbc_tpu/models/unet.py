@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 from typing import Tuple
 
@@ -162,14 +163,27 @@ def _init_resnet(key, cin, cout, temb_dim):
 def _resnet(p, x, temb, groups, tproj=None):
     # diffusers UNet norm_eps=1e-5 (the transformer GroupNorm stays 1e-6)
     h = nn.group_norm(p["norm1"], x, groups, eps=1e-5, act="silu")
-    h = nn.conv2d(p["conv1"], h)
-    if tproj is None:
-        # training / per-sample timesteps: project the (N, ted) embedding here
-        tproj = nn.linear(p["temb"], jax.nn.silu(temb))[:, None, None, :]
-    # sampling passes a precomputed (cout,) vector (same t across the batch):
-    # the per-step projection is hoisted out of the denoise loop entirely
-    # (precompute_temb) — (cout,) broadcasts over (N,H,W,cout)
-    h = h + tproj.astype(h.dtype)
+    if tproj is not None and tproj.ndim == 1 \
+            and os.environ.get("SDBC_FOLD_TEMB_BIAS", "0") == "1":
+        # sampling with a hoisted batch-invariant (cout,) time projection:
+        # fold it into conv1's bias — the conv epilogue performs the add,
+        # deleting a separate elementwise pass over (N,H,W,cout)
+        # (round-4 add_add lever; A/B via bench.py, default off pending
+        # measurement — the reassociated bias add rounds differently)
+        h = nn.conv2d({"w": p["conv1"]["w"],
+                       "b": p["conv1"]["b"] + tproj.astype(p["conv1"]["b"].dtype)},
+                      h)
+    else:
+        h = nn.conv2d(p["conv1"], h)
+        if tproj is None:
+            # training / per-sample timesteps: project the (N, ted)
+            # embedding here
+            tproj = nn.linear(p["temb"], jax.nn.silu(temb))[:, None, None, :]
+        # sampling passes a precomputed (cout,) vector (same t across the
+        # batch): the per-step projection is hoisted out of the denoise
+        # loop entirely (precompute_temb) — (cout,) broadcasts over
+        # (N,H,W,cout)
+        h = h + tproj.astype(h.dtype)
     h = nn.group_norm(p["norm2"], h, groups, eps=1e-5, act="silu")
     h = nn.conv2d(p["conv2"], h)
     if "shortcut" in p:
