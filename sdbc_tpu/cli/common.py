@@ -52,7 +52,7 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
     # would silently flip a resumed pndm run back to ddim)
     p.add_argument("--scheduler", type=str, default=None,
                    choices=["ddim", "pndm", "ddpm", "dpm", "dpm_sde",
-                            "euler_a", "lms", "unipc", "lcm"])
+                            "euler_a", "lms", "unipc", "lcm", "heun"])
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--prompt_bank", type=str, default="native",
                    choices=["native", "reference"],

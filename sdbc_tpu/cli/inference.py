@@ -117,7 +117,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "decodes, upscales pixels and re-encodes")
     common.bool_flag(p, "karras_sigmas", False,
                      "use the Karras et al. 2022 rho=7 sigma grid instead "
-                     "of the leading integer timestep grid (euler_a/lms/dpm "
+                     "of the leading integer timestep grid (euler_a/lms/dpm/heun "
                      "schedulers; markedly better low-step quality)")
     p.add_argument("--safety_checker", type=str, default="",
                    help="diffusers safety_checker dir: run the CLIP-vision "

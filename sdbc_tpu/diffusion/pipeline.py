@@ -514,11 +514,11 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
             and masked_image is None:
         raise ValueError("mask (inpainting) requires init_image")
     if use_karras_sigmas and cfg.scheduler not in ("euler_a", "lms", "dpm",
-                                                   "dpm_sde"):
+                                                   "dpm_sde", "heun"):
         raise ValueError("use_karras_sigmas applies to the sigma-space "
-                         "samplers (euler_a, lms, dpm, dpm_sde) only — "
-                         "ddim/pndm/ddpm are defined on the integer "
-                         "training grid")
+                         "samplers (euler_a, lms, dpm, dpm_sde, heun) "
+                         "only — ddim/pndm/ddpm are defined on the "
+                         "integer training grid")
     cfg_lo = cfg_hi = None
     if cfg_interval is not None:
         lo, hi = cfg_interval
@@ -1149,6 +1149,59 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
 
         lat = _scheduler_loop(t_start, t_stop, lat, model_at, update,
                               key=key)
+
+    elif cfg.scheduler == "heun":
+        # Heun 2nd order (k-diffusion sample_heun, arXiv:2206.00364
+        # Alg. 1): Euler predictor + trapezoidal corrector — TWO model
+        # evals per step (2N-1 total; the terminal step is plain Euler).
+        # Runs on the leading integer grid's sigmas, or the Karras ramp
+        # with use_karras_sigmas (its native habitat).  Bonus scheduler
+        # beyond the reference's three.
+        if use_karras_sigmas:
+            sigmas_np, ts_np = sched_mod.karras_grid(cfg.schedule,
+                                                     num_inference_steps)
+        else:
+            sigmas_np, ts_np = sched_mod.leading_sigma_grid(
+                cfg.schedule, num_inference_steps)
+        sigmas, ts_f = jnp.asarray(sigmas_np), jnp.asarray(ts_np)
+        if orig_lat is not None:
+            lat = noise_to_sigma(sigmas[t_start]) \
+                if t_start < num_inference_steps else orig_lat.astype(dt)
+        tproj = _hoist_tproj(ts_f)
+        model_at, _ = _model_at(ts_f, tproj)
+
+        def _eps_at_sigma(out, i, x):
+            e, _ = sched_mod.sigma_to_eps_x0(out, sigmas[i], x,
+                                             cfg.schedule.prediction_type)
+            return e
+
+        def update(i, t, out, lat, state, sub):
+            eps1 = _eps_at_sigma(out, i, lat)
+            mid = sched_mod.euler_step_sigma(eps1, sigmas[i],
+                                             sigmas[i + 1], lat)
+            out2 = model_out_fn(mid, ts_f[i + 1],
+                                unet_mod.index_temb(tproj, i + 1), i)
+            eps2 = _eps_at_sigma(out2, i + 1, mid)
+            nlat = sched_mod.heun_step_sigma(eps1, eps2, sigmas[i],
+                                             sigmas[i + 1], lat)
+            if blend_sigma is not None:
+                nlat = blend_sigma(nlat, sigmas[i + 1])
+            return state, nlat
+
+        if t_stop > t_start:
+            lat = _scheduler_loop(t_start, t_stop - 1, lat, model_at,
+                                  update)
+            # terminal step: plain Euler (no model eval exists at the
+            # terminal sigma — 0 on a full run, the handoff point under
+            # denoising_end)
+            iN = t_stop - 1
+            outN = model_out_fn(lat, ts_f[iN],
+                                unet_mod.index_temb(tproj, iN), iN)
+            epsN = _eps_at_sigma(outN, iN, lat)
+            lat = sched_mod.euler_step_sigma(epsN, sigmas[iN],
+                                             sigmas[iN + 1], lat)
+            if blend_sigma is not None:
+                lat = blend_sigma(lat, sigmas[iN + 1])
 
     elif cfg.scheduler == "euler_a" and use_karras_sigmas:
         # Euler ancestral on the Karras σ grid (arXiv:2206.00364 eq. 5):

@@ -617,6 +617,39 @@ def euler_step_sigma(eps, s_t, s_p, x_t, noise=None, ancestral: bool = False):
     return (x_ve * jnp.sqrt(a_p)).astype(x_t.dtype)
 
 
+def leading_sigma_grid(cfg: ScheduleConfig, num_inference_steps: int):
+    """(sigmas (N+1,), float timesteps (N,)) of the LEADING integer grid
+    with a terminal 0 appended — the non-Karras sigma-space sampling grid
+    (diffusers HeunDiscrete/EulerDiscrete semantics: the discrete grid's
+    own sigmas, stepped in VE space).  Host numpy, like karras_grid."""
+    import numpy as np
+
+    ts = _host_grid(cfg, num_inference_steps)
+    sig = np.exp(_train_log_sigmas(cfg)[ts])
+    return (np.asarray(np.append(sig, 0.0), np.float32),
+            np.asarray(ts, np.float32))
+
+
+def heun_step_sigma(eps1, eps2, s_t, s_p, x_t):
+    """One deterministic Heun (trapezoidal) step σ_t → σ_p in VE space.
+
+    k-diffusion sample_heun / arXiv:2206.00364 Alg. 1: the slope is the
+    average of the eps at σ_t and the eps at the Euler predictor's
+    endpoint (``eps2``, computed by the caller with a second model eval).
+    ``eps2 = eps1`` degenerates to the plain Euler step (used for the
+    terminal σ_p = 0 step, where no second eval exists).  VP latents
+    in/out like euler_step_sigma.
+    """
+    s_t = jnp.asarray(s_t, jnp.float32)
+    s_p = jnp.asarray(s_p, jnp.float32)
+    a_t = _alpha_bar_of_sigma(s_t)
+    a_p = _alpha_bar_of_sigma(s_p)
+    x_ve = x_t.astype(jnp.float32) / jnp.sqrt(a_t)
+    d = 0.5 * (eps1.astype(jnp.float32) + eps2.astype(jnp.float32))
+    x_ve = x_ve + (s_p - s_t) * d
+    return (x_ve * jnp.sqrt(a_p)).astype(x_t.dtype)
+
+
 def lms_coeff_table_sigmas(sigmas, order: int = LMS_ORDER) -> jnp.ndarray:
     """lms_coeff_table over an EXPLICIT (N+1,) sigma grid (terminal last).
 

@@ -474,3 +474,36 @@ def test_lcm_scheduler_pipeline(tiny_params):
         ["a cover"], height=32, width=32, num_inference_steps=4,
         guidance_scale=1.5, seed=3)
     assert not np.allclose(a, d)
+
+
+def test_heun_scheduler_sampling(tiny_cfg, tiny_params):
+    """Heun (2 model evals/step) samples finite reproducible images on
+    both the leading grid and the Karras ramp, and supports img2img."""
+    import dataclasses
+
+    from sdbc_tpu.diffusion.pipeline import img2img_t_start, sample
+
+    cfg = dataclasses.replace(tiny_cfg, scheduler="heun")
+    cond = jnp.ones((1, cfg.clip.ctx), jnp.int32)
+    uncond = jnp.zeros((1, cfg.clip.ctx), jnp.int32)
+    lat = jax.random.normal(jax.random.key(4),
+                            (1, 8, 8, cfg.unet.in_channels), jnp.float32)
+    kw = dict(cfg=cfg, num_inference_steps=3, compute_dtype=jnp.float32)
+    hw = 8 * cfg.vae_scale
+    a = sample(tiny_params, cond, uncond, lat, jax.random.key(0), 7.5, **kw)
+    b = sample(tiny_params, cond, uncond, lat, jax.random.key(0), 7.5, **kw)
+    assert a.shape == (1, hw, hw, 3)
+    assert bool(jnp.isfinite(a).all())
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    k = sample(tiny_params, cond, uncond, lat, jax.random.key(0), 7.5,
+               use_karras_sigmas=True, **kw)
+    assert bool(jnp.isfinite(k).all())
+    assert np.abs(np.asarray(k) - np.asarray(a)).max() > 0  # distinct grid
+
+    init = jnp.clip(jax.random.uniform(jax.random.key(5), (1, hw, hw, 3)),
+                    0, 1)
+    t0 = img2img_t_start(3, 0.7, cfg.schedule.steps_offset)
+    i2i = sample(tiny_params, cond, uncond, lat, jax.random.key(0), 7.5,
+                 init_image=init, t_start=t0, **kw)
+    assert bool(jnp.isfinite(i2i).all())

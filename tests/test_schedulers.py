@@ -1086,3 +1086,43 @@ def test_lcm_renoise_marginal():
     a = float(SCHED.alphas_cumprod[t_next])
     ref = np.sqrt(a) * denoised + np.sqrt(1 - a) * np.asarray(noise)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-6)
+
+
+def test_heun_step_trapezoid_exact_and_euler_degenerate():
+    """heun_step_sigma integrates a slope LINEAR in sigma exactly (the
+    trapezoid rule's exactness class — one order above Euler), and with
+    eps2 == eps1 it degenerates to the plain Euler step."""
+    x_t = jax.random.normal(jax.random.key(30), (1, 4, 4, 2))
+    eps = jax.random.normal(jax.random.key(31), x_t.shape)
+    s_t, s_p = 7.5, 3.25
+
+    np.testing.assert_allclose(
+        np.asarray(S.heun_step_sigma(eps, eps, s_t, s_p, x_t)),
+        np.asarray(S.euler_step_sigma(eps, s_t, s_p, x_t)),
+        atol=1e-6)
+
+    # slope eps(sigma) = a + b*sigma (x-independent): exact solution in VE
+    # is x0 + a*(s_p - s_t) + b/2*(s_p^2 - s_t^2)
+    a = jax.random.normal(jax.random.key(32), x_t.shape)
+    b = jax.random.normal(jax.random.key(33), x_t.shape)
+    eps1, eps2 = a + b * s_t, a + b * s_p
+    out = S.heun_step_sigma(eps1, eps2, s_t, s_p, x_t)
+    a_t = 1.0 / (1.0 + s_t ** 2)
+    a_p = 1.0 / (1.0 + s_p ** 2)
+    x_ve = np.asarray(x_t, np.float64) / np.sqrt(a_t)
+    exact = (x_ve + np.asarray(a, np.float64) * (s_p - s_t)
+             + np.asarray(b, np.float64) / 2 * (s_p ** 2 - s_t ** 2))
+    np.testing.assert_allclose(np.asarray(out, np.float64),
+                               exact * np.sqrt(a_p), atol=1e-5)
+
+
+def test_leading_sigma_grid():
+    """leading_sigma_grid: sigmas are the training-table sigmas at the
+    leading grid's timesteps with a terminal 0; timesteps match the
+    integer grid as floats."""
+    sig, ts = S.leading_sigma_grid(CFG, 10)
+    assert sig.shape == (11,) and ts.shape == (10,)
+    assert sig[-1] == 0.0
+    assert (np.diff(sig) < 0).all() or (np.diff(sig[:-1]) < 0).all()
+    np.testing.assert_array_equal(
+        ts, np.asarray(S.ddim_timesteps(CFG, 10), np.float32))
