@@ -10,7 +10,8 @@ framework:
                       ["guidance_rescale"], ["num_images"], ["size"],
                       ["prompt_weighting"], ["init_image" (base64 PNG/JPEG)],
                       ["strength"], ["mask_image" (base64, white=inpaint)],
-                      ["hires_scale"], ["hires_strength"], ["hires_steps"]}
+                      ["hires_scale"], ["hires_strength"], ["hires_steps"],
+                      ["lora" (adapter name from --lora_bank)]}
         → image/png (single image) or JSON {"images": [base64 png, ...]}
     GET  /healthz    → {"ok": true, "requests": N, "batches": M, ...}
 
@@ -91,6 +92,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="SDXL refiner checkpoint/diffusers dir: serve the "
                         "base->refiner ensemble (EnsemblePipeline)")
     p.add_argument("--refiner_frac", type=float, default=0.8)
+    p.add_argument("--lora_bank", type=str, default="",
+                   help="comma-separated name=path LoRA adapters served "
+                        "side by side: requests pick one via the 'lora' "
+                        "field (absent = base weights).  Each adapter is "
+                        "merged once at startup into its own param tree "
+                        "(one full model copy in HBM per adapter; the "
+                        "compiled graph is shared — same shapes).  Not "
+                        "combinable with --refiner_ckpt")
     common.bool_flag(p, "warmup", True,
                      "compile the batch-1 graph before accepting traffic")
     return p
@@ -98,16 +107,17 @@ def build_parser() -> argparse.ArgumentParser:
 
 class _Job:
     __slots__ = ("prompt", "neg", "n", "steps", "gs", "gr", "pw", "seed",
-                 "size", "init", "mask", "strength", "hires",
+                 "size", "init", "mask", "strength", "hires", "lora",
                  "event", "images", "error")
 
     def __init__(self, prompt, neg, n, steps, gs, gr, pw, seed, size,
-                 init=None, mask=None, strength=0.8, hires=None):
+                 init=None, mask=None, strength=0.8, hires=None, lora=""):
         self.prompt, self.neg, self.n = prompt, neg, n
         self.steps, self.gs, self.gr, self.pw = steps, gs, gr, pw
         self.seed, self.size = seed, size
         self.init, self.mask, self.strength = init, mask, strength
         self.hires = hires  # (scale, strength, steps) or None
+        self.lora = lora    # adapter name ("" = base weights)
         self.event = threading.Event()
         self.images = None
         self.error = None
@@ -128,14 +138,23 @@ class _Job:
                 self.init is not None, self.mask is not None,
                 round(self.strength, 4) if self.init is not None else None,
                 self.hires,
-                self.seed if self.hires is not None else None)
+                self.seed if self.hires is not None else None,
+                self.lora)
 
 
-def make_app(pipe, args):
-    """→ (handler_class, state dict).  Split from main() for tests."""
+def make_app(pipe, args, lora_pipes=None):
+    """→ (handler_class, state dict).  Split from main() for tests.
+
+    ``lora_pipes``: optional {name: SDPipeline} of adapter-merged
+    pipelines served side by side (request field "lora"); "" is the base
+    ``pipe``.  All entries share the tokenizer and — since the param
+    shapes match — the compiled sampling graph.
+    """
     import jax
     import numpy as np
     from http.server import BaseHTTPRequestHandler
+
+    pipes = {"": pipe, **(lora_pipes or {})}
 
     jobs: "queue_mod.Queue[_Job]" = queue_mod.Queue()
     pending: "collections.deque[_Job]" = collections.deque()
@@ -170,6 +189,7 @@ def make_app(pipe, args):
 
     def run_batch(batch):
         head = batch[0]
+        bpipe = pipes[head.lora]  # key() guarantees one adapter per batch
         prompts, negs, lats = [], [], []
         inits, masks = [], []
         for j in batch:
@@ -186,7 +206,7 @@ def make_app(pipe, args):
                 # shares the tuple AND the seed, so every job reproduces
                 # the unbatched hires call for its own seed)
                 hs, hstr, hsteps = head.hires
-                imgs = pipe.hires(prompts,
+                imgs = bpipe.hires(prompts,
                                   height=head.size, width=head.size,
                                   hires_scale=hs, hires_strength=hstr,
                                   hires_steps=hsteps or None,
@@ -209,7 +229,7 @@ def make_app(pipe, args):
                 kw["strength"] = head.strength
                 if masks:
                     kw["mask_image"] = np.stack(masks)
-            imgs = pipe(prompts,
+            imgs = bpipe(prompts,
                         height=head.size, width=head.size,
                         num_inference_steps=head.steps,
                         guidance_scale=head.gs, guidance_rescale=head.gr,
@@ -312,6 +332,11 @@ def make_app(pipe, args):
                                  f"{strength}")
             if req.get("mask_image"):
                 mask = decode_b64_image(req["mask_image"], size, "L")
+        lora = str(req.get("lora") or "")
+        if lora and lora not in pipes:
+            raise ValueError(
+                f"unknown lora adapter {lora!r}; served: "
+                f"{sorted(n for n in pipes if n) or '(none — --lora_bank)'}")
         hires = None
         if req.get("hires_scale"):
             if not hasattr(pipe, "hires"):  # EnsemblePipeline
@@ -340,7 +365,8 @@ def make_app(pipe, args):
                    pw=bool(req.get("prompt_weighting", False)),
                    seed=int(req.get("seed", 42)),
                    size=size, init=init, mask=mask,
-                   strength=float(req.get("strength", 0.8)), hires=hires)
+                   strength=float(req.get("strength", 0.8)), hires=hires,
+                   lora=lora)
         t_enq = time.monotonic()
         jobs.put(job)
         job.event.wait()
@@ -377,6 +403,8 @@ def make_app(pipe, args):
                 self._json(200, {"ok": True,
                                  "latency_p50_s": pct(0.50),
                                  "latency_p95_s": pct(0.95),
+                                 "lora_adapters": sorted(n for n in pipes
+                                                         if n),
                                  **{k: v for k, v in state.items()}})
             else:
                 self._json(404, {"error": f"unknown path {self.path}"})
@@ -417,6 +445,28 @@ def main(argv=None):
     pipe = SDPipeline(params, cfg, tok,
                       compute_dtype=common.compute_dtype(args),
                       tokenizer2=common.make_tokenizer2(args, cfg))
+    lora_pipes = {}
+    if args.lora_bank:
+        if args.refiner_ckpt:
+            raise SystemExit("--lora_bank cannot combine with "
+                             "--refiner_ckpt (adapters merge into the "
+                             "base model, not the ensemble)")
+        from sdbc_tpu.train import lora as lora_mod
+
+        for entry in args.lora_bank.split(","):
+            entry = entry.strip()
+            if not entry:
+                continue
+            name, _, path = entry.partition("=")
+            if not name or not path:
+                raise SystemExit(f"--lora_bank entry {entry!r} is not "
+                                 "name=path")
+            merged = lora_mod.merge_file(params, path)
+            lora_pipes[name] = SDPipeline(
+                merged, cfg, tok, compute_dtype=common.compute_dtype(args),
+                tokenizer2=common.make_tokenizer2(args, cfg))
+            print(f"[serve] lora adapter {name!r} merged from {path} "
+                  "(one full param copy)", flush=True)
     if args.refiner_ckpt:
         from sdbc_tpu.diffusion.pipeline import EnsemblePipeline
 
@@ -442,7 +492,7 @@ def main(argv=None):
              cfg_interval=_resolve_cfg_interval(args))
         print(f"[serve] warmup done in {time.time() - t0:.1f}s", flush=True)
 
-    handler, _ = make_app(pipe, args)
+    handler, _ = make_app(pipe, args, lora_pipes=lora_pipes)
     srv = ThreadingHTTPServer((args.host, args.port), handler)
     print(f"[serve] listening on http://{args.host}:{args.port} "
           "(POST /generate, GET /healthz)", flush=True)

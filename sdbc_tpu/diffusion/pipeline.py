@@ -426,7 +426,8 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
       None (the default) keeps the compiled graph byte-identical.
     use_karras_sigmas: replace the leading integer timestep grid with the
       Karras et al. 2022 ρ=7 sigma ramp between the same σ endpoints
-      (markedly better low-step quality); euler_a / lms / dpm only.  The
+      (markedly better low-step quality); euler_a / lms / dpm / dpm_sde /
+      heun only.  The
       UNet is conditioned on each σ's continuous interpolated timestep.
     control_image: (B, H, W, 3) float conditioning image in [0, 1] (edges,
       depth, ...) routed through params["controlnet"] (models/controlnet.py);

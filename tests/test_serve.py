@@ -361,3 +361,68 @@ def test_healthz_latency_percentiles(server):
         h = json_mod.loads(r.read())
     assert h["latency_p50_s"] is not None and h["latency_p50_s"] >= 0
     assert h["latency_p95_s"] >= h["latency_p50_s"] - 1e-9
+
+
+def test_serve_lora_bank(tiny_cfg, tiny_params, tmp_path):
+    """Per-request LoRA adapter selection: a named adapter produces a
+    different image than the base, unknown names 400, and jobs with
+    different adapters never coalesce."""
+    from http.server import ThreadingHTTPServer
+
+    from sdbc_tpu.cli import common
+    from sdbc_tpu.cli.serve import _Job, build_parser, make_app
+    from sdbc_tpu.data.tokenizer import CLIPTokenizer
+    from sdbc_tpu.diffusion.pipeline import SDPipeline
+    from sdbc_tpu.train import lora as lora_mod
+
+    # a rank-2 adapter with a NONZERO delta (b=0 init would equal base)
+    adapter = lora_mod.init_lora(jax.random.key(1), tiny_params, 2,
+                                 components=("unet",))
+    adapter = {k: {"a": v["a"],
+                   "b": jax.random.normal(jax.random.key(2),
+                                          v["b"].shape) * 0.05}
+               for k, v in adapter.items()}
+    path = str(tmp_path / "style.npz")
+    lora_mod.save_lora(path, adapter, 2, 4.0)
+
+    args = build_parser().parse_args(
+        ["--tiny", "--img_size", "32", "--num_inference_steps", "2",
+         "--max_batch", "2", "--no-bf16",
+         "--lora_bank", f"style={path}"])
+    common.resolve_img_size(args)
+    tok = CLIPTokenizer.fallback(tiny_cfg.clip.vocab_size)
+    base = SDPipeline(tiny_params, tiny_cfg, tok,
+                      compute_dtype=jnp.float32)
+    merged = lora_mod.merge_file(tiny_params, path)
+    lp = {"style": SDPipeline(merged, tiny_cfg, tok,
+                              compute_dtype=jnp.float32)}
+    handler, _ = make_app(base, args, lora_pipes=lp)
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        a = _post(url, {"prompt": "a cover", "seed": 3,
+                        "num_inference_steps": 2}).read()
+        b = _post(url, {"prompt": "a cover", "seed": 3,
+                        "num_inference_steps": 2, "lora": "style"}).read()
+        assert a != b  # the adapter changes the image
+        # deterministic per adapter
+        b2 = _post(url, {"prompt": "a cover", "seed": 3,
+                         "num_inference_steps": 2, "lora": "style"}).read()
+        assert b == b2
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(url, {"prompt": "x", "lora": "nope"})
+        assert ei.value.code == 400
+        import json as json_mod
+        with urllib.request.urlopen(url + "/healthz") as r:
+            h = json_mod.loads(r.read())
+        assert h["lora_adapters"] == ["style"]
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+    # coalescing key separates adapters
+    mk = lambda lora: _Job("p", "", 1, 2, 7.5, 0.0, False, 1, 32,
+                           lora=lora)
+    assert mk("").key() != mk("style").key()
