@@ -1211,3 +1211,55 @@ def safety_checker_from_dir(path: str):
             act=raw.get("hidden_act", vcfg.act),
         )
     return port_safety_checker(load_state_dict(path)), vcfg
+
+
+def clip_model_from_dir(path: str):
+    """A transformers CLIPModel save dir → (params, text_cfg, vision_cfg)
+    for eval/clip_score.ClipScorer.
+
+    The dual-tower CLIPModel state dict nests both towers
+    ("text_model.*" / "vision_model.*") next to the two bias-free
+    projections; config.json carries text_config/vision_config +
+    projection_dim.  Reuses the component porters (port_clip_text picks
+    up text_projection on its own).
+    """
+    import os
+
+    from sdbc_tpu.models.clip import CLIPTextConfig, CLIPVisionConfig
+
+    raw = _read_json(os.path.join(path, "config.json"))
+    tc, vc = raw.get("text_config", {}), raw.get("vision_config", {})
+    proj = raw.get("projection_dim", 512)
+    text_cfg = CLIPTextConfig(
+        vocab_size=tc.get("vocab_size", 49408),
+        hidden=tc.get("hidden_size", 512),
+        layers=tc.get("num_hidden_layers", 12),
+        heads=tc.get("num_attention_heads", 8),
+        mlp=tc.get("intermediate_size", 2048),
+        ctx=tc.get("max_position_embeddings", 77),
+        eps=tc.get("layer_norm_eps", 1e-5),
+        act=tc.get("hidden_act", "quick_gelu"),
+        projection_dim=proj,
+    )
+    vision_cfg = CLIPVisionConfig(
+        hidden=vc.get("hidden_size", 768),
+        layers=vc.get("num_hidden_layers", 12),
+        heads=vc.get("num_attention_heads", 12),
+        mlp=vc.get("intermediate_size", 3072),
+        patch=vc.get("patch_size", 32),
+        image_size=vc.get("image_size", 224),
+        eps=vc.get("layer_norm_eps", 1e-5),
+        act=vc.get("hidden_act", "quick_gelu"),
+    )
+    sd = load_state_dict(path)
+    vision_sd = {k[len("vision_model."):]: v for k, v in sd.items()
+                 if k.startswith("vision_model.")}
+    params = {
+        "text": port_clip_text(sd),          # text_model.* + text_projection
+        "vision": port_clip_vision(vision_sd),
+        "visual_projection": _linear(sd, "visual_projection"),
+    }
+    if "text_projection" not in params["text"]:
+        raise ValueError(f"{path}: no text_projection in state dict — not "
+                         "a CLIPModel checkpoint")
+    return params, text_cfg, vision_cfg
