@@ -53,7 +53,10 @@ def main():
     else:
         img_size, steps_infer, n_train, n_test = 512, 25, 96, 32
         n_fid, epochs, grad_acc, scheduler = 32, 2, 4, "dpm"
-        extra_train = []
+        # 8-bit Adam on the chip, like the reference's default engine
+        # (bitsandbytes AdamW8bit): fp32 Adam moments for UNet+text-encoder
+        # masters don't fit 16 GB HBM next to the remat'd step
+        extra_train = ["--use_8bit_adam"]
         extra_common = []
         extra_stats = []
 
