@@ -134,6 +134,7 @@ def main():
         cfg_interval = tuple(
             float(v)
             for v in os.environ["SDBC_BENCH_CFG_INTERVAL"].split(","))
+    karras = os.environ.get("SDBC_BENCH_KARRAS", "") == "1"
 
     reps = int(os.environ.get("SDBC_BENCH_REPS", "3"))
 
@@ -143,7 +144,8 @@ def main():
             return sample(params, cond, uncond, latents, key, 7.5,
                           cfg=run_cfg, num_inference_steps=n_steps,
                           compute_dtype=dt, cache_interval=ci,
-                          cache_tail=ct, cfg_interval=cfg_interval)
+                          cache_tail=ct, cfg_interval=cfg_interval,
+                          use_karras_sigmas=karras)
 
         def run_sync():
             # force a device→host readback: block_until_ready alone is not
@@ -175,11 +177,14 @@ def main():
             mode += f" tail={cache_tail}"
     if cfg_interval is not None:
         mode += f", cfg_interval={cfg_interval}"
+    if karras:
+        mode += ", karras"
 
     # matched-quality serving profiles (same checkpoint, opt-in flags):
     # live-measure what fits in the budget, recorded rows otherwise
     profiles = []
     want_profiles = (on_tpu and not cache_interval and cfg_interval is None
+                     and not karras
                      and os.environ.get("SDBC_BENCH_PROFILES", "1") != "0")
     live = {}
     if want_profiles:
@@ -223,6 +228,7 @@ def main():
             "batch": batch, "steps": steps, "scheduler": cfg.scheduler,
             "cache_interval": cache_interval, "cache_tail": cache_tail,
             "cfg_interval": list(cfg_interval) if cfg_interval else None,
+            "karras": karras,
             "times_s": [round(t, 4) for t in times],
             "img_per_s_best": round(ips, 4),
             "img_per_s_mean": round(batch * reps / sum(times), 4),
