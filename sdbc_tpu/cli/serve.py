@@ -11,7 +11,9 @@ framework:
                       ["prompt_weighting"], ["init_image" (base64 PNG/JPEG)],
                       ["strength"], ["mask_image" (base64, white=inpaint)],
                       ["hires_scale"], ["hires_strength"], ["hires_steps"],
-                      ["lora" (adapter name from --lora_bank)]}
+                      ["lora" (adapter name from --lora_bank)],
+                      ["scheduler" (per-request solver; first use of a
+                       new one compiles its graph bucket)]}
         → image/png (single image) or JSON {"images": [base64 png, ...]}
     GET  /healthz    → {"ok": true, "requests": N, "batches": M, ...}
 
@@ -108,16 +110,18 @@ def build_parser() -> argparse.ArgumentParser:
 class _Job:
     __slots__ = ("prompt", "neg", "n", "steps", "gs", "gr", "pw", "seed",
                  "size", "init", "mask", "strength", "hires", "lora",
-                 "event", "images", "error")
+                 "scheduler", "event", "images", "error")
 
     def __init__(self, prompt, neg, n, steps, gs, gr, pw, seed, size,
-                 init=None, mask=None, strength=0.8, hires=None, lora=""):
+                 init=None, mask=None, strength=0.8, hires=None, lora="",
+                 scheduler=""):
         self.prompt, self.neg, self.n = prompt, neg, n
         self.steps, self.gs, self.gr, self.pw = steps, gs, gr, pw
         self.seed, self.size = seed, size
         self.init, self.mask, self.strength = init, mask, strength
         self.hires = hires  # (scale, strength, steps) or None
         self.lora = lora    # adapter name ("" = base weights)
+        self.scheduler = scheduler  # "" = the daemon's startup scheduler
         self.event = threading.Event()
         self.images = None
         self.error = None
@@ -139,7 +143,7 @@ class _Job:
                 round(self.strength, 4) if self.init is not None else None,
                 self.hires,
                 self.seed if self.hires is not None else None,
-                self.lora)
+                self.lora, self.scheduler)
 
 
 def make_app(pipe, args, lora_pipes=None):
@@ -155,6 +159,33 @@ def make_app(pipe, args, lora_pipes=None):
     from http.server import BaseHTTPRequestHandler
 
     pipes = {"": pipe, **(lora_pipes or {})}
+    # per-request scheduler views: an SDPipeline with a different
+    # cfg.scheduler over the SAME param tree (constructor without a mesh
+    # only stores references — no copy).  Each (scheduler, steps, bucket)
+    # combination compiles its own graph on first use, served from the
+    # persistent cache afterwards; the EnsemblePipeline carries no such
+    # view (requests with "scheduler" are rejected there).
+    _sched_views = {}
+    _schedulers = ("ddim", "pndm", "ddpm", "dpm", "dpm_sde", "euler_a",
+                   "lms", "unipc", "lcm", "heun")
+
+    def pipe_for(lora: str, scheduler: str):
+        base = pipes[lora]
+        if not scheduler or scheduler == base.cfg.scheduler:
+            return base
+        key = (lora, scheduler)
+        if key not in _sched_views:
+            import dataclasses
+
+            from sdbc_tpu.diffusion.pipeline import SDPipeline
+
+            _sched_views[key] = SDPipeline(
+                base.params,
+                dataclasses.replace(base.cfg, scheduler=scheduler),
+                base.tokenizer, compute_dtype=base.compute_dtype,
+                tokenizer2=base.tokenizer2,
+                safety_checker=base.safety_checker)
+        return _sched_views[key]
 
     jobs: "queue_mod.Queue[_Job]" = queue_mod.Queue()
     pending: "collections.deque[_Job]" = collections.deque()
@@ -189,7 +220,8 @@ def make_app(pipe, args, lora_pipes=None):
 
     def run_batch(batch):
         head = batch[0]
-        bpipe = pipes[head.lora]  # key() guarantees one adapter per batch
+        # key() guarantees one (adapter, scheduler) pair per batch
+        bpipe = pipe_for(head.lora, head.scheduler)
         prompts, negs, lats = [], [], []
         inits, masks = [], []
         for j in batch:
@@ -337,6 +369,14 @@ def make_app(pipe, args, lora_pipes=None):
             raise ValueError(
                 f"unknown lora adapter {lora!r}; served: "
                 f"{sorted(n for n in pipes if n) or '(none — --lora_bank)'}")
+        scheduler = str(req.get("scheduler") or "")
+        if scheduler:
+            if scheduler not in _schedulers:
+                raise ValueError(f"unknown scheduler {scheduler!r}; one "
+                                 f"of {list(_schedulers)}")
+            if not hasattr(pipe, "hires"):  # EnsemblePipeline
+                raise ValueError("per-request scheduler is not available "
+                                 "under --refiner_ckpt ensemble serving")
         hires = None
         if req.get("hires_scale"):
             if not hasattr(pipe, "hires"):  # EnsemblePipeline
@@ -366,7 +406,7 @@ def make_app(pipe, args, lora_pipes=None):
                    seed=int(req.get("seed", 42)),
                    size=size, init=init, mask=mask,
                    strength=float(req.get("strength", 0.8)), hires=hires,
-                   lora=lora)
+                   lora=lora, scheduler=scheduler)
         t_enq = time.monotonic()
         jobs.put(job)
         job.event.wait()

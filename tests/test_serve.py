@@ -426,3 +426,33 @@ def test_serve_lora_bank(tiny_cfg, tiny_params, tmp_path):
     mk = lambda lora: _Job("p", "", 1, 2, 7.5, 0.0, False, 1, 32,
                            lora=lora)
     assert mk("").key() != mk("style").key()
+
+
+def test_serve_per_request_scheduler(server):
+    """A request can pick its own scheduler: results differ from the
+    startup scheduler's, are deterministic, unknown names 400, and
+    different-scheduler jobs never coalesce."""
+    from sdbc_tpu.cli.serve import _Job
+
+    url = server["url"]
+    base = _post(url, {"prompt": "solver pick", "seed": 5,
+                       "num_inference_steps": 2}).read()
+    # NB dpm at 2 steps degenerates to first-order == ddim (lower-order
+    # first+final), so use heun (trapezoidal corrector differs at any N)
+    heun = _post(url, {"prompt": "solver pick", "seed": 5,
+                       "num_inference_steps": 2,
+                       "scheduler": "heun"}).read()
+    heun2 = _post(url, {"prompt": "solver pick", "seed": 5,
+                        "num_inference_steps": 2,
+                        "scheduler": "heun"}).read()
+    assert base != heun and heun == heun2
+    # the daemon's own scheduler name routes to the base pipe (no view)
+    same = _post(url, {"prompt": "solver pick", "seed": 5,
+                       "num_inference_steps": 2,
+                       "scheduler": "ddim"}).read()
+    assert same == base
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(url, {"prompt": "x", "scheduler": "plms9000"})
+    assert ei.value.code == 400
+    mk = lambda s: _Job("p", "", 1, 2, 7.5, 0.0, False, 1, 32, scheduler=s)
+    assert mk("").key() != mk("dpm").key()
