@@ -105,10 +105,15 @@ def main(argv=None):
 
     out_csv = args.out_csv or os.path.join(args.images_dir,
                                            "clip_scores.csv")
-    with open(out_csv, "w") as fh:
-        fh.write("file,prompt,clip_score\n")
+    import csv
+
+    # csv.writer, not hand-rolled quoting: real Goodreads titles contain
+    # double quotes and commas, which would shift/malform rows
+    with open(out_csv, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["file", "prompt", "clip_score"])
         for (f, t), s in zip(pairs, scores):
-            fh.write(f"{f},\"{t}\",{s:.6f}\n")
+            w.writerow([f, t, f"{s:.6f}"])
     mean = float(np.mean(scores))
     print(f"CLIPScore mean over {len(scores)} images: {mean:.4f} "
           f"(per-image: {out_csv})")

@@ -381,6 +381,15 @@ def main(argv=None):
         print(f"FID: {fid:.4f}")
         with open(os.path.join(save_dir, "fid_score.txt"), "w") as f:
             f.write(f"{fid}\n")
+        # device memory high-water mark for the run's manifest (TPU
+        # backends expose memory_stats; CPU returns None)
+        import jax
+
+        mstats = getattr(jax.local_devices()[0], "memory_stats",
+                         lambda: None)() or {}
+        peak = mstats.get("peak_bytes_in_use")
+        if peak:
+            print(f"peak HBM: {peak / 2**30:.2f} GiB")
 
     else:  # default: qualitative grids (3 configs, reference inference.py:458-471)
         from sdbc_tpu.eval.visualize import visualize_prompts

@@ -104,13 +104,30 @@ def build_parser() -> argparse.ArgumentParser:
                         "combinable with --refiner_ckpt")
     common.bool_flag(p, "warmup", True,
                      "compile the batch-1 graph before accepting traffic")
+    p.add_argument("--max_pending", type=int, default=32,
+                   help="admission bound: jobs queued or running; beyond "
+                        "it /generate answers 503 + Retry-After instead "
+                        "of growing the queue without bound")
+    p.add_argument("--request_timeout_s", type=float, default=300.0,
+                   help="per-request deadline (queue wait + generation); "
+                        "an expired request answers 504 and, if still "
+                        "queued, is dropped before wasting a batch slot "
+                        "(0 disables)")
     return p
+
+
+class Overloaded(RuntimeError):
+    """Admission-control rejection (--max_pending exceeded) → HTTP 503."""
+
+
+class RequestTimeout(RuntimeError):
+    """Per-request deadline expired (--request_timeout_s) → HTTP 504."""
 
 
 class _Job:
     __slots__ = ("prompt", "neg", "n", "steps", "gs", "gr", "pw", "seed",
                  "size", "init", "mask", "strength", "hires", "lora",
-                 "scheduler", "event", "images", "error")
+                 "scheduler", "event", "images", "error", "cancelled")
 
     def __init__(self, prompt, neg, n, steps, gs, gr, pw, seed, size,
                  init=None, mask=None, strength=0.8, hires=None, lora="",
@@ -125,6 +142,7 @@ class _Job:
         self.event = threading.Event()
         self.images = None
         self.error = None
+        self.cancelled = False  # set by a timed-out waiter; batcher drops
 
     def key(self):
         """Jobs sharing this key can run in one compiled graph call.
@@ -190,7 +208,28 @@ def make_app(pipe, args, lora_pipes=None):
     jobs: "queue_mod.Queue[_Job]" = queue_mod.Queue()
     pending: "collections.deque[_Job]" = collections.deque()
     state = {"requests": 0, "errors": 0, "busy": False, "batches": 0,
-             "batched_images": 0, "started": time.time()}
+             "batched_images": 0, "started": time.time(),
+             "pending_jobs": 0, "rejected_overload": 0,
+             "timed_out": 0}
+    admission = threading.Lock()  # guards state["pending_jobs"]
+
+    def _admit(job: _Job) -> None:
+        """Bounded admission: hold the slot count below --max_pending so a
+        burst of slow requests cannot grow the queue (and host memory for
+        their decoded init images) without bound."""
+        with admission:
+            if state["pending_jobs"] >= args.max_pending:
+                state["rejected_overload"] += 1
+                raise Overloaded(
+                    f"server overloaded: {state['pending_jobs']} jobs "
+                    f"pending (--max_pending {args.max_pending}); retry "
+                    "later")
+            state["pending_jobs"] += 1
+        jobs.put(job)
+
+    def _release(job: _Job) -> None:
+        with admission:
+            state["pending_jobs"] -= 1
     # rolling request latencies (seconds, queue wait + generation) for the
     # /healthz p50/p95 — bounded so a long-lived daemon stays O(1) memory
     latencies: "collections.deque[float]" = collections.deque(maxlen=512)
@@ -285,6 +324,7 @@ def make_app(pipe, args, lora_pipes=None):
             state["batches"] += 1
             state["batched_images"] += sum(j.n for j in batch)
             for j in batch:
+                _release(j)
                 j.event.set()
 
     def drain_queue():
@@ -305,11 +345,17 @@ def make_app(pipe, args, lora_pipes=None):
                 time.sleep(args.batch_window_ms / 1000.0)
             drain_queue()
             head = pending.popleft()
+            if head.cancelled:  # waiter already answered 504 — drop
+                _release(head)
+                continue
             batch, total = [head], head.n
             i = 0
             while i < len(pending):  # FIFO among compatible jobs
                 cand = pending[i]
-                if cand.key() == head.key() \
+                if cand.cancelled:
+                    del pending[i]
+                    _release(cand)
+                elif cand.key() == head.key() \
                         and total + cand.n <= args.max_batch:
                     del pending[i]
                     batch.append(cand)
@@ -377,6 +423,11 @@ def make_app(pipe, args, lora_pipes=None):
             if not hasattr(pipe, "hires"):  # EnsemblePipeline
                 raise ValueError("per-request scheduler is not available "
                                  "under --refiner_ckpt ensemble serving")
+            if scheduler == pipes[lora].cfg.scheduler:
+                # normalize to '' — same pipeline as the daemon default,
+                # so explicit-name and default requests coalesce into one
+                # batch instead of keying apart
+                scheduler = ""
         hires = None
         if req.get("hires_scale"):
             if not hasattr(pipe, "hires"):  # EnsemblePipeline
@@ -408,8 +459,16 @@ def make_app(pipe, args, lora_pipes=None):
                    strength=float(req.get("strength", 0.8)), hires=hires,
                    lora=lora, scheduler=scheduler)
         t_enq = time.monotonic()
-        jobs.put(job)
-        job.event.wait()
+        _admit(job)  # raises Overloaded at the --max_pending bound
+        if not job.event.wait(args.request_timeout_s or None):
+            # still queued: mark for the batcher to drop without wasting
+            # a batch slot; if already running, the batch completes and
+            # its images are discarded (the device call is not abortable)
+            job.cancelled = True
+            state["timed_out"] += 1
+            raise RequestTimeout(
+                f"request exceeded --request_timeout_s "
+                f"{args.request_timeout_s:g}s (queue wait + generation)")
         latencies.append(time.monotonic() - t_enq)
         if job.error is not None:
             raise job.error
@@ -466,6 +525,18 @@ def make_app(pipe, args, lora_pipes=None):
             except ValueError as e:
                 state["errors"] += 1
                 self._json(400, {"error": str(e)})
+            except Overloaded as e:
+                state["errors"] += 1
+                self.send_response(503)
+                body = json.dumps({"error": str(e)}).encode()
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Retry-After", "5")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            except RequestTimeout as e:
+                state["errors"] += 1
+                self._json(504, {"error": str(e)})
             except Exception as e:  # keep the daemon alive on bad requests
                 state["errors"] += 1
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})

@@ -1192,15 +1192,27 @@ def sample(params, cond_ids, uncond_ids, latents, key, guidance_scale,
         if t_stop > t_start:
             lat = _scheduler_loop(t_start, t_stop - 1, lat, model_at,
                                   update)
-            # terminal step: plain Euler (no model eval exists at the
-            # terminal sigma — 0 on a full run, the handoff point under
-            # denoising_end)
             iN = t_stop - 1
             outN = model_out_fn(lat, ts_f[iN],
                                 unet_mod.index_temb(tproj, iN), iN)
             epsN = _eps_at_sigma(outN, iN, lat)
-            lat = sched_mod.euler_step_sigma(epsN, sigmas[iN],
-                                             sigmas[iN + 1], lat)
+            if t_stop < num_inference_steps and float(sigmas_np[iN + 1]) > 0:
+                # truncated grid (denoising_end / ensemble handoff):
+                # σ_{iN+1} > 0 and a model eval exists there, so keep the
+                # 2nd-order corrector — k-diffusion degrades to Euler only
+                # when sigma_next == 0
+                mid = sched_mod.euler_step_sigma(epsN, sigmas[iN],
+                                                 sigmas[iN + 1], lat)
+                out2 = model_out_fn(mid, ts_f[iN + 1],
+                                    unet_mod.index_temb(tproj, iN + 1), iN)
+                eps2 = _eps_at_sigma(out2, iN + 1, mid)
+                lat = sched_mod.heun_step_sigma(epsN, eps2, sigmas[iN],
+                                                sigmas[iN + 1], lat)
+            else:
+                # terminal step of a full run: plain Euler (no model eval
+                # exists at the terminal sigma 0)
+                lat = sched_mod.euler_step_sigma(epsN, sigmas[iN],
+                                                 sigmas[iN + 1], lat)
             if blend_sigma is not None:
                 lat = blend_sigma(lat, sigmas[iN + 1])
 

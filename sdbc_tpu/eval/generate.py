@@ -65,8 +65,14 @@ def get_fid_images(pipeline, save_dir: str, df_test, *, num_imgs: int = 4000,
                             seed=seed + start)
             for idx, img in zip(batch_ids, imgs):
                 arr = np.uint8(np.round(np.clip(img, 0, 1) * 255.0))
-                Image.fromarray(arr).save(
-                    os.path.join(save_dir, f"{idx}.jpg"))
+                # atomic write: a SIGKILL mid-save must not leave a
+                # truncated <idx>.jpg that the file-count resume would
+                # then skip (reference resumes the same way but writes
+                # in place, inference.py:177-179)
+                dst = os.path.join(save_dir, f"{idx}.jpg")
+                tmp = dst + ".tmp"
+                Image.fromarray(arr).save(tmp, format="JPEG")
+                os.replace(tmp, dst)
                 generated += 1
         except Exception:
             print(f"batch {batch_ids} failed:")

@@ -98,7 +98,13 @@ def attention_bshd_inference(q4, k4, v4, *, scale: Optional[float] = None):
     relayouts); short-kv cross attention and CPU fall back to the regular
     head-major dispatch via explicit transposes (same math).
     """
-    if _on_tpu() and k4.shape[1] >= 256:
+    import os
+
+    # honor the documented debug/ablation override (attention() docstring:
+    # "SDBC_ATTN_IMPL=xla really does force the reference XLA path") — the
+    # bshd fast path must not silently win over it
+    if (_on_tpu() and k4.shape[1] >= 256
+            and "SDBC_ATTN_IMPL" not in os.environ):
         from sdbc_tpu.ops.flash_attention import flash_attention_fixed_bshd
         return flash_attention_fixed_bshd(q4, k4, v4, scale=scale)
     tr = lambda t: t.transpose(0, 2, 1, 3)
