@@ -16,17 +16,42 @@ import jax.numpy as jnp
 
 from sdbc_tpu.utils.cache import enable_persistent_cache
 
-enable_persistent_cache()
-
 
 def maybe_init_distributed() -> None:
     """Multi-host init (multi-slice pods): gated so single-host runs are
-    untouched.  Set SDBC_MULTIHOST=1 (or provide COORDINATOR_ADDRESS) on each
-    host; jax.distributed wires the DCN coordination plane and
-    parallel.host_local_batch_slice shards input loading per host."""
-    if os.environ.get("SDBC_MULTIHOST") == "1" or \
-            os.environ.get("COORDINATOR_ADDRESS"):
+    untouched.  This is the launcher-semantics equivalent of the
+    reference's ``notebook_launcher(..., num_processes=N)`` worker setup
+    (finetune_sd.py:590-593): each OS process joins one coordination
+    plane, and parallel.host_local_batch_indices shards input loading
+    per host.
+
+    Two wire-ups:
+      - TPU pods: SDBC_MULTIHOST=1 → jax.distributed autodetects the
+        coordinator from the TPU metadata.
+      - explicit (CPU pods / tests / bare clusters): COORDINATOR_ADDRESS
+        plus SDBC_NUM_PROCESSES + SDBC_PROCESS_ID.
+    """
+    coord = os.environ.get("COORDINATOR_ADDRESS")
+    nproc = os.environ.get("SDBC_NUM_PROCESSES")
+    if not (os.environ.get("SDBC_MULTIHOST") == "1" or coord):
+        return
+    if jax.distributed.is_initialized():  # idempotent (import + CLI main)
+        return
+    if coord and nproc:
+        jax.distributed.initialize(
+            coordinator_address=coord, num_processes=int(nproc),
+            process_id=int(os.environ["SDBC_PROCESS_ID"]))
+    else:
         jax.distributed.initialize()
+
+
+# ORDER MATTERS: jax.distributed.initialize must run before anything that
+# initialises the XLA backend, and enable_persistent_cache probes the
+# backend (default_backend) to pick the cache key.  Doing both at import
+# time keeps every CLI multi-host-safe without per-main boilerplate (the
+# 2-process integration test, tests/test_multiprocess.py, exercises this).
+maybe_init_distributed()
+enable_persistent_cache()
 
 
 def bool_flag(parser: argparse.ArgumentParser, name: str, default: bool,

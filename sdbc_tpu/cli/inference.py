@@ -310,22 +310,25 @@ def main(argv=None):
             # --controlnet_path branch, residuals sum)
             control_image = ([Image.open(one) for one in paths]
                              if len(paths) > 1 else Image.open(paths[0]))
-        call_kw = dict(height=args.img_size, width=args.img_size,
-                       num_inference_steps=args.num_inference_steps,
-                       guidance_scale=args.guidance_scale, seed=args.seed,
-                       cache_interval=args.cache_interval,
-                       cache_tail=args.cache_tail,
-                       negative_prompt=args.negative_prompt or None,
-                       num_images_per_prompt=args.samples_per_prompt,
-                       guidance_rescale=args.guidance_rescale,
-                       clip_skip=args.clip_skip,
-                       use_karras_sigmas=args.karras_sigmas,
-                       freeu=_resolve_freeu(args, cfg),
-                       cfg_interval=_resolve_cfg_interval(args),
-                       control_image=control_image,
-                       controlnet_scale=args.controlnet_scale,
-                       prompt_weighting=args.prompt_weighting,
-                       max_prompt_chunks=args.max_prompt_chunks)
+        from sdbc_tpu.diffusion.spec import SampleSpec
+
+        spec = SampleSpec(height=args.img_size, width=args.img_size,
+                          num_inference_steps=args.num_inference_steps,
+                          guidance_scale=args.guidance_scale,
+                          seed=args.seed,
+                          cache_interval=args.cache_interval,
+                          cache_tail=args.cache_tail,
+                          negative_prompt=args.negative_prompt or None,
+                          num_images_per_prompt=args.samples_per_prompt,
+                          guidance_rescale=args.guidance_rescale,
+                          clip_skip=args.clip_skip,
+                          use_karras_sigmas=args.karras_sigmas,
+                          freeu=_resolve_freeu(args, cfg),
+                          cfg_interval=_resolve_cfg_interval(args),
+                          control_image=control_image,
+                          controlnet_scale=args.controlnet_scale,
+                          prompt_weighting=args.prompt_weighting,
+                          max_prompt_chunks=args.max_prompt_chunks)
         if args.hires_scale:
             if init_image is not None:
                 raise SystemExit("--hires_scale drives both stages itself "
@@ -335,15 +338,15 @@ def main(argv=None):
                 raise SystemExit("--hires_scale is not wired up for "
                                  "--refiner_ckpt ensemble serving (the "
                                  "refiner already runs a tail pass)")
-            imgs = pipe.hires([args.prompt],
-                              hires_scale=args.hires_scale,
-                              hires_strength=args.hires_strength,
-                              hires_steps=args.hires_steps or None,
-                              hires_mode=args.hires_mode, **call_kw)
+            spec = spec.replace(hires_scale=args.hires_scale,
+                                hires_strength=args.hires_strength,
+                                hires_steps=args.hires_steps,
+                                hires_mode=args.hires_mode)
         else:
-            imgs = pipe([args.prompt], init_image=init_image,
-                        strength=args.strength, mask_image=mask_image,
-                        **call_kw)
+            spec = spec.replace(init_image=init_image,
+                                strength=args.strength,
+                                mask_image=mask_image)
+        imgs = pipe.generate([args.prompt], spec)
         pils = pipe.numpy_to_pil(imgs)
         # prompt text becomes a filename: strip path separators ('/' would
         # point into a nonexistent subdir and lose the generated image)

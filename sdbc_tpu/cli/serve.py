@@ -271,48 +271,40 @@ def make_app(pipe, args, lora_pipes=None):
                 inits += [j.init] * j.n
             if j.mask is not None:
                 masks += [j.mask] * j.n
+        from sdbc_tpu.diffusion.spec import SampleSpec
+
+        # ONE request carrier for both routes (diffusion/spec.py): the
+        # daemon profile knobs + the coalesced jobs' shared key fields
+        spec = SampleSpec(height=head.size, width=head.size,
+                          num_inference_steps=head.steps,
+                          guidance_scale=head.gs,
+                          guidance_rescale=head.gr,
+                          negative_prompt=negs,
+                          # sampler key for the stochastic schedulers;
+                          # per-job reproducibility there holds for lone
+                          # jobs only
+                          seed=head.seed,
+                          cache_interval=args.cache_interval,
+                          cache_tail=args.cache_tail,
+                          freeu=freeu, cfg_interval=cfg_interval,
+                          prompt_weighting=head.pw)
         try:
             if head.hires is not None:
                 # two-stage hires-fix (key() guarantees the whole batch
                 # shares the tuple AND the seed, so every job reproduces
                 # the unbatched hires call for its own seed)
                 hs, hstr, hsteps = head.hires
-                imgs = bpipe.hires(prompts,
-                                  height=head.size, width=head.size,
-                                  hires_scale=hs, hires_strength=hstr,
-                                  hires_steps=hsteps or None,
-                                  num_inference_steps=head.steps,
-                                  guidance_scale=head.gs,
-                                  guidance_rescale=head.gr,
-                                  negative_prompt=negs, seed=head.seed,
-                                  cache_interval=args.cache_interval,
-                                  cache_tail=args.cache_tail,
-                                  freeu=freeu, cfg_interval=cfg_interval,
-                                  prompt_weighting=head.pw)
-                off = 0
-                for j in batch:
-                    j.images = np.asarray(imgs[off:off + j.n])
-                    off += j.n
-                return
-            kw = {}
-            if inits:  # key() guarantees the whole batch agrees
-                kw["init_image"] = np.stack(inits)
-                kw["strength"] = head.strength
-                if masks:
-                    kw["mask_image"] = np.stack(masks)
-            imgs = bpipe(prompts,
-                        height=head.size, width=head.size,
-                        num_inference_steps=head.steps,
-                        guidance_scale=head.gs, guidance_rescale=head.gr,
-                        negative_prompt=negs,
-                        latents=np.concatenate(lats, axis=0),
-                        # sampler key for the stochastic schedulers; per-job
-                        # reproducibility there holds for lone jobs only
-                        seed=head.seed,
-                        cache_interval=args.cache_interval,
-                        cache_tail=args.cache_tail,
-                        freeu=freeu, cfg_interval=cfg_interval,
-                        prompt_weighting=head.pw, **kw)
+                spec = spec.replace(hires_scale=hs, hires_strength=hstr,
+                                    hires_steps=hsteps)
+            else:
+                spec = spec.replace(
+                    latents=np.concatenate(lats, axis=0))
+                if inits:  # key() guarantees the whole batch agrees
+                    spec = spec.replace(
+                        init_image=np.stack(inits),
+                        strength=head.strength,
+                        mask_image=np.stack(masks) if masks else None)
+            imgs = bpipe.generate(prompts, spec)
             off = 0
             for j in batch:
                 j.images = np.asarray(imgs[off:off + j.n])

@@ -37,6 +37,12 @@ def get_fid_images(pipeline, save_dir: str, df_test, *, num_imgs: int = 4000,
         print(f"resuming: {already} images already in {save_dir}")
     rng = random.Random(seed + already)
 
+    from sdbc_tpu.diffusion.spec import SampleSpec
+
+    base_spec = SampleSpec(height=img_size, width=img_size,
+                           num_inference_steps=inference_steps,
+                           guidance_scale=guidance_scale)
+
     rows = list(df_test.index)[: num_imgs]
     todo = [idx for idx in rows
             if not os.path.exists(os.path.join(save_dir, f"{idx}.jpg"))]
@@ -59,10 +65,8 @@ def get_fid_images(pipeline, save_dir: str, df_test, *, num_imgs: int = 4000,
                 prompts.append(templates.format_training_prompt(
                     author, title, rng=rng))
         try:
-            imgs = pipeline(prompts, height=img_size, width=img_size,
-                            num_inference_steps=inference_steps,
-                            guidance_scale=guidance_scale,
-                            seed=seed + start)
+            imgs = pipeline.generate(prompts, base_spec.replace(
+                seed=seed + start))
             for idx, img in zip(batch_ids, imgs):
                 arr = np.uint8(np.round(np.clip(img, 0, 1) * 255.0))
                 # atomic write: a SIGKILL mid-save must not leave a

@@ -99,6 +99,26 @@ def replicate_tree(tree, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 
 
+def replicate_tree_global(tree, mesh: Mesh):
+    """Multi-process-safe replication over a mesh spanning several hosts.
+
+    ``replicate_tree``'s device_put only addresses local devices; under
+    ``jax.distributed`` every process instead holds the same host value
+    (deterministic init) and this builds fully-replicated GLOBAL arrays
+    via make_array_from_callback — the parameter-side counterpart of
+    make_global_batch.  On a single process it is equivalent to
+    replicate_tree.
+    """
+    sh = replicate(mesh)
+
+    def rep(x):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sh,
+                                            lambda idx: x[idx])
+
+    return jax.tree.map(rep, tree)
+
+
 def _local_data_coords(process_map: np.ndarray, process_index: int):
     """Data-axis coordinates owned by a process (pure core, unit-testable).
 

@@ -1,0 +1,80 @@
+"""The never-before-executed runtime path: REAL multi-process jax.distributed.
+
+VERDICT r4 item 1: every other test runs 8 virtual devices in ONE process;
+this one spawns 2 OS processes x 4 CPU devices each, joins them through
+``cli.common.maybe_init_distributed`` (the reference-launcher equivalent,
+finetune_sd.py:590-593), runs per-host input slicing + one DP train step +
+one sharded sampling call in each (tests/multiproc_worker.py), and asserts
+parity with the single-process 8-device result from the SAME worker code.
+"""
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+WORKER = os.path.join(os.path.dirname(__file__), "multiproc_worker.py")
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _spawn(role, *, port=None, nproc=None, out=None, devices=8):
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS",
+                        "COORDINATOR_ADDRESS", "SDBC_NUM_PROCESSES",
+                        "SDBC_PROCESS_ID")}
+    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={devices}"
+    env["SDBC_MP_OUT"] = out
+    if nproc is not None:
+        env["COORDINATOR_ADDRESS"] = f"localhost:{port}"
+        env["SDBC_NUM_PROCESSES"] = str(nproc)
+        env["SDBC_PROCESS_ID"] = str(role)
+    return subprocess.Popen([sys.executable, WORKER], env=env,
+                            stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT)
+
+
+def test_two_process_dp_matches_single_process(tmp_path):
+    out = str(tmp_path)
+    port = _free_port()
+    procs = [_spawn(i, port=port, nproc=2, out=out, devices=4)
+             for i in range(2)]
+    logs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            stdout, _ = p.communicate()
+        logs.append(stdout.decode(errors="replace"))
+    assert all(p.returncode == 0 for p in procs), \
+        "worker failed:\n" + "\n====\n".join(logs)
+
+    single = _spawn("single", out=out, devices=8)
+    stdout, _ = single.communicate(timeout=900)
+    assert single.returncode == 0, stdout.decode(errors="replace")
+
+    r0 = json.load(open(os.path.join(out, "result_0.json")))
+    r1 = json.load(open(os.path.join(out, "result_1.json")))
+    rs = json.load(open(os.path.join(out, "result_single.json")))
+    assert r0["process_index"] == 0 and r1["process_index"] == 1
+    assert r0["nproc"] == r1["nproc"] == 2 and rs["nproc"] == 1
+
+    # both workers computed the identical global result (replicated
+    # outputs agree across the coordination plane)
+    assert r0["loss"] == pytest.approx(r1["loss"], rel=1e-6)
+    assert r0["checksum"] == pytest.approx(r1["checksum"], rel=1e-6)
+    assert r0["sample_mean"] == pytest.approx(r1["sample_mean"], rel=1e-6)
+
+    # and it matches the single-process 8-device run of the same code
+    # (tolerances as tests/test_parallel.py: gloo's cross-process psum may
+    # reduce in a different order than the in-process collective)
+    assert r0["loss"] == pytest.approx(rs["loss"], rel=1e-4)
+    assert r0["checksum"] == pytest.approx(rs["checksum"], rel=1e-4)
+    assert r0["sample_mean"] == pytest.approx(rs["sample_mean"], abs=2e-5)

@@ -1,0 +1,76 @@
+"""SampleSpec contract + the jit recompile surface (VERDICT r4 item 6).
+
+Two guarantees:
+  1. the spec IS the request surface — its call_kwargs() matches
+     SDPipeline.__call__'s keyword signature exactly, so a new knob cannot
+     be added to one without the other;
+  2. the documented static/traced split (diffusion/spec.py) is REAL:
+     traced knobs reuse the live compiled graph (sample._cache_size()
+     unchanged), static knobs each specialize exactly one new graph.
+"""
+import dataclasses
+import inspect
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sdbc_tpu.diffusion import pipeline as pl
+from sdbc_tpu.diffusion.spec import (STATIC_FIELDS, TRACED_FIELDS,
+                                     SampleSpec)
+
+
+def test_spec_fields_match_call_signature():
+    sig = inspect.signature(pl.SDPipeline.__call__)
+    accepted = set(sig.parameters) - {"self", "prompts"}
+    assert set(SampleSpec().call_kwargs()) == accepted
+
+
+def test_spec_classification_is_total_and_disjoint():
+    names = {f.name for f in dataclasses.fields(SampleSpec)}
+    assert STATIC_FIELDS | TRACED_FIELDS == names
+    assert not STATIC_FIELDS & TRACED_FIELDS
+
+
+def test_call_kwargs_does_not_copy_arrays():
+    lat = np.zeros((1, 8, 8, 4), np.float32)
+    spec = SampleSpec(latents=lat)
+    assert spec.call_kwargs()["latents"] is lat
+
+
+@pytest.fixture(scope="module")
+def pipe(tiny_cfg, tiny_params):
+    from sdbc_tpu.data.tokenizer import CLIPTokenizer
+
+    return pl.SDPipeline(tiny_params, tiny_cfg,
+                         CLIPTokenizer.fallback(tiny_cfg.clip.vocab_size),
+                         compute_dtype=jnp.float32)
+
+
+BASE = SampleSpec(height=32, width=32, num_inference_steps=2)
+
+
+@pytest.mark.smoke
+def test_traced_knobs_reuse_the_compiled_graph(pipe):
+    pipe.generate(["a"], BASE)  # prime
+    n0 = pl.sample._cache_size()
+    for spec in (BASE.replace(guidance_scale=3.0),
+                 BASE.replace(seed=7),
+                 BASE.replace(negative_prompt="blurry"),
+                 BASE.replace(latents=np.zeros((1, 8, 8, 4), np.float32))):
+        pipe.generate(["x"], spec)
+    assert pl.sample._cache_size() == n0, \
+        "a documented-traced knob recompiled the sampling graph"
+
+
+def test_static_knobs_specialize_one_graph_each(pipe):
+    pipe.generate(["a"], BASE)  # prime
+    for spec in (BASE.replace(num_inference_steps=3),
+                 BASE.replace(guidance_rescale=0.1),
+                 BASE.replace(cache_interval=2, cache_tail=1)):
+        n = pl.sample._cache_size()
+        pipe.generate(["a"], spec)
+        assert pl.sample._cache_size() == n + 1, \
+            f"static knob change {spec} did not compile exactly one graph"
+        pipe.generate(["a"], spec)  # repeat hits the cache
+        assert pl.sample._cache_size() == n + 1

@@ -36,6 +36,11 @@ class _StubPipe:
     def hires(self, *a, **k):  # presence gates per-request scheduler
         raise NotImplementedError
 
+    def generate(self, prompts, spec):  # mirrors SDPipeline.generate
+        if spec.hires_scale and spec.hires_scale > 1.0:
+            return self.hires(prompts, **spec.hires_kwargs())
+        return self(prompts, **spec.call_kwargs())
+
     def __call__(self, prompts, **kw):
         self.gate.wait(timeout=60)
         self.calls.append(len(prompts))
