@@ -521,3 +521,16 @@ def test_spatial_controlnet_matches_unsharded(tiny_cfg, tiny_params):
                      mesh=mesh, spatial=True)("a book cover", **kw)
     assert out.shape == ref.shape == (1, 32, 32, 3)
     np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_replicate_tree_global_single_process_equivalence(tiny_params):
+    """Multi-process-safe replication must equal plain replication when
+    every device is addressable (the single-process degenerate case)."""
+    from sdbc_tpu.parallel.mesh import replicate_tree_global
+
+    mesh = make_mesh(MeshConfig(data=8))
+    a = replicate_tree(tiny_params["vae"], mesh)
+    b = replicate_tree_global(tiny_params["vae"], mesh)
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        assert x.sharding == y.sharding
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

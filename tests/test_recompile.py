@@ -74,3 +74,15 @@ def test_static_knobs_specialize_one_graph_each(pipe):
             f"static knob change {spec} did not compile exactly one graph"
         pipe.generate(["a"], spec)  # repeat hits the cache
         assert pl.sample._cache_size() == n + 1
+
+
+def test_ensemble_generate_rejects_unroutable_fields(pipe):
+    """EnsemblePipeline.generate must reject hires and explicit denoising
+    bounds loudly (the ensemble drives the handoff itself)."""
+    from sdbc_tpu.diffusion.ensemble import EnsemblePipeline
+
+    ens = EnsemblePipeline.__new__(EnsemblePipeline)  # routing-only checks
+    with pytest.raises(ValueError, match="hires"):
+        ens.generate(["x"], BASE.replace(hires_scale=2.0))
+    with pytest.raises(ValueError, match="denoising"):
+        ens.generate(["x"], BASE.replace(denoising_end=0.8))
