@@ -37,7 +37,7 @@ OUT = os.path.join(WORK, "out")
 STATE = os.path.join(WORK, "state.json")
 RUN_ID = "r5"
 N_TRAIN, N_TEST, N_FID, IMG = 3072, 4000, 4000, 512
-KILL_AFTER = float(os.environ.get("SDBC_R5_KILL_AFTER", "420"))
+KILL_AT = int(os.environ.get("SDBC_R5_KILL_AT", "600"))
 
 LADDER = [
     ("ddim-50", ["--scheduler", "ddim", "--num_inference_steps", "50"]),
@@ -64,26 +64,29 @@ def save_state(st):
     os.replace(STATE + ".tmp", STATE)
 
 
-def run(argv, timeout=None, kill_after=None, log=None):
-    """Run a CLI subprocess; optionally SIGKILL it after kill_after s."""
+def run(argv, timeout=None, kill_at_images=None, watch_dir=None, log=None):
+    """Run a CLI subprocess; optionally SIGKILL it once watch_dir holds
+    kill_at_images jpgs (a guaranteed MID-RUN interruption, independent of
+    how long checkpoint load + compile take over the tunnel)."""
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)  # the chip
     cmd = [sys.executable, "-m"] + argv
     print(f"[r5] exec: {' '.join(argv[:3])} ... "
-          f"(kill_after={kill_after})", flush=True)
+          f"(kill_at_images={kill_at_images})", flush=True)
     lf = open(log, "ab") if log else None
     p = subprocess.Popen(cmd, cwd=REPO, env=env, stdout=lf or None,
                          stderr=subprocess.STDOUT if lf else None)
     t0 = time.monotonic()
     try:
-        if kill_after is not None:
-            try:
-                p.wait(timeout=kill_after)
-            except subprocess.TimeoutExpired:
-                p.send_signal(signal.SIGKILL)
-                p.wait()
-                return {"rc": -9, "wall_s": time.monotonic() - t0,
-                        "killed": True}
+        if kill_at_images is not None:
+            while p.poll() is None:
+                if jpg_count(watch_dir) >= kill_at_images:
+                    p.send_signal(signal.SIGKILL)
+                    p.wait()
+                    return {"rc": -9, "wall_s": time.monotonic() - t0,
+                            "killed": True}
+                time.sleep(5)
+            # finished before the threshold — report uninterrupted
         else:
             p.wait(timeout=timeout)
     finally:
@@ -196,10 +199,12 @@ def main():
                 "--fid_stats_path", stats, "--run_id", RUN_ID]
         log = os.path.join(logd, "fid4000.log")
         runs = []
-        # first pass: hard-kill mid-run (preemption drill)
-        if jpg_count(gen_dir) == 0:
+        # first pass: hard-kill mid-run (preemption drill) once the run is
+        # demonstrably generating (KILL_AT images on disk)
+        if jpg_count(gen_dir) < KILL_AT:
             t0 = time.time()
-            r = run(args, kill_after=KILL_AFTER, log=log)
+            r = run(args, kill_at_images=KILL_AT, watch_dir=gen_dir,
+                    log=log)
             n = jpg_count(gen_dir)
             rate, _ = jpg_rate(gen_dir, t0)
             runs.append({**r, "images_after": n, "img_per_s": round(rate, 3)})
@@ -293,7 +298,7 @@ def main():
         "|---|---|---|---|",
     ]
     for i, r in enumerate(f4["runs"]):
-        kind = "SIGKILL @ %.0fs" % KILL_AFTER if r.get("killed") else "resume"
+        kind = "SIGKILL mid-run" if r.get("killed") else "resume"
         lines.append(f"| {i}: {kind} | {r['wall_s']:.0f} | "
                      f"{r['images_after']} | {r['img_per_s']} |")
     lines += [
