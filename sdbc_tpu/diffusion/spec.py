@@ -42,6 +42,11 @@ STATIC_FIELDS = frozenset({
 })
 
 # Traced / host-data fields (never recompile — same graph, new operands).
+# Nuance (tests/test_recompile.py): the FIRST explicit-``latents`` call
+# retraces once — host arrays are uncommitted while internally-drawn
+# latents are device-committed, and pjit keys its entry cache on
+# committedness; the XLA executable is shared and all later
+# explicit-latents calls (the serve daemon's steady state) hit that entry.
 TRACED_FIELDS = frozenset({
     "guidance_scale", "seed", "negative_prompt", "latents", "init_image",
     "init_latents", "mask_image", "control_image", "controlnet_scale",

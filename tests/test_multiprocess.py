@@ -48,7 +48,7 @@ def test_two_process_dp_matches_single_process(tmp_path):
     logs = []
     for p in procs:
         try:
-            stdout, _ = p.communicate(timeout=900)
+            stdout, _ = p.communicate(timeout=1800)
         except subprocess.TimeoutExpired:
             p.kill()
             stdout, _ = p.communicate()
@@ -57,7 +57,7 @@ def test_two_process_dp_matches_single_process(tmp_path):
         "worker failed:\n" + "\n====\n".join(logs)
 
     single = _spawn("single", out=out, devices=8)
-    stdout, _ = single.communicate(timeout=900)
+    stdout, _ = single.communicate(timeout=1800)
     assert single.returncode == 0, stdout.decode(errors="replace")
 
     r0 = json.load(open(os.path.join(out, "result_0.json")))
