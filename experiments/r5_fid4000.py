@@ -64,7 +64,8 @@ def save_state(st):
     os.replace(STATE + ".tmp", STATE)
 
 
-def run(argv, timeout=None, kill_at_images=None, watch_dir=None, log=None):
+def run(argv, timeout=None, kill_at_images=None, watch_dir=None, log=None,
+        stall_timeout=None, stall_disarm=None):
     """Run a CLI subprocess; optionally SIGKILL it once watch_dir holds
     kill_at_images jpgs (a guaranteed MID-RUN interruption, independent of
     how long checkpoint load + compile take over the tunnel)."""
@@ -87,6 +88,26 @@ def run(argv, timeout=None, kill_at_images=None, watch_dir=None, log=None):
                             "killed": True}
                 time.sleep(5)
             # finished before the threshold — report uninterrupted
+        elif stall_timeout is not None:
+            # tunnel-stall watchdog: device RPCs over the axon tunnel can
+            # hang forever (observed futex-wait stalls); kill + let the
+            # caller's resume loop retry.  Only armed while images are
+            # still being produced — the scoring pass after the last
+            # image legitimately writes nothing for many minutes.
+            last_n, last_t = jpg_count(watch_dir), time.monotonic()
+            while p.poll() is None:
+                time.sleep(15)
+                n = jpg_count(watch_dir)
+                if n != last_n:
+                    last_n, last_t = n, time.monotonic()
+                elif n < (stall_disarm or 1 << 62) and \
+                        time.monotonic() - last_t > stall_timeout:
+                    print(f"[r5] STALL: no new image in {stall_timeout}s "
+                          f"at {n} — killing for resume", flush=True)
+                    p.send_signal(signal.SIGKILL)
+                    p.wait()
+                    return {"rc": -9, "wall_s": time.monotonic() - t0,
+                            "killed": False, "stalled": True}
         else:
             p.wait(timeout=timeout)
     finally:
@@ -211,15 +232,25 @@ def main():
             print(f"[r5] killed at {n} images ({rate:.3f} img/s)", flush=True)
             assert r["killed"] and 0 < n < N_FID, \
                 f"kill drill did not interrupt mid-run (n={n})"
-        # resume passes until complete
-        while jpg_count(gen_dir) < N_FID:
+        # resume passes until the full set exists AND the score is written
+        # (the CLI scores after generating); tunnel stalls are killed by
+        # the watchdog and retried
+        score_file = os.path.join(gen_dir, "fid_score.txt")
+        attempts = 0
+        while jpg_count(gen_dir) < N_FID or not os.path.exists(score_file):
+            attempts += 1
+            assert attempts <= 8, f"too many resume attempts, see {log}"
             t0 = time.time()
-            r = run(args, log=log)
+            r = run(args, log=log, watch_dir=gen_dir, stall_timeout=600,
+                    stall_disarm=N_FID)
             n = jpg_count(gen_dir)
             rate, nn = jpg_rate(gen_dir, t0)
             runs.append({**r, "images_after": n, "img_per_s": round(rate, 3)})
-            assert r["rc"] == 0, f"calc_fid failed rc={r['rc']}, see {log}"
-        score = float(open(os.path.join(gen_dir, "fid_score.txt")).read())
+            if r["rc"] != 0:
+                print(f"[r5] resume pass rc={r['rc']} "
+                      f"(stalled={r.get('stalled', False)}) at {n} — "
+                      "retrying", flush=True)
+        score = float(open(score_file).read())
         peak = ""
         for line in open(log, errors="replace"):
             if "peak HBM" in line:
@@ -237,16 +268,23 @@ def main():
             gen = os.path.join(d, f"{RUN_ID} inference")
             log = os.path.join(logd, f"ladder_{name}.log")
             t0 = time.time()
-            if jpg_count(gen) < LADDER_N or not os.path.exists(
+            attempts = 0
+            while jpg_count(gen) < LADDER_N or not os.path.exists(
                     os.path.join(gen, "fid_score.txt")):
+                attempts += 1
+                assert attempts <= 5, f"ladder {name}: retries exhausted"
                 r = run(["sdbc_tpu.cli.inference", "--mode", "calc_fid",
                          "--ckpt", ckpt, "--data_root", DATA,
                          "--img_size", str(IMG),
                          "--guidance_scale", "7.5",
                          "--num_imgs", str(LADDER_N), "--batch_size", "4",
                          "--save_dir", d, "--fid_stats_path", stats,
-                         "--run_id", RUN_ID] + extra, log=log)
-                assert r["rc"] == 0, f"ladder {name} rc={r['rc']}"
+                         "--run_id", RUN_ID] + extra, log=log,
+                        watch_dir=gen, stall_timeout=600,
+                        stall_disarm=LADDER_N)
+                if r["rc"] != 0:
+                    print(f"[r5] ladder {name} rc={r['rc']} — retrying",
+                          flush=True)
             rate, _ = jpg_rate(gen, t0)
             score = float(open(os.path.join(gen, "fid_score.txt")).read())
             rows.append({"profile": name, "fid": round(score, 3),
@@ -298,7 +336,8 @@ def main():
         "|---|---|---|---|",
     ]
     for i, r in enumerate(f4["runs"]):
-        kind = "SIGKILL mid-run" if r.get("killed") else "resume"
+        kind = "SIGKILL mid-run" if r.get("killed") else (
+            "stall-kill+retry" if r.get("stalled") else "resume")
         lines.append(f"| {i}: {kind} | {r['wall_s']:.0f} | "
                      f"{r['images_after']} | {r['img_per_s']} |")
     lines += [
