@@ -91,18 +91,25 @@ def run(argv, timeout=None, kill_at_images=None, watch_dir=None, log=None,
         elif stall_timeout is not None:
             # tunnel-stall watchdog: device RPCs over the axon tunnel can
             # hang forever (observed futex-wait stalls); kill + let the
-            # caller's resume loop retry.  Only armed while images are
-            # still being produced — the scoring pass after the last
-            # image legitimately writes nothing for many minutes.
-            last_n, last_t = jpg_count(watch_dir), time.monotonic()
+            # caller's resume loop retry.  Armed only AFTER the run makes
+            # its first progress (checkpoint load + warmup legitimately
+            # produce nothing for ~10-15 min), and disarmed once all
+            # images exist (the scoring pass writes no jpgs for minutes).
+            start_n = jpg_count(watch_dir)
+            last_n, last_t = start_n, time.monotonic()
             while p.poll() is None:
                 time.sleep(15)
                 n = jpg_count(watch_dir)
                 if n != last_n:
                     last_n, last_t = n, time.monotonic()
-                elif n < (stall_disarm or 1 << 62) and \
-                        time.monotonic() - last_t > stall_timeout:
-                    print(f"[r5] STALL: no new image in {stall_timeout}s "
+                    continue
+                quiet = time.monotonic() - last_t
+                armed = n > start_n and n < (stall_disarm or 1 << 62)
+                # pre-progress cap: a stall during warmup itself (no new
+                # image ever) — far beyond any observed warmup time
+                warming = n == start_n and quiet > 2700
+                if (armed and quiet > stall_timeout) or warming:
+                    print(f"[r5] STALL: no new image in {quiet:.0f}s "
                           f"at {n} — killing for resume", flush=True)
                     p.send_signal(signal.SIGKILL)
                     p.wait()
