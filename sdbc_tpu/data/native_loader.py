@@ -83,8 +83,15 @@ def decode_batch(paths: Sequence[str], size: int,
     Failed decodes come back as zero images, and a nonzero failure count is
     warned (training on silent mid-gray samples otherwise goes unnoticed);
     use probe() for hard integrity checks.
+
+    ``threads`` is clamped to the host's core count — on a single-core
+    host extra decode threads measurably HURT (experiments/
+    r5_loader_bench.py: t1 253 img/s vs t2 197 on this image's builder),
+    and callers default to the reference's 4 workers (utils.py:174).
     """
     import warnings
+
+    threads = max(1, min(threads, os.cpu_count() or 1))
 
     lib = _load()
     n = len(paths)
