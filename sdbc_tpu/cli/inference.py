@@ -278,6 +278,18 @@ def main(argv=None):
     save_dir = os.path.join(args.save_dir, f"{args.run_id} inference")
     os.makedirs(save_dir, exist_ok=True)
 
+    # ONE sampling-profile spec from the flags, shared by every mode —
+    # previously calc_fid/default silently dropped the profile knobs
+    # (--cache_interval/--karras_sigmas/--freeu/--cfg_interval/...)
+    from sdbc_tpu.diffusion.spec import SampleSpec
+
+    profile_spec = SampleSpec(
+        cache_interval=args.cache_interval, cache_tail=args.cache_tail,
+        use_karras_sigmas=args.karras_sigmas,
+        freeu=_resolve_freeu(args, cfg),
+        cfg_interval=_resolve_cfg_interval(args),
+        guidance_rescale=args.guidance_rescale, clip_skip=args.clip_skip)
+
     if args.mode == "enter_prompt":
         if not args.prompt:
             raise SystemExit("--prompt is required with --mode enter_prompt")
@@ -310,25 +322,17 @@ def main(argv=None):
             # --controlnet_path branch, residuals sum)
             control_image = ([Image.open(one) for one in paths]
                              if len(paths) > 1 else Image.open(paths[0]))
-        from sdbc_tpu.diffusion.spec import SampleSpec
-
-        spec = SampleSpec(height=args.img_size, width=args.img_size,
-                          num_inference_steps=args.num_inference_steps,
-                          guidance_scale=args.guidance_scale,
-                          seed=args.seed,
-                          cache_interval=args.cache_interval,
-                          cache_tail=args.cache_tail,
-                          negative_prompt=args.negative_prompt or None,
-                          num_images_per_prompt=args.samples_per_prompt,
-                          guidance_rescale=args.guidance_rescale,
-                          clip_skip=args.clip_skip,
-                          use_karras_sigmas=args.karras_sigmas,
-                          freeu=_resolve_freeu(args, cfg),
-                          cfg_interval=_resolve_cfg_interval(args),
-                          control_image=control_image,
-                          controlnet_scale=args.controlnet_scale,
-                          prompt_weighting=args.prompt_weighting,
-                          max_prompt_chunks=args.max_prompt_chunks)
+        spec = profile_spec.replace(
+            height=args.img_size, width=args.img_size,
+            num_inference_steps=args.num_inference_steps,
+            guidance_scale=args.guidance_scale,
+            seed=args.seed,
+            negative_prompt=args.negative_prompt or None,
+            num_images_per_prompt=args.samples_per_prompt,
+            control_image=control_image,
+            controlnet_scale=args.controlnet_scale,
+            prompt_weighting=args.prompt_weighting,
+            max_prompt_chunks=args.max_prompt_chunks)
         if args.hires_scale:
             if init_image is not None:
                 raise SystemExit("--hires_scale drives both stages itself "
@@ -374,7 +378,7 @@ def main(argv=None):
                        batch_size=args.batch_size, img_size=args.img_size,
                        inference_steps=args.num_inference_steps,
                        guidance_scale=args.guidance_scale, seed=args.seed,
-                       prompt_bank=args.prompt_bank)
+                       prompt_bank=args.prompt_bank, spec=profile_spec)
         from sdbc_tpu.models.inception import InceptionConfig
 
         icfg = InceptionConfig.tiny() if args.tiny else InceptionConfig.fid()
@@ -477,7 +481,7 @@ def main(argv=None):
                 batch_generate=args.batch_generate,
                 batch_size=args.batch_size,
                 save_dir=save_dir, seed=args.seed,
-                prompts_override=prompts_override,
+                prompts_override=prompts_override, spec=profile_spec,
                 # keep native- and reference-bank grids from overwriting
                 # each other in a shared save_dir
                 name_suffix=("" if args.prompt_bank == "native"

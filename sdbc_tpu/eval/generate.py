@@ -23,7 +23,7 @@ def get_fid_images(pipeline, save_dir: str, df_test, *, num_imgs: int = 4000,
                    batch_size: int = 4, img_size: int = 512,
                    inference_steps: int = 50, guidance_scale: float = 7.5,
                    seed: int = 42, verbose: bool = True,
-                   prompt_bank: str = "native") -> int:
+                   prompt_bank: str = "native", spec=None) -> int:
     """Generate up to num_imgs covers; returns the number generated this call.
 
     Raises RuntimeError if any batch failed: a partial image set would
@@ -39,9 +39,15 @@ def get_fid_images(pipeline, save_dir: str, df_test, *, num_imgs: int = 4000,
 
     from sdbc_tpu.diffusion.spec import SampleSpec
 
-    base_spec = SampleSpec(height=img_size, width=img_size,
-                           num_inference_steps=inference_steps,
-                           guidance_scale=guidance_scale)
+    # ``spec`` carries the full sampling profile (DeepCache, Karras grids,
+    # FreeU, guidance-interval...) — previously the CLI's profile flags
+    # were silently dropped on the calc_fid path (caught by the round-5
+    # ladder: the deepcache point produced bit-identical images to plain
+    # dpm); geometry/steps/guidance are still pinned by the explicit args
+    base_spec = (spec or SampleSpec()).replace(
+        height=img_size, width=img_size,
+        num_inference_steps=inference_steps,
+        guidance_scale=guidance_scale)
 
     rows = list(df_test.index)[: num_imgs]
     todo = [idx for idx in rows

@@ -33,7 +33,7 @@ def visualize_prompts(pipeline, *, summarize: bool = False,
                       seed: int = 42,
                       test_templates: Optional[List[str]] = None,
                       prompts_override: Optional[List[str]] = None,
-                      name_suffix: str = ""):
+                      name_suffix: str = "", spec=None):
     """Generate the qualitative-eval grid; returns (images, prompts, path)
     — path is None when save_dir is unset.
 
@@ -84,14 +84,20 @@ def visualize_prompts(pipeline, *, summarize: bool = False,
     lat_shape = (pipeline.cfg.latent_channels, img_size // f, img_size // f)
     latents = per_sample_fixed_latents(len(prompts), lat_shape, seed=seed)
 
+    from sdbc_tpu.diffusion.spec import SampleSpec
+
+    # optional profile spec (DeepCache/Karras/FreeU/...); geometry, steps
+    # and guidance stay pinned by the explicit arguments
+    base_spec = (spec or SampleSpec()).replace(
+        height=img_size, width=img_size,
+        num_inference_steps=inference_steps,
+        guidance_scale=guidance_scale)
     images = []
     step = batch_size if batch_generate else 1
     for i in range(0, len(prompts), step):
         chunk = prompts[i:i + step]
-        out = pipeline(chunk, height=img_size, width=img_size,
-                       num_inference_steps=inference_steps,
-                       guidance_scale=guidance_scale,
-                       latents=latents[i:i + len(chunk)])
+        out = pipeline.generate(
+            chunk, base_spec.replace(latents=latents[i:i + len(chunk)]))
         images.append(out)
     images = np.concatenate(images, axis=0)
 

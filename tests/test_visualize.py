@@ -74,3 +74,39 @@ def test_include_desc_without_summarize_appends_raw_desc(pipe):
     with pytest.raises(ValueError, match="descriptions"):
         visualize_prompts(pipe, include_desc=True, samples_per_prompt=1,
                           img_size=32, inference_steps=2, test_templates=TT)
+
+
+def test_profile_spec_reaches_pipeline(tmp_path, tiny_cfg):
+    """Round-5 regression: --cache_interval/--karras_sigmas were silently
+    dropped on the calc_fid and grids paths (the deepcache ladder point
+    produced bit-identical images to plain dpm).  The eval drivers must
+    forward the profile spec into pipeline.generate."""
+    import pandas as pd
+
+    from sdbc_tpu.diffusion.spec import SampleSpec
+    from sdbc_tpu.eval.generate import get_fid_images
+
+    seen = []
+
+    class Rec:
+        cfg = tiny_cfg
+
+        def generate(self, prompts, spec):
+            seen.append(spec)
+            return np.zeros((len(prompts), 32, 32, 3), np.float32)
+
+    df = pd.DataFrame({"book_authors": ["a"], "book_title": ["t"]})
+    prof = SampleSpec(cache_interval=3, cache_tail=1,
+                      use_karras_sigmas=True)
+    get_fid_images(Rec(), str(tmp_path), df, num_imgs=1, batch_size=1,
+                   img_size=32, inference_steps=4, verbose=False,
+                   spec=prof)
+    assert seen and seen[0].cache_interval == 3
+    assert seen[0].use_karras_sigmas is True
+    assert seen[0].num_inference_steps == 4  # pinned by explicit args
+
+    seen.clear()
+    visualize_prompts(Rec(), img_size=32, inference_steps=4,
+                      samples_per_prompt=1,
+                      test_templates=["x", "y"], spec=prof)
+    assert seen and all(s.cache_interval == 3 for s in seen)
