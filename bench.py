@@ -167,12 +167,18 @@ def measure_train(on_tpu: bool, remaining_fn):
             print(f"[bench] train {name}: compile+warmup "
                   f"{time.perf_counter() - t0:.1f}s",
                   file=sys.stderr, flush=True)
+            # chain K steps per timed window: per-dispatch overhead over
+            # the tunnel is ~80-110 ms, which would dominate a ~0.3 s
+            # step if synced every call (TPU timing gotcha — see
+            # .claude/skills/verify)
+            chain = int(os.environ.get("SDBC_BENCH_TRAIN_CHAIN", "4"))
             times = []
             for _ in range(reps):
                 t0 = time.perf_counter()
-                state, metrics = compiled(state, batch, key)
+                for _ in range(chain):
+                    state, metrics = compiled(state, batch, key)
                 float(metrics["loss"])
-                times.append(time.perf_counter() - t0)
+                times.append((time.perf_counter() - t0) / chain)
             del state, compiled, lowered, batch
             imgs = tcfg.grad_accum * micro
             best = min(times)
