@@ -75,11 +75,26 @@ def main():
     local = {"pixel_values": pixels[:, idx], "input_ids": ids[:, idx]}
     batch = make_global_batch(local, mesh, batch_dim=1)
 
+    def barrier(name, timeout_ms=1_500_000):
+        """Coordination-service barrier (long timeout) between compile and
+        execute: gloo's first-collective rendezvous times out after 30 s,
+        and independent jit compiles on a loaded single-core host skew
+        process arrival far beyond that — so compile ahead-of-time (no
+        collectives run during compilation), THEN meet here, THEN execute
+        in lockstep.  No-op single-process."""
+        from jax._src import distributed
+
+        c = distributed.global_state.client
+        if c is not None:
+            c.wait_at_barrier(name, timeout_in_ms=timeout_ms)
+
     state = replicate_tree_global(
         init_train_state(params, tcfg, compute_dtype=jnp.float32), mesh)
     step = make_train_step(cfg, tcfg, mesh=mesh, dp_size=8,
                            compute_dtype=jnp.float32)
-    state1, metrics = step(state, batch, jax.random.key(5))
+    step_c = step.lower(state, batch, jax.random.key(5)).compile()
+    barrier("sdbc_mp_train_compiled")
+    state1, metrics = step_c(state, batch, jax.random.key(5))
     loss = float(metrics["loss"])
     # replicated post-update trainable tree → one order-independent scalar
     checksum = float(sum(
@@ -97,9 +112,12 @@ def main():
         loc = x[np.asarray(host_local_batch_indices(x.shape[0], mesh))]
         return jax.make_array_from_process_local_data(sh, loc)
 
-    imgs = sample(gparams, shard(cond, 2), shard(uncond, 2), shard(lat, 4),
-                  jax.random.key(0), 7.5, cfg=cfg, num_inference_steps=2,
-                  compute_dtype=jnp.float32)
+    s_args = (gparams, shard(cond, 2), shard(uncond, 2), shard(lat, 4),
+              jax.random.key(0), jnp.float32(7.5))
+    s_kw = dict(cfg=cfg, num_inference_steps=2, compute_dtype=jnp.float32)
+    sample_c = sample.lower(*s_args, **s_kw).compile()
+    barrier("sdbc_mp_sample_compiled")
+    imgs = sample_c(*s_args)
     sample_mean = float(jnp.mean(imgs))
 
     result = {"role": role, "nproc": nproc, "loss": loss,
